@@ -1,0 +1,24 @@
+"""Test config: run JAX on a virtual 8-device CPU mesh.
+
+Real TPU hardware is single-chip in CI; multi-chip sharding logic is
+validated on a forced host-platform device mesh instead (the driver
+separately dry-runs the multi-chip path via __graft_entry__).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+REFERENCE_DATA = "/root/reference/data"
+
+
+@pytest.fixture
+def ref_data():
+    return REFERENCE_DATA
