@@ -24,23 +24,28 @@ def is_wildcard(c: str) -> bool:
 
 
 class Alphabet:
-    """An ordered alphabet with case-insensitive tokenization.
+    """An ordered alphabet with exact-first, case-folded-fallback tokens.
 
-    Mirrors reference semantics: tokens are positions in the alphabet
-    string; tokenization is case-insensitive (model.cpp tokenize via
-    tolower); the wildcard char is normalized to '*' internally and
-    converted back on output.
+    Mirrors reference semantics (fastseq.cpp:10-16): a character maps to
+    its exact position in the alphabet string if present, otherwise to the
+    position of its case-swapped form.  This keeps case-sensitive codon
+    alphabets ('F' vs 'f' are distinct tokens) and case-insensitive
+    nucleotide/amino alphabets both working.
     """
 
     def __init__(self, symbols: str, wildcard: str = WILDCARD_CHAR):
-        if len(set(symbols.lower())) != len(symbols):
+        if len(set(symbols)) != len(symbols):
             raise ValueError(f"duplicate symbols in alphabet {symbols!r}")
         self.symbols = symbols
         self.wildcard = wildcard
         self._tok: dict[str, int] = {}
+        # case-swapped fallbacks first, then exact matches override
         for i, s in enumerate(symbols):
-            self._tok[s.lower()] = i
-            self._tok[s.upper()] = i
+            swapped = s.lower() if s.isupper() else s.upper()
+            if swapped not in symbols:
+                self._tok[swapped] = i
+        for i, s in enumerate(symbols):
+            self._tok[s] = i
         # vectorized lookup table over byte values; -1 = invalid
         lut = np.full(256, -1, dtype=np.int32)
         for ch, i in self._tok.items():

@@ -1,0 +1,284 @@
+"""Model-layer tests against reference goldens.
+
+Mirrors the reference harnesses testrateio / testmatexp / testsubcount /
+testnumsubcount / testcountio (reference Makefile:221-229, 281-293,
+300-302) on the same data files.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from historian_tpu.core.alphabet import Alphabet
+from historian_tpu.models.counts import EventCounts, IndelCounts
+from historian_tpu.models.eigen import EigenModel
+from historian_tpu.models.gamma import make_discretized_gamma_model
+from historian_tpu.models.presets import named_model, preset_names
+from historian_tpu.models.ratemodel import ProbModel, RateModel, decay_wait_time
+
+from .golden import assert_json_close, assert_text_match, load_lenient_json
+
+
+def data(ref_data, name):
+    return os.path.join(ref_data, name)
+
+
+def read(ref_data, name):
+    with open(data(ref_data, name)) as f:
+        return f.read()
+
+
+# -------------------------------------------------------------- rate model IO
+@pytest.mark.parametrize(
+    "src,expected",
+    [
+        ("testrates.json", "testrates.out.json"),
+        ("testrates.out.json", "testrates.out.json"),
+        ("testrates.mix2.json", "testrates.mix2.out.json"),
+        ("testrates.mix2.out.json", "testrates.mix2.out.json"),
+    ],
+)
+def test_rateio_golden(ref_data, src, expected):
+    model = RateModel.from_json_string(read(ref_data, src))
+    assert_text_match(model.to_json_string(), read(ref_data, expected), sig_figs=4)
+
+
+def test_rate_model_equilibrium(ref_data):
+    # testrates.json has no rootprob: equilibrium of the A->T,C->T,G->T chain is all-T
+    model = RateModel.from_json_string(read(ref_data, "testrates.json"))
+    np.testing.assert_allclose(model.ins_prob[0], [0, 0, 0, 1], atol=1e-10)
+    # Jukes-Cantor equilibrium is uniform
+    jc = RateModel.from_json_string(read(ref_data, "testforward.jukescantor.json"))
+    np.testing.assert_allclose(jc.ins_prob[0], [0.25] * 4, atol=1e-12)
+
+
+# ------------------------------------------------------------------------ expm
+def test_matexp_golden(ref_data):
+    model = RateModel.from_json_string(read(ref_data, "testrates.json"))
+    probs = ProbModel(model, 1.0)
+    assert_text_match(probs.to_json_string(), read(ref_data, "testrates.probs.json"), sig_figs=6)
+
+
+def test_matexp_eigen_agrees(ref_data):
+    for fn in ["testrates.json", "testrates.mix2.json", "testforward.jukescantor.json"]:
+        model = RateModel.from_json_string(read(ref_data, fn))
+        eigen = EigenModel(model)
+        for t in [0.01, 0.5, 1.0, 5.0]:
+            np.testing.assert_allclose(
+                eigen.sub_prob_matrix(t), model.sub_prob_matrix(t), atol=1e-9
+            )
+
+
+def test_expm_rows_sum_to_one():
+    lg = named_model("lg")
+    p = lg.sub_prob_matrix(0.7)
+    np.testing.assert_allclose(p.sum(axis=-1), 1.0, atol=1e-10)
+    assert np.all(p >= 0)
+
+
+# ------------------------------------------------------------------ subcounts
+def run_subcount(ref_data, model_file, src_c, dest_c):
+    """Reimplementation of the t/testsubcount.cpp harness."""
+    model = RateModel.from_json_string(read(ref_data, model_file))
+    eigen = EigenModel(model)
+    src = model.alphabet.tokenize_or_die(src_c)
+    dest = model.alphabet.tokenize_or_die(dest_c)
+    t = 1.0
+    sub = eigen.sub_prob_matrix(t)
+    esub = eigen.eigen_sub_count(t)
+    p = np.array([sub[c, src, dest] for c in range(model.components)])
+    norm = p.sum()
+    counts = np.stack(
+        [
+            eigen.sub_count_matrix(c, src, dest, sub[c], esub[c]) * (p[c] / norm)
+            for c in range(model.components)
+        ]
+    )
+    root = np.zeros((model.components, model.alphabet_size))
+    root[:, src] = p / norm
+    return model, root, counts
+
+
+def golden_subcount(model, root, counts, golden_obj):
+    sym = model.alphabet.symbol
+    a = model.alphabet_size
+
+    def component(cpt):
+        return {
+            "root": {sym(i): root[cpt, i] for i in range(a)},
+            "sub": {
+                sym(i): {sym(j): counts[cpt, i, j] for j in range(a) if j != i}
+                for i in range(a)
+            },
+            "wait": {sym(i): counts[cpt, i, i] for i in range(a)},
+        }
+
+    if model.components > 1:
+        got = {"mixture": [component(c) for c in range(model.components)]}
+    else:
+        got = component(0)
+    assert_json_close(got, golden_obj, rel=5e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "model_file,golden",
+    [
+        ("testrates.json", "testsubcount1.json"),
+        ("testforward.jukescantor.json", "testsubcount2.json"),
+        ("testrates.mix2.json", "testsubcount.mix2.json"),
+    ],
+)
+def test_subcount_golden(ref_data, model_file, golden):
+    model, root, counts = run_subcount(ref_data, model_file, "A", "T")
+    golden_obj = load_lenient_json(read(ref_data, golden))
+    golden_subcount(model, root, counts, golden_obj)
+
+
+def test_numsubcount_vs_numerical(ref_data):
+    """Eigen closed-form count integral vs brute-force numerical integration
+    (t/testnumsubcount.cpp semantics, coarser grid for speed)."""
+    model = RateModel.from_json_string(read(ref_data, "testforward.jukescantor.json"))
+    eigen = EigenModel(model)
+    for (a_c, b_c, i_c, j_c, T) in [("A", "T", "A", "T", 0.01), ("A", "T", "A", "T", 1.0), ("A", "T", "C", "G", 1.0)]:
+        a = model.alphabet.tokenize_or_die(a_c)
+        b = model.alphabet.tokenize_or_die(b_c)
+        i = model.alphabet.tokenize_or_die(i_c)
+        j = model.alphabet.tokenize_or_die(j_c)
+        sub = eigen.sub_prob_matrix(T)
+        esub = eigen.eigen_sub_count(T)
+        count = eigen.sub_count_matrix(0, a, b, sub[0], esub[0])[i, j]
+        n_steps = 2000
+        ts = (np.arange(n_steps) + 0.0) * (T / n_steps)
+        num = sum(
+            eigen.sub_prob_matrix(t)[0, a, i] * eigen.sub_prob_matrix(T - t - T / n_steps)[0, j, b]
+            for t in ts
+        )
+        num *= model.sub_rate[0, i, j] * (T / n_steps) / sub[0, a, b]
+        assert abs(count - num) < 2e-3 * max(1.0, abs(count))
+
+
+# --------------------------------------------------------------------- counts
+def test_counts_io_roundtrip(ref_data):
+    text = read(ref_data, "testcount.count.json")
+    counts = EventCounts.from_json_string(text)
+    assert_text_match(counts.to_json_string(), text, sig_figs=4)
+
+
+def test_counts_algebra(ref_data):
+    c1 = EventCounts.from_json_string(read(ref_data, "testcount.out.json"))
+    c2 = EventCounts.from_json_string(read(ref_data, "testcount.out.json"))
+    total = c1 + c2
+    np.testing.assert_allclose(total.sub_count, 2 * c1.sub_count)
+    assert total.indel.ins == 2 * c1.indel.ins
+    assert total.indel.lp == 2 * c1.indel.lp
+    # the reference testsum golden: sum of testcount.out.json twice
+    golden = EventCounts.from_json_string(read(ref_data, "testcount.sum.json"))
+    np.testing.assert_allclose(total.sub_count, golden.sub_count, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(total.root_count, golden.root_count, rtol=1e-3, atol=1e-5)
+
+
+def test_optimize_recovers_rates():
+    """M-step on exact expected counts of a model recovers that model."""
+    alph = Alphabet("ACGT")
+    model = RateModel(
+        alph,
+        ins_rate=0.05,
+        del_rate=0.08,
+        ins_ext_prob=0.3,
+        del_ext_prob=0.4,
+        sub_rate=np.array([[[-3, 1, 1, 1], [2, -4, 1, 1], [1, 1, -3, 1], [1, 1, 2, -4.0]]]),
+    )
+    counts = EventCounts(alph, 1)
+    wait = 7.0
+    counts.sub_count[0] = model.sub_rate[0] * wait
+    np.fill_diagonal(counts.sub_count[0], wait)
+    counts.root_count[0] = model.ins_prob[0] * 10
+    counts.indel.ins = model.ins_rate * 100
+    counts.indel.ins_time = 100.0
+    counts.indel.del_ = model.del_rate * 100
+    counts.indel.del_time = 100.0
+    counts.indel.ins_ext = counts.indel.ins * model.ins_ext_prob / (1 - model.ins_ext_prob)
+    counts.indel.del_ext = counts.indel.del_ * model.del_ext_prob / (1 - model.del_ext_prob)
+    fitted = RateModel(alph)
+    counts.optimize(fitted)
+    np.testing.assert_allclose(fitted.sub_rate, model.sub_rate, rtol=1e-10)
+    np.testing.assert_allclose(fitted.ins_prob, model.ins_prob, rtol=1e-10)
+    assert abs(fitted.ins_rate - model.ins_rate) < 1e-12
+    assert abs(fitted.ins_ext_prob - model.ins_ext_prob) < 1e-12
+    assert abs(fitted.del_ext_prob - model.del_ext_prob) < 1e-12
+
+
+def test_indel_counts_branch():
+    """Walk a parent/child path: M M I I M D columns."""
+    alph = Alphabet("ACGT")
+    model = RateModel(alph, ins_rate=0.1, del_rate=0.2, ins_ext_prob=0.5, del_ext_prob=0.5,
+                      sub_rate=np.array([[[-1, 1/3, 1/3, 1/3]] * 4]) * 1.0)
+    # columns: match, match, insert, insert, match, delete
+    parent = np.array([True, True, False, False, True, True])
+    child = np.array([True, True, True, True, True, False])
+    ic = IndelCounts()
+    ic.accumulate_branch(model, 1.0, parent, child, 1.0)
+    assert ic.ins == 1 and ic.ins_ext == 1
+    assert ic.del_ == 1 and ic.del_ext == 0
+    # 3 match-to-match style columns contribute full time each...
+    assert ic.ins_time > 0 and ic.del_time > 0
+    assert np.isfinite(ic.lp) and ic.lp < 0
+
+
+def test_decay_wait_time_limits():
+    # small rate*t: wait ~ t/2
+    assert abs(decay_wait_time(1e-6, 1.0) - 0.5) < 1e-3
+    # large rate*t: wait ~ 1/rate
+    assert abs(decay_wait_time(100.0, 10.0) - 0.01) < 1e-6
+
+
+# --------------------------------------------------------------------- presets
+def test_presets_match_reference_models():
+    for name in ["lg", "wag", "jtt", "dayhoff", "jc", "jcrna", "ECMrest", "ECMunrest"]:
+        mine = named_model(name)
+        ref_name = {"jtt": "jones"}.get(name, name)
+        theirs = RateModel.from_file(f"/root/reference/model/{ref_name}.json")
+        assert mine.alphabet.symbols == theirs.alphabet.symbols
+        np.testing.assert_allclose(mine.sub_rate, theirs.sub_rate, atol=1e-12)
+        np.testing.assert_allclose(mine.ins_prob, theirs.ins_prob, atol=1e-12)
+
+
+def test_preset_unknown():
+    with pytest.raises(KeyError):
+        named_model("nosuchmodel")
+
+
+# ----------------------------------------------------------------------- gamma
+def test_gamma_discretization():
+    jc = named_model("jc")
+    g = make_discretized_gamma_model(jc, 4, 0.5)
+    assert g.components == 4
+    np.testing.assert_allclose(g.cpt_weight, 0.25)
+    # mean rate multiplier is 1 => average subrate equals base
+    np.testing.assert_allclose(g.sub_rate.mean(axis=0), jc.sub_rate[0], rtol=1e-12)
+    # multipliers increase across bins
+    mult = g.sub_rate[:, 0, 1] / jc.sub_rate[0, 0, 1]
+    assert np.all(np.diff(mult) > 0)
+
+
+# -------------------------------------------------------------------- distance
+def test_ml_distance_jc():
+    """ML distance on JC data matches the analytic JC formula."""
+    jc = named_model("jc").normalize_substitution_rate()
+    x = "A" * 60 + "C" * 20 + "G" * 20
+    y = "A" * 60 + "C" * 10 + "T" * 10 + "G" * 10 + "A" * 10
+    d = jc.ml_distance(x, y)
+    counts = jc.pair_count_matrix(x, y)
+    jc_analytic = jc.jukes_cantor_distance(counts)
+    assert abs(d - jc_analytic) < 0.02 * jc_analytic
+
+
+def test_ml_distance_identical_and_saturated():
+    jc = named_model("jc").normalize_substitution_rate()
+    d_same = jc.ml_distance("ACGTACGT", "ACGTACGT")
+    assert d_same < 1e-3
+    # saturated pair: distance pinned at upper scan bound
+    d_far = jc.ml_distance("AAAA", "CCCC")
+    assert d_far > 1.0
