@@ -1,0 +1,305 @@
+"""Tree sum-product engine: likelihoods, posteriors, eigencounts.
+
+Host-facing wrapper over the column-batched Felsenstein kernels
+(historian_tpu.ops.felsenstein).  Replaces the reference's
+SumProduct/AlignColSumProduct column-at-a-time loop
+(/root/reference/src/sumprod.h:32-102) with whole-alignment batched device
+fills; posterior extraction and eigencount accumulation are vectorized
+einsums over [columns, nodes, components, alphabet] tensors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+import historian_tpu.ops  # noqa: F401  (enables x64)
+from historian_tpu.core.tree import Tree
+from historian_tpu.models.counts import EigenCounts
+from historian_tpu.models.eigen import EigenModel
+from historian_tpu.models.ratemodel import RateModel
+from historian_tpu.ops.felsenstein import (
+    GAP_TOK,
+    TreeArrays,
+    _fill_down_batch,
+    _fill_up_batch,
+    _node_post_prob_batch,
+    observation_tensor,
+    tokenize_alignment,
+)
+
+MIN_POST_PROB = 0.01
+
+
+class SumProductEngine:
+    """Per-(model, tree) state: branch substitution matrices, eigencount
+    integrals, and the device fill entry points."""
+
+    def __init__(self, model: RateModel, tree: Tree, dtype=np.float64):
+        self.model = model
+        self.tree = tree
+        self.dtype = dtype
+        self.arrays = TreeArrays(tree)
+        n = self.arrays.n_nodes
+        c, a = model.components, model.alphabet_size
+        sub = np.zeros((n, c, a, a))
+        for node in range(n - 1):
+            sub[node] = model.sub_prob_matrix(tree.branch_length(node))
+        sub[n - 1] = np.eye(a)[None, :, :]  # root has no branch
+        self.branch_sub = sub
+        self.eigen = EigenModel(model)
+        self.branch_eigen_sub_count = np.stack(
+            [self.eigen.eigen_sub_count(tree.branch_length(node)) for node in range(n - 1)]
+            + [np.zeros((c, a, a), dtype=np.complex128)]
+        )  # [N, C, A, A]
+        with np.errstate(divide="ignore"):
+            self.log_cpt_weight = np.log(model.cpt_weight)
+        self.ins_prob = model.ins_prob
+
+    # ------------------------------------------------------------------ fills
+    def fill(self, gapped_rows: list[str]) -> "SumProductFill":
+        """Run up+down passes for all columns at once."""
+        tokens = tokenize_alignment(self.model.alphabet, gapped_rows)
+        return self.fill_tokens(tokens)
+
+    def fill_tokens(self, tokens: np.ndarray) -> "SumProductFill":
+        arr = self.arrays
+        n = arr.n_nodes
+        a = self.model.alphabet_size
+        obs = observation_tensor(tokens, a, dtype=self.dtype)  # [N, L, A]
+        obs = jnp.swapaxes(obs, 0, 1)  # [L, N, A]
+        is_gap = jnp.asarray((tokens == GAP_TOK).T)  # [L, N]
+        sub = jnp.asarray(self.branch_sub, dtype=self.dtype)
+        ins = jnp.asarray(self.ins_prob, dtype=self.dtype)
+        lw = jnp.asarray(self.log_cpt_weight, dtype=self.dtype)
+        F, logF, E, logE, cpt_ll, col_ll = _fill_up_batch(
+            obs, is_gap, jnp.asarray(arr.parent), jnp.asarray(arr.left), jnp.asarray(arr.right),
+            sub, ins, lw, n,
+        )
+        G, logG = _fill_down_batch(
+            E, logE, is_gap, jnp.asarray(arr.parent), jnp.asarray(arr.sibling), sub, ins, n
+        )
+        return SumProductFill(self, tokens, F, logF, E, logE, G, logG, cpt_ll, col_ll)
+
+    def column_log_likelihoods(self, gapped_rows: list[str]) -> np.ndarray:
+        return np.asarray(self.fill(gapped_rows).col_ll)
+
+    def log_likelihood(self, gapped_rows: list[str]) -> float:
+        return float(self.column_log_likelihoods(gapped_rows).sum())
+
+
+class SumProductFill:
+    """All messages for all columns; posterior / count extraction."""
+
+    def __init__(self, engine, tokens, F, logF, E, logE, G, logG, cpt_ll, col_ll):
+        self.engine = engine
+        self.tokens = tokens  # [N, L]
+        self.F = np.asarray(F)  # [L, N, C, A]
+        self.logF = np.asarray(logF)  # [L, N, C]
+        self.E = np.asarray(E)
+        self.logE = np.asarray(logE)
+        self.G = np.asarray(G)
+        self.logG = np.asarray(logG)
+        self.cpt_ll = np.asarray(cpt_ll)  # [L, C]
+        self.col_ll = np.asarray(col_ll)  # [L]
+
+    @property
+    def n_columns(self) -> int:
+        return self.tokens.shape[1]
+
+    def is_gap(self, node: int, col: int) -> bool:
+        return self.tokens[node, col] == GAP_TOK
+
+    def column_roots(self, col: int) -> list[int]:
+        arr = self.engine.arrays
+        roots = []
+        for n in range(arr.n_nodes):
+            if self.tokens[n, col] != GAP_TOK:
+                p = arr.parent[n]
+                if p < 0 or self.tokens[p, col] == GAP_TOK:
+                    roots.append(n)
+        return roots
+
+    def column_root(self, col: int) -> int:
+        roots = self.column_roots(col)
+        if len(roots) != 1:
+            raise ValueError(f"column {col} has {len(roots)} roots (expected 1)")
+        return roots[0]
+
+    # -------------------------------------------------------------- posteriors
+    def log_node_post_prob(self, col: int, node: int) -> np.ndarray:
+        """[A] log posterior at node, mixture-marginalized."""
+        out = self.log_node_post_prob_all()
+        return out[col, node]
+
+    def log_node_post_prob_all(self) -> np.ndarray:
+        """[L, N, A] log posteriors for every column and node."""
+        if not hasattr(self, "_lnpp"):
+            self._lnpp = np.asarray(
+                _node_post_prob_batch(
+                    jnp.asarray(self.F), jnp.asarray(self.logF), jnp.asarray(self.G),
+                    jnp.asarray(self.logG), jnp.asarray(self.col_ll),
+                    jnp.asarray(self.engine.log_cpt_weight, dtype=self.F.dtype),
+                    self.engine.arrays.n_nodes,
+                )
+            )
+        return self._lnpp
+
+    def max_post_state(self, col: int, node: int) -> int:
+        return int(np.argmax(self.log_node_post_prob_all()[col, node]))
+
+    def log_branch_post_prob(self, cpt: int, col: int, node: int, a: int, b: int) -> float:
+        """log P(parent=a, node=b | column) (sumprod.cpp:252-257)."""
+        arr = self.engine.arrays
+        p = arr.parent[node]
+        s = arr.sibling[node]
+        with np.errstate(divide="ignore"):
+            return float(
+                self.engine.log_cpt_weight[cpt]
+                + self.logG[col, p, cpt]
+                + np.log(self.G[col, p, cpt, a])
+                + np.log(self.engine.branch_sub[node, cpt, a, b])
+                + self.logF[col, node, cpt]
+                + np.log(self.F[col, node, cpt, b])
+                + self.logE[col, s, cpt]
+                + np.log(self.E[col, s, cpt, a])
+                - self.col_ll[col]
+            )
+
+    def log_node_excluded_post_prob(self, col: int, node: int, exclude: int, normalize: bool = True) -> np.ndarray:
+        """[C, A] conditional log-posterior at node excluding one neighbor's
+        message -- the MCMC conditional-PWM workhorse (sumprod.cpp:219-250)."""
+        arr = self.engine.arrays
+        c_, a_ = self.engine.model.components, self.engine.model.alphabet_size
+        tok = self.tokens[node, col]
+        if tok == GAP_TOK:
+            raise ValueError("posterior requested at gapped position")
+        if tok >= 0:
+            init = np.full(a_, -np.inf)
+            init[tok] = 0.0
+        else:
+            init = np.zeros(a_)
+        lpp = np.tile(init, (c_, 1))
+        lpp += self.engine.log_cpt_weight[:, None]
+        with np.errstate(divide="ignore"):
+            for child in (arr.left[node], arr.right[node]):
+                if child >= 0 and child != exclude:
+                    lpp += np.log(self.E[col, child]) + self.logE[col, child][:, None]
+            p = arr.parent[node]
+            if p != exclude and p >= 0:
+                lpp += np.log(self.G[col, node]) + self.logG[col, node][:, None]
+        if normalize:
+            from scipy.special import logsumexp
+
+            lpp -= logsumexp(lpp)
+        return lpp
+
+    # ------------------------------------------------- ancestral reconstruction
+    def ancestral_gapped_rows(self, gapped_rows: list[str]) -> list[str]:
+        """Replace wildcard chars with MAP states (sumprod.cpp:401-413)."""
+        lnpp = self.log_node_post_prob_all()  # [L, N, A]
+        alphabet = self.engine.model.alphabet
+        out = []
+        map_states = np.argmax(lnpp, axis=2)  # [L, N]
+        for n, row in enumerate(gapped_rows):
+            chars = list(row)
+            for col, ch in enumerate(chars):
+                if ch == "*":
+                    chars[col] = alphabet.symbol(map_states[col, n])
+            out.append("".join(chars))
+        return out
+
+    def ancestral_post_probs(self, gapped_rows: list[str], min_prob: float = MIN_POST_PROB, max_prob: float = 1.0):
+        """{row: {col: {char: prob}}} for wildcard positions (sumprod.cpp:415-426)."""
+        lnpp = self.log_node_post_prob_all()
+        alphabet = self.engine.model.alphabet
+        lp_min, lp_max = np.log(min_prob), np.log(max_prob)
+        out: dict[int, dict[int, dict[str, float]]] = {}
+        for n, row in enumerate(gapped_rows):
+            for col, ch in enumerate(row):
+                if ch == "*":
+                    lp = lnpp[col, n]
+                    sel = (lp >= lp_min) & (lp <= lp_max)
+                    if np.any(sel):
+                        out.setdefault(n, {})[col] = {
+                            alphabet.symbol(i): float(np.exp(lp[i])) for i in np.nonzero(sel)[0]
+                        }
+        return out
+
+    # ----------------------------------------------------------------- counts
+    def accumulate_root_counts(self, root_counts: np.ndarray, weight: float = 1.0) -> None:
+        """root_counts[c,i] += w * insProb*F(root) * exp(logw+logF-colLL)
+        per column (sumprod.cpp:264-271)."""
+        eng = self.engine
+        for col in range(self.n_columns):
+            if not self.column_roots(col):
+                continue
+            root = self.column_root(col)
+            norm = np.exp(
+                eng.log_cpt_weight + self.logF[col, root] - self.col_ll[col]
+            )  # [C]
+            root_counts += weight * eng.ins_prob * self.F[col, root] * norm[:, None]
+
+    def accumulate_eigen_counts(self, root_counts: np.ndarray, eigen_counts: np.ndarray, weight: float = 1.0) -> None:
+        """Vectorized eigencount accumulation over all columns and branches
+        (sumprod.cpp:294-372): for each ungapped non-root node n,
+
+          eigenCounts[c,k,l] += w * scale * (D0 . evec)_k J[n,c,k,l] (U0 . evecInv^T)_l
+
+        with U0 = F[col,n], D0 = G[col,parent]*E[col,sibling] and
+        scale = exp(logw_c + logF + logG + logE - colLogLike).
+        """
+        self.accumulate_root_counts(root_counts, weight)
+        eng = self.engine
+        arr = eng.arrays
+        n_nodes = arr.n_nodes
+        L = self.n_columns
+
+        # mask[L, N]: ungapped, has ungapped parent (i.e. not a column root)
+        gap = self.tokens.T == GAP_TOK  # [L, N]
+        parent = arr.parent.copy()
+        parent_safe = np.maximum(parent, 0)
+        sib_safe = np.maximum(arr.sibling, 0)
+        has_parent = parent >= 0
+        mask = (~gap) & has_parent[None, :] & ~gap[:, parent_safe]
+        if not np.any(mask):
+            return
+
+        U0 = self.F  # [L, N, C, A]
+        D0 = self.G[:, parent_safe] * self.E[:, sib_safe]  # [L, N, C, A]
+        log_scale = (
+            eng.log_cpt_weight[None, None, :]
+            + self.logF
+            + self.logG[:, parent_safe]
+            + self.logE[:, sib_safe]
+            - self.col_ll[:, None, None]
+        )  # [L, N, C]
+        w = np.where(mask[:, :, None], np.exp(log_scale), 0.0) * weight
+
+        evec = eng.eigen.evec  # [C, A, A]
+        evec_inv = eng.eigen.evec_inv
+        # Dbasis[L,N,C,k] = sum_a D0[...,a] evec[c,a,k]
+        db = np.einsum("lnca,cak->lnck", D0, evec)
+        # Ubasis[L,N,C,m] = sum_b U0[...,b] evecInv[c,m,b]
+        ub = np.einsum("lncb,cmb->lncm", U0, evec_inv)
+        j = self.engine.branch_eigen_sub_count  # [N, C, A, A]
+        eigen_counts += np.einsum("lnc,lnck,lncm,nckm->ckm", w, db, ub, j, optimize=True)
+
+    def eigen_counts(self, weight: float = 1.0) -> EigenCounts:
+        eng = self.engine
+        out = EigenCounts(eng.model.components, eng.model.alphabet_size)
+        self.accumulate_eigen_counts(out.root_count, out.eigen_count, weight)
+        out.indel.lp = float(self.col_ll.sum()) * weight
+        return out
+
+
+def accumulate_alignment_eigen_counts(counts: EigenCounts, model: RateModel, tree: Tree, gapped_seqs, weight: float = 1.0) -> None:
+    """Counterpart of EigenCounts::accumulateSubstitutionCounts
+    (model.cpp:900-915): one batched fill, then vectorized accumulation."""
+    engine = SumProductEngine(model, tree)
+    fill = engine.fill([s.seq for s in gapped_seqs])
+    c = EigenCounts(model.components, model.alphabet_size)
+    fill.accumulate_eigen_counts(c.root_count, c.eigen_count, 1.0)
+    c.indel.lp = float(fill.col_ll.sum())
+    c *= weight
+    counts += c

@@ -1,0 +1,234 @@
+"""Column-batched Felsenstein pruning (sum-product on a tree).
+
+TPU-native counterpart of the reference's SumProduct engine
+(/root/reference/src/sumprod.cpp:99-372).  The reference processes one
+alignment column at a time with per-node scalar loops; here all columns
+are batched (vmap) and the tree walk is a lax.scan over the postorder
+node sequence, so each scan step is a [Cols, C, A] x [A, A] batched
+matrix product on the MXU.
+
+Gap handling follows the reference's sub-forest semantics
+(sumprod.cpp:58-97): a gapped node passes E = ones; an ungapped node
+whose parent is gapped becomes a column root, contributing
+logF + log(F . insProb) to the column likelihood.
+
+Numerical control: per-node max-rescaling with the log carried
+separately (the reference rescales only below 1e-30; rescaling every
+step is algebraically identical and branch-free for XLA).
+
+Trees must be binary (the reference asserts the same before inference,
+recon.cpp assertBinary).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from historian_tpu.core.tree import Tree
+
+GAP_TOK = -1
+WILD_TOK = -2
+
+
+class TreeArrays:
+    """Static binary-tree structure as flat arrays for device scans.
+
+    Nodes are in postorder (root last).  For leaves, child entries are -1.
+    """
+
+    def __init__(self, tree: Tree):
+        tree_n = tree.n_nodes()
+        if not tree.is_postorder_sorted():
+            raise ValueError("tree must be postorder sorted")
+        parent = np.full(tree_n, -1, dtype=np.int32)
+        left = np.full(tree_n, -1, dtype=np.int32)
+        right = np.full(tree_n, -1, dtype=np.int32)
+        sibling = np.full(tree_n, -1, dtype=np.int32)
+        branch_len = np.zeros(tree_n, dtype=np.float64)
+        for n in range(tree_n):
+            parent[n] = tree.parent(n)
+            kids = tree.children(n)
+            if kids:
+                if len(kids) != 2:
+                    raise ValueError("device sum-product requires a binary tree")
+                left[n], right[n] = kids
+                sibling[kids[0]] = kids[1]
+                sibling[kids[1]] = kids[0]
+            branch_len[n] = tree.branch_length(n)
+        self.n_nodes = tree_n
+        self.parent = parent
+        self.left = left
+        self.right = right
+        self.sibling = sibling
+        self.branch_length = branch_len
+        self.is_leaf = left < 0
+
+
+def tokenize_alignment(alphabet, gapped_rows: list[str]) -> np.ndarray:
+    """[N, L] int32: token >= 0, GAP_TOK for gaps, WILD_TOK for wildcards
+    and invalid symbols (reference initColumn semantics, sumprod.cpp:64-69)."""
+    from historian_tpu.core.alphabet import GAP_CHARS
+
+    n = len(gapped_rows)
+    length = len(gapped_rows[0]) if n else 0
+    out = np.full((n, length), WILD_TOK, dtype=np.int32)
+    for r, row in enumerate(gapped_rows):
+        toks = alphabet.tokenize(row)
+        gaps = np.frombuffer(row.encode("latin-1"), dtype=np.uint8)
+        is_gap = (gaps == ord("-")) | (gaps == ord("."))
+        out[r] = np.where(is_gap, GAP_TOK, np.where(toks >= 0, toks, WILD_TOK))
+    return out
+
+
+def observation_tensor(tokens: np.ndarray, alphabet_size: int, dtype=jnp.float32) -> jnp.ndarray:
+    """[N, L, A] leaf likelihoods: one-hot for tokens, ones for wildcards
+    (and for gaps -- gap nodes are masked out by the scan itself)."""
+    toks = jnp.asarray(tokens)
+    one_hot = jax.nn.one_hot(jnp.maximum(toks, 0), alphabet_size, dtype=dtype)
+    wild = (toks < 0)[..., None]
+    return jnp.where(wild, jnp.ones_like(one_hot), one_hot)
+
+
+@partial(jax.jit, static_argnames=("n_nodes",))
+def _fill_up_batch(
+    obs,  # [L, N, A] observation tensor (column-major batch)
+    is_gap,  # [L, N] bool
+    parent,  # [N] int32
+    left,  # [N]
+    right,  # [N]
+    sub_mat,  # [N, C, A, A]  (per-branch substitution probs; root row unused)
+    ins_prob,  # [C, A]
+    log_cpt_weight,  # [C]
+    n_nodes: int,
+):
+    """Tip-to-root messages for every column and mixture component.
+
+    Returns F, logF, E, logE ([L, N, C, A] / [L, N, C]) and col_log_like [L].
+    """
+    L = obs.shape[0]
+    C, A = ins_prob.shape
+    dtype = obs.dtype
+    neg_inf = jnp.array(-jnp.inf, dtype)
+
+    def column_fill(obs_col, gap_col):
+        # obs_col: [N, A], gap_col: [N]
+        E0 = jnp.ones((n_nodes, C, A), dtype)
+        F0 = jnp.zeros((n_nodes, C, A), dtype)
+        logE0 = jnp.zeros((n_nodes, C), dtype)
+        logF0 = jnp.zeros((n_nodes, C), dtype)
+        cpt_ll0 = jnp.zeros((C,), dtype)
+
+        def step(carry, n):
+            E, logE, F, logF, cpt_ll = carry
+            l, r = left[n], right[n]
+            leaf = l < 0
+            # product of children E (ones for leaves)
+            child_prod = jnp.where(
+                leaf, jnp.ones((C, A), dtype), E[jnp.maximum(l, 0)] * E[jnp.maximum(r, 0)]
+            )
+            log_children = jnp.where(
+                leaf, jnp.zeros((C,), dtype), logE[jnp.maximum(l, 0)] + logE[jnp.maximum(r, 0)]
+            )
+            Fn_raw = child_prod * obs_col[n][None, :]  # [C, A]
+            # rescale by per-component max
+            fmax = jnp.max(Fn_raw, axis=-1, keepdims=True)  # [C, 1]
+            safe = jnp.maximum(fmax, jnp.finfo(dtype).tiny)
+            Fn = Fn_raw / safe
+            logFn = log_children + jnp.log(safe[:, 0])
+
+            gap_n = gap_col[n]
+            p = parent[n]
+            gap_p = jnp.where(p >= 0, gap_col[jnp.maximum(p, 0)], True)
+            is_root = (~gap_n) & gap_p
+
+            # root contribution to column likelihood
+            root_ll = logFn + jnp.log(
+                jnp.maximum(jnp.einsum("ca,ca->c", Fn, ins_prob), jnp.finfo(dtype).tiny)
+            )
+            cpt_ll = cpt_ll + jnp.where(is_root, root_ll, jnp.zeros_like(root_ll))
+
+            # message up the branch
+            En = jnp.einsum("cij,cj->ci", sub_mat[n], Fn)
+            E = E.at[n].set(jnp.where(gap_n | is_root, jnp.ones((C, A), dtype), En))
+            logE = logE.at[n].set(jnp.where(gap_n | is_root, 0.0, logFn))
+            F = F.at[n].set(jnp.where(gap_n, jnp.zeros((C, A), dtype), Fn))
+            logF = logF.at[n].set(jnp.where(gap_n, 0.0, logFn))
+            return (E, logE, F, logF, cpt_ll), None
+
+        (E, logE, F, logF, cpt_ll), _ = jax.lax.scan(
+            step, (E0, logE0, F0, logF0, cpt_ll0), jnp.arange(n_nodes)
+        )
+        col_ll = jax.scipy.special.logsumexp(log_cpt_weight + cpt_ll)
+        empty = jnp.all(gap_col)
+        col_ll = jnp.where(empty, 0.0, col_ll)
+        return F, logF, E, logE, cpt_ll, col_ll
+
+    return jax.vmap(column_fill)(obs, is_gap)
+
+
+@partial(jax.jit, static_argnames=("n_nodes",))
+def _fill_down_batch(
+    E,  # [L, N, C, A]
+    logE,  # [L, N, C]
+    is_gap,  # [L, N]
+    parent,  # [N]
+    sibling,  # [N]
+    sub_mat,  # [N, C, A, A]
+    ins_prob,  # [C, A]
+    n_nodes: int,
+):
+    """Root-to-tip messages G (sumprod.cpp:163-198), batched over columns."""
+    C, A = ins_prob.shape
+    dtype = E.dtype
+
+    def column_fill(E_col, logE_col, gap_col):
+        G0 = jnp.zeros((n_nodes, C, A), dtype)
+        logG0 = jnp.zeros((n_nodes, C), dtype)
+
+        def step(carry, i):
+            G, logG = carry
+            n = n_nodes - 1 - i  # preorder = reverse postorder
+            p = parent[n]
+            s = sibling[n]
+            gap_p = jnp.where(p >= 0, gap_col[jnp.maximum(p, 0)], True)
+            is_root = gap_p  # for ungapped n: parent gapped or absent => root
+            Gp = G[jnp.maximum(p, 0)]
+            Es = jnp.where(
+                (s >= 0) & ~gap_col[jnp.maximum(s, 0)],
+                E_col[jnp.maximum(s, 0)],
+                jnp.ones((C, A), dtype),
+            )
+            logEs = jnp.where(s >= 0, logE_col[jnp.maximum(s, 0)], jnp.zeros((C,), dtype))
+            Gn = jnp.einsum("ci,cij->cj", Gp * Es, sub_mat[n])
+            logGn = logG[jnp.maximum(p, 0)] + logEs
+            G = G.at[n].set(jnp.where(is_root, jnp.broadcast_to(ins_prob, (C, A)), Gn))
+            logG = logG.at[n].set(jnp.where(is_root, jnp.zeros((C,), dtype), logGn))
+            return (G, logG), None
+
+        (G, logG), _ = jax.lax.scan(step, (G0, logG0), jnp.arange(n_nodes))
+        return G, logG
+
+    return jax.vmap(column_fill)(E, logE, is_gap)
+
+
+@partial(jax.jit, static_argnames=("n_nodes",))
+def _node_post_prob_batch(F, logF, G, logG, col_ll, log_cpt_weight, n_nodes: int):
+    """[L, N, A] log posterior over states at every node, component-marginal
+    (sumprod.cpp:208-217)."""
+    dtype = F.dtype
+    tiny = jnp.finfo(dtype).tiny
+    # lpp[l, n, c, a] = log w_c + logF + log F + logG + log G - col_ll
+    lpp = (
+        log_cpt_weight[None, None, :, None]
+        + logF[..., None]
+        + jnp.log(jnp.maximum(F, tiny))
+        + logG[..., None]
+        + jnp.log(jnp.maximum(G, tiny))
+        - col_ll[:, None, None, None]
+    )
+    out = jax.scipy.special.logsumexp(lpp, axis=2)
+    return jnp.minimum(out, 0.0)

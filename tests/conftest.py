@@ -7,12 +7,19 @@ separately dry-runs the multi-chip path via __graft_entry__).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# This image's sitecustomize imports jax at interpreter boot and registers
+# the axon TPU backend, so env vars are too late here -- force the platform
+# through the config API instead (effective as long as no backend has been
+# initialized yet).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,143 @@
+"""Sum-product engine tests vs reference goldens (testsumprod/testaligncount)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from historian_tpu.core.seqs import read_fasta
+from historian_tpu.core.tree import Tree
+from historian_tpu.engine.sumprod import SumProductEngine
+from historian_tpu.models.counts import EigenCounts
+from historian_tpu.models.ratemodel import RateModel
+
+from .golden import assert_json_close, load_lenient_json
+
+
+def load_case(ref_data, model_file, align_file, tree_file):
+    model = RateModel.from_file(os.path.join(ref_data, model_file))
+    gapped = read_fasta(os.path.join(ref_data, align_file))
+    with open(os.path.join(ref_data, tree_file)) as f:
+        tree = Tree(f.read())
+    gapped = tree.reorder_seqs(gapped)
+    return model, gapped, tree
+
+
+def test_sumprod_posteriors_golden(ref_data):
+    """Replicates t/testsumprod.cpp on testaligncount data: branch pairwise
+    posteriors and root posteriors must match data/testsumprod.out."""
+    model, gapped, tree = load_case(
+        ref_data, "testnj.jukescantor.json", "testaligncount.fa", "testaligncount.nh"
+    )
+    engine = SumProductEngine(model, tree)
+    fill = engine.fill([s.seq for s in gapped])
+
+    # golden column 0: root posteriors
+    lnpp = fill.log_node_post_prob(0, fill.column_root(0))
+    np.testing.assert_allclose(
+        np.exp(lnpp), [0.00810002, 0.00329497, 0.00329497, 0.98531], rtol=1e-4
+    )
+
+    # branch posteriors for seq1 (= node with name seq1)
+    seq1 = tree.find_node("seq1")
+    got = np.array(
+        [
+            [np.exp(fill.log_branch_post_prob(0, 0, seq1, a, b)) for b in range(4)]
+            for a in range(4)
+        ]
+    )
+    expected = np.zeros((4, 4))
+    expected[:, 0] = [0.00810002, 0.00329497, 0.00329497, 0.98531]  # seq1 = A
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-9)
+
+    # posteriors sum to 1 over (a, b)
+    assert abs(got.sum() - 1.0) < 1e-6
+
+
+@pytest.mark.parametrize(
+    "model_file,align_file,tree_file,golden",
+    [
+        ("testnj.jukescantor.json", "testaligncount.fa", "testaligncount.nh", "testaligncount.out"),
+        ("testcount.jukescantor.json", "testaligncount2.fa", "testcount.nh", "testaligncount2.out.json"),
+    ],
+)
+def test_aligncount_golden(ref_data, model_file, align_file, tree_file, golden):
+    """Replicates t/testaligncount.cpp -eigen: whole-alignment eigencounts
+    rotated to rate basis must match the golden subcount JSON."""
+    model, gapped, tree = load_case(ref_data, model_file, align_file, tree_file)
+    engine = SumProductEngine(model, tree)
+    fill = engine.fill([s.seq for s in gapped])
+    ec = EigenCounts(model.components, model.alphabet_size)
+    fill.accumulate_eigen_counts(ec.root_count, ec.eigen_count)
+    counts = engine.eigen.sub_counts_from_eigen_counts(ec.eigen_count)
+
+    golden_obj = load_lenient_json(open(os.path.join(ref_data, golden)).read())
+    sym = model.alphabet.symbol
+    a = model.alphabet_size
+    got = {
+        "root": {sym(i): ec.root_count[0, i] for i in range(a)},
+        "sub": {sym(i): {sym(j): counts[0, i, j] for j in range(a) if j != i} for i in range(a)},
+        "wait": {sym(i): counts[0, i, i] for i in range(a)},
+    }
+    assert_json_close(got, golden_obj, rel=2e-3, atol=2e-5)
+
+
+def test_column_likelihood_independent_of_gap_structure(ref_data):
+    """Columns with gaps decompose into independent sub-forests."""
+    model, gapped, tree = load_case(
+        ref_data, "testcount.jukescantor.json", "testaligncount2.fa", "testcount.nh"
+    )
+    engine = SumProductEngine(model, tree)
+    rows = [s.seq for s in gapped]
+    lls = engine.column_log_likelihoods(rows)
+    assert np.all(np.isfinite(lls))
+    assert lls.sum() < 0
+
+
+def test_wildcard_vs_marginalized(ref_data):
+    """A wildcard internal node must give the same column likelihood as
+    explicitly summing over its states."""
+    model = RateModel.from_file(os.path.join(ref_data, "testnj.jukescantor.json"))
+    tree = Tree("(x:0.5,y:0.3)anc;")
+    engine = SumProductEngine(model, tree)
+    ll_wild = engine.log_likelihood(["a", "c", "*"])
+    # marginalize manually: sum_z P(z) P(a|z) P(c|z)
+    p05 = model.sub_prob_matrix(0.5)[0]
+    p03 = model.sub_prob_matrix(0.3)[0]
+    pi = model.ins_prob[0]
+    a_tok = model.alphabet.tokenize_or_die("a")
+    c_tok = model.alphabet.tokenize_or_die("c")
+    manual = np.log((pi * p05[:, a_tok] * p03[:, c_tok]).sum())
+    assert abs(ll_wild - manual) < 1e-9
+
+
+def test_mixture_column_likelihood(ref_data):
+    """2-component mixture: column LL = logsumexp over components."""
+    model = RateModel.from_file(os.path.join(ref_data, "testrates.mix2.json"))
+    tree = Tree("(x:0.5,y:0.3)anc;")
+    engine = SumProductEngine(model, tree)
+    ll = engine.log_likelihood(["a", "c", "*"])
+    total = 0.0
+    for cpt in range(2):
+        p05 = model.sub_prob_matrix(0.5)[cpt]
+        p03 = model.sub_prob_matrix(0.3)[cpt]
+        pi = model.ins_prob[cpt]
+        a_tok = model.alphabet.tokenize_or_die("a")
+        c_tok = model.alphabet.tokenize_or_die("c")
+        total += model.cpt_weight[cpt] * (pi * p05[:, a_tok] * p03[:, c_tok]).sum()
+    assert abs(ll - np.log(total)) < 1e-9
+
+
+def test_ancestral_reconstruction(ref_data):
+    model, gapped, tree = load_case(
+        ref_data, "testnj.jukescantor.json", "testaligncount.fa", "testaligncount.nh"
+    )
+    engine = SumProductEngine(model, tree)
+    rows = [s.seq for s in gapped]
+    fill = engine.fill(rows)
+    recon = fill.ancestral_gapped_rows(rows)
+    root_idx = tree.find_node("root")
+    # golden testsumprod.out: P(root = T) = 0.98531 -> MAP state is T
+    assert recon[root_idx] == "t" or recon[root_idx] == "T"
+    pp = fill.ancestral_post_probs(rows)
+    assert abs(pp[root_idx][0]["T"] - 0.98531) < 1e-4
