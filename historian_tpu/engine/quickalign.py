@@ -1,0 +1,210 @@
+"""Fast banded pairwise Viterbi alignment (guide-alignment workhorse).
+
+TPU-native counterpart of the reference's QuickAlignMatrix
+(/root/reference/src/quickalign.h:8-69): 3-state (M/I/D) Viterbi with
+log-odds substitution scores log P_sub(i,j)/P_ins(j), symmetrized gap
+open/extend derived from the rate model's branch probabilities, and free
+end gaps.  The fill runs as a column-scan device kernel
+(historian_tpu.ops.pairdp); traceback walks the returned matrices on
+host, reproducing the reference's candidate ordering (Match, Insert,
+Delete, Start -- quickalign.cpp:147-207).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from historian_tpu.core.alignpath import AlignPath
+from historian_tpu.core.seqs import FastSeq
+from historian_tpu.engine.diagenv import DiagonalEnvelope
+from historian_tpu.models.ratemodel import ProbModel, RateModel
+from historian_tpu.ops.pairdp import NEG_INF, banded_viterbi_fill
+
+
+class QuickAligner:
+    """Reusable scoring context for one (model, time)."""
+
+    def __init__(self, model: RateModel, time: float, dtype=np.float64):
+        self.model = model
+        self.time = time
+        self.dtype = dtype
+        pm = ProbModel(model, time)
+        with np.errstate(divide="ignore"):
+            submat = np.log(pm.sub_mat[0]) - np.log(pm.ins_vec[0])[None, :]
+        self.submat = submat.astype(dtype)
+
+        gap_prob = pm.ins + (1 - pm.ins) * pm.del_
+        no_gap_prob = 1 - gap_prob
+        gap_ext = 1.0 / ((pm.ins / gap_prob) / pm.ins_ext + (1 - pm.ins / gap_prob) / pm.del_ext)
+        no_gap_ext = 1 - gap_ext
+
+        self.no_gap = math.log(no_gap_prob)
+        self.gap_open = math.log(gap_prob) + math.log(no_gap_ext)
+        self.gap_extend = math.log(gap_ext)
+
+        self.m2i = math.log(gap_prob)
+        self.m2d = math.log(no_gap_prob * gap_prob)
+        self.m2m = math.log(no_gap_prob * no_gap_prob)
+        self.i2i = math.log(gap_ext)
+        self.i2d = math.log(no_gap_ext * gap_prob)
+        self.i2m = math.log(no_gap_ext * no_gap_prob)
+        self.d2d = math.log(gap_ext)
+        self.d2m = math.log(no_gap_ext)
+
+    def _gap_score_vec(self, pos: np.ndarray, seq_len_minus: bool = False) -> np.ndarray:
+        """(pos==1 ? noGap : gapOpen + (pos-2)*gapExtend), vectorized."""
+        return np.where(pos == 1, self.no_gap, self.gap_open + (pos - 2) * self.gap_extend)
+
+    def align(self, x: FastSeq, y: FastSeq, envelope: DiagonalEnvelope | None = None):
+        return QuickAlignResult(self, x, y, envelope)
+
+
+class QuickAlignResult:
+    def __init__(self, aligner: QuickAligner, x: FastSeq, y: FastSeq, envelope: DiagonalEnvelope | None):
+        self.aligner = aligner
+        self.x = x
+        self.y = y
+        model = aligner.model
+        x_len, y_len = len(x.seq), len(y.seq)
+        self.x_len, self.y_len = x_len, y_len
+        if envelope is None:
+            envelope = DiagonalEnvelope(x_len, y_len).init_full()
+        self.envelope = envelope
+
+        if x_len == 0 or y_len == 0:
+            # trivial alignment: the nonempty sequence is one long gap run
+            other = max(x_len, y_len)
+            self.trivial = True
+            self.mat = self.ins = self.del_ = None
+            self.end = self.result = (
+                0.0 if other == 0 else aligner.gap_open + (other - 2) * aligner.gap_extend
+            )
+            self.x_end, self.y_end = x_len, y_len
+            return
+        self.trivial = False
+
+        x_tok = model.alphabet.tokenize(x.seq)
+        y_tok = model.alphabet.tokenize(y.seq)
+        self.x_tok, self.y_tok = x_tok, y_tok
+
+        dtype = aligner.dtype
+        # emit[i, j] for i in 1..X, j in 1..Y; 0 where either token invalid
+        emit = np.zeros((x_len + 1, y_len + 1), dtype=dtype)
+        valid = (x_tok >= 0)[:, None] & (y_tok >= 0)[None, :]
+        sub = aligner.submat[np.maximum(x_tok, 0)[:, None], np.maximum(y_tok, 0)[None, :]]
+        emit[1:, 1:] = np.where(valid, sub, 0.0)
+
+        ii = np.arange(x_len + 1, dtype=dtype)
+        jj = np.arange(y_len + 1, dtype=dtype)
+        start_gap = (
+            aligner._gap_score_vec(ii)[:, None] + aligner._gap_score_vec(jj)[None, :]
+        ).astype(dtype)
+        end_i = np.where(ii == x_len, aligner.no_gap, aligner.gap_open + (x_len - ii - 2) * aligner.gap_extend)
+        end_j = np.where(jj == y_len, aligner.no_gap, aligner.gap_open + (y_len - jj - 2) * aligner.gap_extend)
+        self.end_gap = end_i[:, None] + end_j[None, :]
+
+        mask = envelope.mask()
+        trans = np.array(
+            [aligner.m2m, aligner.m2i, aligner.m2d, aligner.i2i, aligner.i2m,
+             aligner.i2d, aligner.d2d, aligner.d2m, 0.0, 0.0],
+            dtype=dtype,
+        )
+        mats, inss, dels = banded_viterbi_fill(
+            jnp.asarray(emit), jnp.asarray(mask), jnp.asarray(start_gap), jnp.asarray(trans)
+        )
+        # store [X+1, Y+1] row-major like the reference accessors
+        self.mat = np.asarray(mats).T
+        self.ins = np.asarray(inss).T
+        self.del_ = np.asarray(dels).T
+        self.emit = emit
+
+        # best end cell: scan j=1..Y outer, i inner ascending, strict >
+        end_scores = self.mat + self.end_gap  # [X+1, Y+1]
+        grid = end_scores[1:, 1:].T  # [Y, X] so flat order is (j, i)
+        flat = np.argmax(grid)
+        best_j, best_i = divmod(flat, x_len)
+        self.end = float(grid[best_j, best_i])
+        self.x_end, self.y_end = int(best_i) + 1, int(best_j) + 1
+        self.result = self.end
+
+    @property
+    def finite(self) -> bool:
+        return self.result > NEG_INF / 2
+
+    def align_path(self, row1: int = 0, row2: int = 1) -> AlignPath:
+        """Host traceback reproducing reference candidate order."""
+        if self.trivial:
+            return {
+                row1: np.concatenate([np.ones(self.x_len, bool), np.zeros(self.y_len, bool)]),
+                row2: np.concatenate([np.zeros(self.x_len, bool), np.ones(self.y_len, bool)]),
+            }
+        if not self.finite:
+            raise ValueError("can't do Viterbi traceback: final score is -infinity")
+        al = self.aligner
+        i, j = self.x_end, self.y_end
+        state = "M"
+        x_steps: list[bool] = [True] * (self.x_len - self.x_end) + [False] * (self.y_len - self.y_end)
+        y_steps: list[bool] = [False] * (self.x_len - self.x_end) + [True] * (self.y_len - self.y_end)
+        mid_x: list[bool] = []
+        mid_y: list[bool] = []
+        mat, ins, del_ = self.mat, self.ins, self.del_
+        while state != "S":
+            if state == "M":
+                emit_sc = self.emit[i, j]
+                i -= 1
+                j -= 1
+                mid_x.append(True)
+                mid_y.append(True)
+                cands = [
+                    (mat[i, j] + al.m2m + emit_sc, "M"),
+                    (ins[i, j] + al.i2m + emit_sc, "I"),
+                    (del_[i, j] + al.d2m + emit_sc, "D"),
+                    (self._start_gap(i + 1, j + 1) + emit_sc, "S"),
+                ]
+            elif state == "I":
+                j -= 1
+                mid_x.append(False)
+                mid_y.append(True)
+                cands = [
+                    (mat[i, j] + al.m2i, "M"),
+                    (ins[i, j] + al.i2i, "I"),
+                ]
+            else:  # "D"
+                i -= 1
+                mid_x.append(True)
+                mid_y.append(False)
+                cands = [
+                    (mat[i, j] + al.m2d, "M"),
+                    (ins[i, j] + al.i2d, "I"),
+                    (del_[i, j] + al.d2d, "D"),
+                ]
+            best_sc, best_state = NEG_INF * 2, None
+            for sc, st in cands:
+                if sc > best_sc:
+                    best_sc, best_state = sc, st
+            state = best_state
+        mid_x.reverse()
+        mid_y.reverse()
+        lead_x = [True] * i + [False] * j
+        lead_y = [False] * i + [True] * j
+        path: AlignPath = {
+            row1: np.array(lead_x + mid_x + x_steps, dtype=bool),
+            row2: np.array(lead_y + mid_y + y_steps, dtype=bool),
+        }
+        assert int(path[row1].sum()) == self.x_len
+        assert int(path[row2].sum()) == self.y_len
+        return path
+
+    def _start_gap(self, i: int, j: int) -> float:
+        al = self.aligner
+        si = al.no_gap if i == 1 else al.gap_open + (i - 2) * al.gap_extend
+        sj = al.no_gap if j == 1 else al.gap_open + (j - 2) * al.gap_extend
+        return si + sj
+
+    def gapped(self) -> list[FastSeq]:
+        from historian_tpu.core.alignpath import Alignment
+
+        return Alignment([self.x, self.y], self.align_path()).gapped()

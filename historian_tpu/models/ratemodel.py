@@ -317,25 +317,30 @@ class RateModel:
                         scan_lo = (scan_lo + scan_hi) / 2
             if not found:
                 return t_lower if ll_lower < ll_upper else t_upper
-        # golden-section minimization, 1% interval convergence
-        gr = (math.sqrt(5) - 1) / 2
-        a_, b_ = t_lower, t_upper
-        # keep t inside; shrink toward it first
-        x1 = b_ - gr * (b_ - a_)
-        x2 = a_ + gr * (b_ - a_)
-        f1, f2 = nll(x1), nll(x2)
+        # GSL goldensection minimizer, replicated step-for-step for parity
+        # with the reference (model.cpp:584-655 uses
+        # gsl_min_fminimizer_goldensection with a 1% interval test).
+        golden = 0.3819660  # (3 - sqrt(5)) / 2
+        x_min, f_min = t, nll(t)
+        x_lo, x_hi = t_lower, t_upper
         for _ in range(max_iterations):
-            if f1 < f2:
-                b_, x2, f2 = x2, x1, f1
-                x1 = b_ - gr * (b_ - a_)
-                f1 = nll(x1)
+            w_lower = x_min - x_lo
+            w_upper = x_hi - x_min
+            x_new = x_min + golden * (w_upper if w_upper > w_lower else -w_lower)
+            f_new = nll(x_new)
+            if f_new < f_min:
+                x_min, f_min = x_new, f_new
+            elif x_new < x_min and f_new > f_min:
+                x_lo = x_new
+            elif x_new > x_min and f_new > f_min:
+                x_hi = x_new
             else:
-                a_, x1, f1 = x1, x2, f2
-                x2 = a_ + gr * (b_ - a_)
-                f2 = nll(x2)
-            if b_ - a_ < 0.01 * min(abs(a_), abs(b_)) + 1e-12:
+                break  # can't improve (GSL_FAILURE)
+            # gsl_min_test_interval(a, b, 0, 0.01)
+            min_abs = min(abs(x_lo), abs(x_hi)) if x_lo * x_hi > 0 else 0.0
+            if x_hi - x_lo < 0.01 * min_abs:
                 break
-        return (a_ + b_) / 2
+        return x_min
 
     def ml_distance(self, x_gapped: str, y_gapped: str, max_iterations: int = DEFAULT_DISTANCE_MATRIX_ITERATIONS) -> float:
         return self.ml_distance_from_counts(self.pair_count_matrix(x_gapped, y_gapped), max_iterations)

@@ -38,6 +38,8 @@ def assert_text_match(got: str, expected: str, sig_figs: int = 4, abs_floor: flo
     for (gn, gt), (en, et) in zip(got_toks, exp_toks):
         assert gn == en, f"token type mismatch: {gt!r} vs {et!r}"
         if gn:
+            if gt == et:  # identical text (also covers inf-parsing name fragments)
+                continue
             g, e = float(gt), float(et)
             tol = max(abs(e), abs(g)) * 10.0 ** (1 - sig_figs) / 2 + abs_floor
             assert abs(g - e) <= tol, f"number mismatch: {g} vs {e} (tol {tol})\ngot:\n{got}"

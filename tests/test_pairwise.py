@@ -1,0 +1,140 @@
+"""Pairwise-kernel tests: quickalign, distances, NJ/UPGMA trees, guide graph.
+
+Golden parity with the reference's testquickalign / testnj / testupgma
+harnesses (reference Makefile:267-279) on the same data.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from historian_tpu.core.alignpath import Alignment
+from historian_tpu.core.seqs import format_fasta, read_fasta
+from historian_tpu.core.tree import Tree
+from historian_tpu.engine.diagenv import DiagEnvParams, DiagonalEnvelope
+from historian_tpu.engine.quickalign import QuickAligner
+from historian_tpu.engine.span import AlignGraph
+from historian_tpu.models.ratemodel import RateModel
+from historian_tpu.ops.distance import batched_ml_distances
+
+from .golden import assert_text_match
+
+
+def data(ref_data, name):
+    return os.path.join(ref_data, name)
+
+
+def test_quickalign_golden(ref_data):
+    """PF16593 pair with testamino.json at t=1 -> golden alignment."""
+    seqs = read_fasta(data(ref_data, "PF16593.pair.fa"))
+    model = RateModel.from_file(data(ref_data, "testamino.json"))
+    aligner = QuickAligner(model, 1.0)
+    result = aligner.align(seqs[0], seqs[1])
+    gapped = result.gapped()
+    with open(data(ref_data, "testquickalign.out.fa")) as f:
+        assert format_fasta(gapped) == f.read()
+
+
+def test_quickalign_envelope_consistency(ref_data):
+    """A k-mer-seeded envelope around a strong diagonal reproduces the
+    full-DP result (identical sequences seed diagonal 0 heavily)."""
+    seqs = read_fasta(data(ref_data, "PF16593.pair.fa"))
+    model = RateModel.from_file(data(ref_data, "testamino.json"))
+    aligner = QuickAligner(model, 1.0)
+    x = seqs[0]
+    full = aligner.align(x, x)
+    env = DiagonalEnvelope(len(x.seq), len(x.seq))
+    env.init_sparse(
+        model.alphabet.tokenize(x.seq),
+        model.alphabet.tokenize(x.seq),
+        model.alphabet_size,
+        DiagEnvParams(kmer_len=5, kmer_threshold=1, band_size=16),
+    )
+    assert len(env.diagonals) < 2 * len(x.seq) - 1  # actually sparse
+    banded = aligner.align(x, x, env)
+    assert abs(full.result - banded.result) < 1e-6
+
+
+def test_quickalign_no_kmer_hits_degrades_gracefully(ref_data):
+    """With no k-mer matches the sparse envelope collapses to diagonal 0
+    (reference always seeds diagonal 0) and still yields a valid path."""
+    seqs = read_fasta(data(ref_data, "PF16593.pair.fa"))
+    model = RateModel.from_file(data(ref_data, "testamino.json"))
+    aligner = QuickAligner(model, 1.0)
+    env = DiagonalEnvelope(len(seqs[0].seq), len(seqs[1].seq))
+    env.init_sparse(
+        model.alphabet.tokenize(seqs[0].seq),
+        model.alphabet.tokenize(seqs[1].seq),
+        model.alphabet_size,
+        DiagEnvParams(kmer_len=5, kmer_threshold=1, band_size=16),
+    )
+    banded = aligner.align(seqs[0], seqs[1], env)
+    path = banded.align_path()
+    assert int(path[0].sum()) == len(seqs[0].seq)
+    assert int(path[1].sum()) == len(seqs[1].seq)
+
+
+def test_quickalign_identical_seqs(ref_data):
+    model = RateModel.from_file(data(ref_data, "testamino.json"))
+    seqs = read_fasta(data(ref_data, "PF16593.pair.fa"))
+    aligner = QuickAligner(model, 1.0)
+    r = aligner.align(seqs[0], seqs[0])
+    path = r.align_path()
+    # identical sequences align residue-to-residue with no gaps
+    assert np.all(path[0]) and np.all(path[1])
+
+
+def test_nj_golden(ref_data):
+    """distanceMatrix + NJ on testnj.fa must match testnj.out.nh."""
+    model = RateModel.from_file(data(ref_data, "testnj.jukescantor.json"))
+    gapped = read_fasta(data(ref_data, "testnj.fa"))
+    dist = model.distance_matrix(gapped, use_device=False)
+    tree = Tree.neighbor_joining([s.name for s in gapped], dist)
+    with open(data(ref_data, "testnj.out.nh")) as f:
+        assert_text_match(tree.to_string() + "\n", f.read(), sig_figs=4)
+
+
+def test_upgma_golden(ref_data):
+    model = RateModel.from_file(data(ref_data, "testnj.jukescantor.json"))
+    gapped = read_fasta(data(ref_data, "testnj.fa"))
+    dist = model.distance_matrix(gapped, use_device=False)
+    tree = Tree.upgma([s.name for s in gapped], dist)
+    with open(data(ref_data, "testupgma.out.nh")) as f:
+        assert_text_match(tree.to_string() + "\n", f.read(), sig_figs=4)
+
+
+def test_batched_distances_match_host(ref_data):
+    """Device grid+golden solver agrees with the host GSL-replica path."""
+    model = RateModel.from_file(data(ref_data, "testnj.jukescantor.json"))
+    gapped = read_fasta(data(ref_data, "testnj.fa"))
+    host = model.distance_matrix(gapped, use_device=False)
+    device = batched_ml_distances(model, gapped)
+    np.testing.assert_allclose(device, host, rtol=2e-2, atol=1e-4)
+
+
+def test_nj_amino_golden(ref_data):
+    """Protein case: PF16593.testspan.fa -> PF16593.testspan.testnj.nh."""
+    model = RateModel.from_file(data(ref_data, "testamino.json"))
+    gapped = read_fasta(data(ref_data, "PF16593.testspan.fa"))
+    dist = model.distance_matrix(gapped, use_device=False)
+    tree = Tree.neighbor_joining([s.name for s in gapped], dist)
+    with open(data(ref_data, "PF16593.testspan.testnj.nh")) as f:
+        assert_text_match(tree.to_string() + "\n", f.read(), sig_figs=3)
+
+
+def test_guide_alignment_dense(ref_data):
+    """Dense guide graph on a small protein set produces a flush MSA
+    containing every sequence (testspan analogue; the reference skips its
+    own testspan in CI for platform-dependent FP behavior)."""
+    model = RateModel.from_file(data(ref_data, "testamino.json"))
+    seqs = read_fasta(data(ref_data, "PF16593.fa"))[:8]
+    graph = AlignGraph(seqs, model, 1.0, dense=True)
+    gapped = graph.mst_gapped()
+    assert len(gapped) == len(seqs)
+    cols = {len(s.seq) for s in gapped}
+    assert len(cols) == 1
+    # ungapping recovers the originals
+    align = Alignment.from_gapped(gapped)
+    for orig, ug in zip(seqs, align.ungapped):
+        assert ug.seq.upper() == orig.seq.upper()
