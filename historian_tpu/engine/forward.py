@@ -1,0 +1,1185 @@
+"""Transducer-composition Forward/Backward DP over profile pairs.
+
+TPU-native counterpart of the reference's central DP
+(/root/reference/src/forward.h:11-227, forward.cpp): compose two child
+profiles through the two-branch PairHMM, in a banded envelope, producing
+the ancestral profile by stochastic/best traceback and chain-collapsed
+state selection, plus posterior-expected event counts.
+
+Restructuring vs the reference (which fills cell-by-cell into sparse
+map-of-maps storage):
+
+- cells live in one dense [Sx, Sy, 5] float64 array with an envelope
+  mask; out-of-band cells are -inf, matching sparse-storage semantics;
+- emission scores are precomputed for ALL states at once: insx/rootsubx
+  as [S] vectors and the xy-absorb matrix as a single exp-space matmul
+  over [Sx, C*A] x [C*A, Sy] (this is where the FLOPs are -- MXU work);
+- the fill vectorizes whole y-rows per x-state: x-edge contributions are
+  numpy vector ops + a segment logaddexp over the flat y-edge list;
+  only the within-row (y-direction) recursion walks sequentially.
+
+Graph surgery (profile construction, chain collapse) stays host-side --
+state counts are 10^2-10^4 and the work is O(cells), not the hot loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.special import logsumexp
+
+from historian_tpu.core.alignpath import (
+    AlignPath,
+    GuideAlignmentEnvelope,
+    align_path_concat,
+    align_path_union,
+    ensure_align_path_has_row,
+)
+from historian_tpu.core.tree import Tree
+from historian_tpu.engine.pairhmm import EEE, IDM, IIW, IMD, IMI, IMM, PairHMM, state_name
+from historian_tpu.engine.profile import ProfState, ProfTrans, Profile, assert_seq_coords_consistent
+from historian_tpu.models.counts import EigenCounts
+from historian_tpu.utils.logging import ProgressLogger, log_this_at
+from historian_tpu.utils.rng import MT19937
+
+NEG_INF = -np.inf
+
+# ProfilingStrategy flags (reference forward.h:42-46)
+KEEP_ALL = 0
+COLLAPSE_CHAINS = 1
+COUNT_SUBST_EVENTS = 2
+COUNT_INDEL_EVENTS = 4
+INCLUDE_BEST_TRACE = 8
+KEEP_GAPS_OPEN = 16
+
+
+def _edge_arrays(profile: Profile):
+    """Per-state in-edge arrays: (srcs[j], lps[j]) lists of numpy arrays."""
+    srcs = []
+    lps = []
+    for st in profile.states:
+        srcs.append(np.array([profile.trans[t].src for t in st.in_trans], dtype=np.int64))
+        lps.append(np.array([profile.trans[t].lp for t in st.in_trans]))
+    return srcs, lps
+
+
+def _lse_rows(*rows):
+    out = rows[0]
+    for r in rows[1:]:
+        out = np.logaddexp(out, r)
+    return out
+
+
+class DPMatrix:
+    def __init__(self, x: Profile, y: Profile, hmm: PairHMM, env: GuideAlignmentEnvelope | None = None):
+        self.x = x
+        self.y = y
+        self.hmm = hmm
+        self.env = env or GuideAlignmentEnvelope()
+        self.alph_size = hmm.alphabet_size
+        self.x_size = x.size
+        self.y_size = y.size
+        self.x_empty = x.is_empty()
+        self.y_empty = y.is_empty()
+
+        # precomputed emission tensors
+        sub_l = hmm.l.sub_mat  # [C, A, A]
+        sub_r = hmm.r.sub_mat
+        self.subx = x.left_multiply(sub_l)
+        self.suby = y.left_multiply(sub_r)
+
+        self.x_null = np.array([s.is_null for s in x.states])
+        self.y_null = np.array([s.is_null for s in y.states])
+        self.x_ready = np.array([s.is_ready for s in x.states])
+        self.y_ready = np.array([s.is_ready for s in y.states])
+        self.x_emit_or_start = np.array([s.is_emit_or_start for s in x.states])
+
+        self.insx = np.full(self.x_size, NEG_INF)
+        self.insy = np.full(self.y_size, NEG_INF)
+        self.rootsubx = np.full(self.x_size, NEG_INF)
+        self.rootsuby = np.full(self.y_size, NEG_INF)
+        logl, logr = hmm.logl, hmm.logr
+        for i in range(1, self.x_size - 1):
+            st = x.states[i]
+            if st.is_emit:
+                self.insx[i] = logsumexp(
+                    logl.log_cpt_weight[:, None] + logl.log_ins_prob + st.lp_absorb
+                )
+                self.rootsubx[i] = logsumexp(hmm.log_root + self.subx.states[i].lp_absorb)
+        for j in range(1, self.y_size - 1):
+            st = y.states[j]
+            if st.is_emit:
+                self.insy[j] = logsumexp(
+                    logr.log_cpt_weight[:, None] + logr.log_ins_prob + st.lp_absorb
+                )
+                self.rootsuby[j] = logsumexp(hmm.log_root + self.suby.states[j].lp_absorb)
+
+        # xy-absorb matrix: lse_{c,a}(logRoot + subx_i + suby_j) for all (i, j)
+        # as an exp-space matmul with per-state max shifts (MXU-shaped work).
+        self.absorb = self._absorb_matrix()
+
+        # envelope coordinates
+        self.x_closest_pos = np.zeros(self.x_size, dtype=np.int64)
+        self.y_closest_pos = np.zeros(self.y_size, dtype=np.int64)
+        if self.env.initialized:
+            for i in range(1, self.x_size):
+                self.x_closest_pos[i] = x.states[i].seq_coords[self.env.row1]
+            for j in range(1, self.y_size):
+                self.y_closest_pos[j] = y.states[j].seq_coords[self.env.row2]
+
+        self.x_near_start = np.zeros(self.x_size, dtype=bool)
+        self.x_near_start[0] = True
+        for i in range(self.x_size):
+            if self.x_near_start[i]:
+                for t in x.states[i].null_out:
+                    self.x_near_start[x.trans[t].dest] = True
+        self.y_near_end = np.zeros(self.y_size, dtype=bool)
+        for t in y.end.in_trans:
+            self.y_near_end[y.trans[t].src] = True
+
+        self.env_mask = self._envelope_mask()  # [Sx, Sy]
+        self.cells = np.full((self.x_size, self.y_size, 5), NEG_INF)
+        self.lp_end = NEG_INF
+
+    def _absorb_matrix(self) -> np.ndarray:
+        sx = np.full((self.x_size, self.hmm.components, self.alph_size), NEG_INF)
+        sy = np.full((self.y_size, self.hmm.components, self.alph_size), NEG_INF)
+        for i in range(self.x_size):
+            if self.subx.states[i].is_emit:
+                sx[i] = self.subx.states[i].lp_absorb
+        for j in range(self.y_size):
+            if self.suby.states[j].is_emit:
+                sy[j] = self.suby.states[j].lp_absorb
+        lx = sx + self.hmm.log_root[None, :, :]  # [Sx, C, A]
+        mx = np.max(lx, axis=(1, 2), keepdims=True)
+        my = np.max(sy, axis=(1, 2), keepdims=True)
+        mx_s = np.where(np.isfinite(mx), mx, 0.0)
+        my_s = np.where(np.isfinite(my), my, 0.0)
+        ex = np.exp(lx - mx_s).reshape(self.x_size, -1)
+        ey = np.exp(sy - my_s).reshape(self.y_size, -1)
+        with np.errstate(divide="ignore"):
+            return np.log(ex @ ey.T) + mx_s[:, 0, 0][:, None] + my_s[:, 0, 0][None, :]
+
+    def _envelope_mask(self) -> np.ndarray:
+        at_edge = self.x_near_start[:, None] | self.y_near_end[None, :]
+        if not self.env.initialized:
+            return np.ones((self.x_size, self.y_size), dtype=bool)
+        m1 = self.env.cumulative_matches[self.env.row1_pos_to_col[self.x_closest_pos]]
+        m2 = self.env.cumulative_matches[self.env.row2_pos_to_col[self.y_closest_pos]]
+        in_range = np.abs(m1[:, None] - m2[None, :]) <= self.env.max_distance
+        return at_edge | in_range
+
+    # ----------------------------------------------------------------- helpers
+    def in_envelope(self, i: int, j: int) -> bool:
+        return bool(self.env_mask[i, j])
+
+    def cell(self, i: int, j: int, s: int) -> float:
+        return self.cells[i, j, s]
+
+    def cell_name(self, c) -> str:
+        i, j, s = c
+        return f"({state_name(s, i == 0, j == 0)},{self.x.states[i].name},{self.y.states[j].name})"
+
+    def is_absorbing(self, c) -> bool:
+        i, j, s = c
+        return (
+            (s == IMM and not self.x_null[i] and not self.y_null[j])
+            or (s == IMD and not self.x_null[i])
+            or (s == IDM and not self.y_null[j])
+        )
+
+    def changes_x(self, c) -> bool:
+        i, j, s = c
+        return (
+            (s == IMM and (self.x_null[i] or not self.y_null[j]))
+            or s in (IMD, IIW, EEE)
+        )
+
+    def changes_y(self, c) -> bool:
+        i, j, s = c
+        return (s == IMM and self.x_emit_or_start[i]) or s in (IDM, IMI, EEE)
+
+    def equiv_absorb_cells(self, c) -> list:
+        i, j, s = c
+        if s == IIW and not self.x_null[i]:
+            return [(i, j, IMD)]
+        if s == IMI and not self.y_null[j]:
+            return [(i, j, IDM)]
+        if self.changes_x(c) and self.x_null[i] and i in self.x.equiv_absorb_state:
+            return [(self.x.equiv_absorb_state[i], j, IMD)]
+        if self.changes_y(c) and self.y_null[j] and j in self.y.equiv_absorb_state:
+            return [(i, self.y.equiv_absorb_state[j], IDM)]
+        return []
+
+    def lp_cell_emit_or_absorb(self, c) -> float:
+        i, j, s = c
+        if s == IMD and not self.x_null[i]:
+            return self.rootsubx[i]
+        if s == IIW and not self.x_null[i]:
+            return self.insx[i]
+        if s == IDM and not self.y_null[j]:
+            return self.rootsuby[j]
+        if s == IMI and not self.y_null[j]:
+            return self.insy[j]
+        if s == IMM and not self.x_null[i] and not self.y_null[j]:
+            return self.absorb[i, j]
+        return 0.0
+
+    def sample_cell(self, cell_lp: dict, rng: MT19937):
+        """Reference sampleCell: normalize by max, draw uniform, walk in
+        CellCoords order (forward.cpp:225-243)."""
+        items = sorted(cell_lp.items())
+        lpmax = max(lp for _, lp in items)
+        weights = [np.exp(lp - lpmax) for _, lp in items]
+        ptot = sum(weights)
+        p = rng.uniform(0, ptot)
+        for (c, _), w in zip(items, weights):
+            p -= w
+            if p <= 0:
+                return c
+        raise RuntimeError(f"sample_cell failed (ptot={ptot})")
+
+    @staticmethod
+    def best_cell(cell_lp: dict):
+        assert cell_lp, "traceback failure: no source cells"
+        best, best_lp = None, NEG_INF
+        for c, lp in sorted(cell_lp.items()):
+            if lp > best_lp:
+                best, best_lp = c, lp
+        return best
+
+
+class ForwardMatrix(DPMatrix):
+    def __init__(self, x, y, hmm, parent_row: int, env=None, sumprod=None):
+        super().__init__(x, y, hmm, env)
+        self.parent_row = parent_row
+        self.sumprod = sumprod  # SumProductEngine over the subtree (counts)
+        self.x_insert_counts: dict[int, EigenCounts] = {}
+        self.y_insert_counts: dict[int, EigenCounts] = {}
+        self._fill()
+
+    # ------------------------------------------------------------------- fill
+    def _fill(self) -> None:
+        hmm = self.hmm
+        x, y = self.x, self.y
+        sx, sy = self.x_size, self.y_size
+        cells = self.cells
+        cells[0, 0, IMM] = 0.0  # start
+
+        x_in_src, x_in_lp = _edge_arrays(x)
+        y_in_src, y_in_lp = _edge_arrays(y)
+        # flat y-edge arrays for segment reductions
+        flat_y_dest, flat_y_src, flat_y_lp = [], [], []
+        for j in range(sy - 1):
+            for t in y.states[j].in_trans:
+                flat_y_dest.append(j)
+                flat_y_src.append(y.trans[t].src)
+                flat_y_lp.append(y.trans[t].lp)
+        flat_y_dest = np.array(flat_y_dest, dtype=np.int64)
+        flat_y_src = np.array(flat_y_src, dtype=np.int64)
+        flat_y_lp = np.array(flat_y_lp)
+        y_emit_flat = ~self.y_null[flat_y_dest] if len(flat_y_dest) else flat_y_dest.astype(bool)
+
+        ready_y = self.y_ready[: sy - 1] | self.y_empty  # [Sy-1]
+        y_null = self.y_null
+        x_null = self.x_null
+
+        # per-j sequential lists (y in-edges)
+        progress = ProgressLogger(f"Forward ({x.name} vs {y.name})", level=5)
+
+        for i in range(sx - 1):
+            progress.update(i / max(1, sx - 2), f"state {i + 1}/{sx}")
+            mask_row = self.env_mask[i, : sy - 1]
+            if not mask_row.any():
+                continue
+            imd_row = np.full(sy - 1, NEG_INF)
+            iiw_row = np.full(sy - 1, NEG_INF)
+            imm_row = np.full(sy - 1, NEG_INF)
+
+            # --- x-direction contributions (all read rows < i) ------------
+            if not x_null[i]:
+                for xt, lp_xt in zip(x_in_src[i], x_in_lp[i]):
+                    src = cells[xt, : sy - 1]  # [Sy-1, 5]
+                    imd_row = np.logaddexp(
+                        imd_row,
+                        _lse_rows(
+                            src[:, IMM] + hmm.imm_imd,
+                            src[:, IMD] + hmm.imd_imd,
+                            src[:, IDM] + hmm.idm_imd,
+                            src[:, IMI] + hmm.imi_imd,
+                        )
+                        + lp_xt,
+                    )
+                    iiw_row = np.logaddexp(
+                        iiw_row,
+                        _lse_rows(
+                            src[:, IMM] + hmm.imm_iiw,
+                            src[:, IMI] + hmm.imi_iiw,
+                            src[:, IIW] + hmm.iiw_iiw,
+                        )
+                        + lp_xt,
+                    )
+                imd_row = np.where(ready_y, imd_row + self.rootsubx[i], NEG_INF)
+                iiw_row = np.where(ready_y, iiw_row + self.insx[i], NEG_INF)
+            else:
+                for xt, lp_xt in zip(x_in_src[i], x_in_lp[i]):
+                    imd_row = np.logaddexp(imd_row, cells[xt, : sy - 1, IMD] + lp_xt)
+                    iiw_row = np.logaddexp(iiw_row, cells[xt, : sy - 1, IIW] + lp_xt)
+                imd_row = np.where(ready_y, imd_row, NEG_INF)
+                iiw_row = np.where(ready_y, iiw_row, NEG_INF)
+
+            # --- IMM contributions from x direction -----------------------
+            both_emit = (~x_null[i]) & (~y_null[: sy - 1])
+            if not x_null[i] and len(flat_y_dest):
+                # xy-absorbing: segment-logaddexp over flat y edges per xt
+                for xt, lp_xt in zip(x_in_src[i], x_in_lp[i]):
+                    t_vals = _lse_rows(
+                        cells[xt, :, IMM] + hmm.imm_imm,
+                        cells[xt, :, IMD] + hmm.imd_imm,
+                        cells[xt, :, IDM] + hmm.idm_imm,
+                        cells[xt, :, IMI] + hmm.imi_imm,
+                        cells[xt, :, IIW] + hmm.iiw_imm,
+                    )  # [Sy] over y src states
+                    sel = y_emit_flat
+                    if sel.any():
+                        vals = t_vals[flat_y_src[sel]] + flat_y_lp[sel] + lp_xt
+                        acc = np.full(sy - 1, NEG_INF)
+                        np.logaddexp.at(acc, flat_y_dest[sel], vals)
+                        imm_row = np.logaddexp(imm_row, acc)
+                imm_row = np.where(both_emit, imm_row + self.absorb[i, : sy - 1], NEG_INF)
+            elif x_null[i]:
+                acc = np.full(sy - 1, NEG_INF)
+                for xt, lp_xt in zip(x_in_src[i], x_in_lp[i]):
+                    acc = np.logaddexp(acc, cells[xt, : sy - 1, IMM] + lp_xt)
+                imm_row = np.where(ready_y, acc, NEG_INF)
+            # (x emit, y null) IMM handled in the sequential pass below
+
+            if i == 0:
+                imm_row[0] = 0.0  # keep the start cell
+
+            cells[i, : sy - 1, IMD] = np.where(mask_row, imd_row, NEG_INF)
+            cells[i, : sy - 1, IIW] = np.where(mask_row, iiw_row, NEG_INF)
+            cells[i, : sy - 1, IMM] = np.where(mask_row, imm_row, NEG_INF)
+
+            # --- sequential y pass: IDM, IMI, and IMM through null y ------
+            x_ready_or_empty = self.x_ready[i] or self.x_empty
+            for j in range(sy - 1):
+                if not mask_row[j]:
+                    continue
+                if not y_null[j]:
+                    if x_ready_or_empty:
+                        idm = imi = NEG_INF
+                        for yt, lp_yt in zip(y_in_src[j], y_in_lp[j]):
+                            src = cells[i, yt]
+                            idm = np.logaddexp(
+                                idm,
+                                _lse_rows(
+                                    src[IMM] + hmm.imm_idm,
+                                    src[IMD] + hmm.imd_idm,
+                                    src[IDM] + hmm.idm_idm,
+                                    src[IIW] + hmm.iiw_idm,
+                                )
+                                + lp_yt,
+                            )
+                            imi = np.logaddexp(
+                                imi,
+                                np.logaddexp(src[IMM] + hmm.imm_imi, src[IMI] + hmm.imi_imi)
+                                + lp_yt,
+                            )
+                        cells[i, j, IDM] = idm + self.rootsuby[j]
+                        cells[i, j, IMI] = imi + self.insy[j]
+                else:
+                    idm = imi = NEG_INF
+                    for yt, lp_yt in zip(y_in_src[j], y_in_lp[j]):
+                        idm = np.logaddexp(idm, cells[i, yt, IDM] + lp_yt)
+                        imi = np.logaddexp(imi, cells[i, yt, IMI] + lp_yt)
+                    cells[i, j, IDM] = idm
+                    cells[i, j, IMI] = imi
+                    if self.x_emit_or_start[i]:
+                        imm = NEG_INF
+                        for yt, lp_yt in zip(y_in_src[j], y_in_lp[j]):
+                            imm = np.logaddexp(imm, cells[i, yt, IMM] + lp_yt)
+                        cells[i, j, IMM] = imm if (i, j) != (0, 0) else 0.0
+
+        # transitions into EEE
+        lp_end = NEG_INF
+        for xt in x.end.in_trans:
+            x_trans = x.trans[xt]
+            for yt in y.end.in_trans:
+                y_trans = y.trans[yt]
+                src = cells[x_trans.src, y_trans.src]
+                lp_end = np.logaddexp(
+                    lp_end,
+                    _lse_rows(
+                        src[IMM] + hmm.imm_eee,
+                        src[IMD] + hmm.imd_eee,
+                        src[IDM] + hmm.idm_eee,
+                        src[IMI] + hmm.imi_eee,
+                        src[IIW] + hmm.iiw_eee,
+                    )
+                    + x_trans.lp
+                    + y_trans.lp,
+                )
+        self.lp_end = float(lp_end)
+        self.start_cell = (0, 0, IMM)
+        self.end_cell = (self.x_size - 1, self.y_size - 1, EEE)
+
+    # --------------------------------------------------------- source lookups
+    def source_transitions_without_emit_or_absorb(self, dest) -> dict:
+        """Reference sourceTransitionsWithoutEmitOrAbsorb (forward.cpp:326-398)."""
+        i, j, s = dest
+        x, y, hmm = self.x, self.y, self.hmm
+        x_state = x.states[i]
+        y_state = y.states[j]
+        clp: dict = {}
+        if s in (IMD, IIW):
+            if x_state.is_null:
+                if (y_state.is_ready or self.y_empty) and i < self.x_size - 1:
+                    for t in x_state.in_trans:
+                        clp[(x.trans[t].src, j, s)] = x.trans[t].lp
+            elif y_state.is_ready or self.y_empty:
+                for t in x_state.in_trans:
+                    for src_s in PairHMM.sources(s):
+                        clp[(x.trans[t].src, j, src_s)] = hmm.lp_trans(src_s, s) + x.trans[t].lp
+        elif s in (IDM, IMI):
+            if y_state.is_null:
+                if j < self.y_size - 1:
+                    for t in y_state.in_trans:
+                        clp[(i, y.trans[t].src, s)] = y.trans[t].lp
+            elif x_state.is_ready or self.x_empty:
+                for t in y_state.in_trans:
+                    for src_s in PairHMM.sources(s):
+                        clp[(i, y.trans[t].src, src_s)] = hmm.lp_trans(src_s, s) + y.trans[t].lp
+        elif s == IMM:
+            if y_state.is_null and x_state.is_emit_or_start:
+                if j < self.y_size - 1:
+                    for t in y_state.in_trans:
+                        clp[(i, y.trans[t].src, s)] = y.trans[t].lp
+            elif x_state.is_null:
+                if (y_state.is_ready or self.y_empty) and i < self.x_size - 1:
+                    for t in x_state.in_trans:
+                        clp[(x.trans[t].src, j, s)] = x.trans[t].lp
+            elif not x_state.is_null and not y_state.is_null:
+                for xt in x_state.in_trans:
+                    for yt in y_state.in_trans:
+                        for src_s in PairHMM.sources(s):
+                            clp[(x.trans[xt].src, y.trans[yt].src, src_s)] = (
+                                hmm.lp_trans(src_s, s) + x.trans[xt].lp + y.trans[yt].lp
+                            )
+        elif s == EEE:
+            if i == self.x_size - 1 and j == self.y_size - 1:
+                for xt in x.end.in_trans:
+                    for yt in y.end.in_trans:
+                        for src_s in PairHMM.sources(s):
+                            clp[(x.trans[xt].src, y.trans[yt].src, src_s)] = (
+                                hmm.lp_trans(src_s, s) + x.trans[xt].lp + y.trans[yt].lp
+                            )
+        else:
+            raise ValueError(f"bad state {s}")
+        return clp
+
+    def source_transitions(self, dest) -> dict:
+        clp = self.source_transitions_without_emit_or_absorb(dest)
+        lp_abs = self.lp_cell_emit_or_absorb(dest)
+        return {c: lp + lp_abs for c, lp in clp.items()}
+
+    def source_cells(self, dest) -> dict:
+        return {
+            c: lp + self.cells[c[0], c[1], c[2]]
+            for c, lp in self.source_transitions(dest).items()
+        }
+
+    # ------------------------------------------------------------- tracebacks
+    def sample_trace(self, rng: MT19937) -> list:
+        assert self.lp_end > NEG_INF, "Forward likelihood is zero; traceback fail"
+        path = [self.end_cell]
+        clp = self.source_cells(self.end_cell)
+        while True:
+            current = self.sample_cell(clp, rng)
+            path.insert(0, current)
+            if current[0] == 0 and current[1] == 0:
+                break
+            clp = self.source_cells(current)
+        return path
+
+    def best_trace(self, end=None) -> list:
+        if end is None:
+            assert self.lp_end > NEG_INF, "Forward likelihood is zero; traceback fail"
+            end = self.end_cell
+        path = [end]
+        if end[0] > 0 or end[1] > 0:
+            clp = self.source_cells(end)
+            while True:
+                current = self.best_cell(clp)
+                path.insert(0, current)
+                if current[0] == 0 and current[1] == 0:
+                    break
+                clp = self.source_cells(current)
+        return path
+
+    def best_align_path(self) -> AlignPath:
+        return self.trace_align_path(self.best_trace())
+
+    # --------------------------------------------------------- cell -> paths
+    def cell_seq_coords(self, c) -> dict[int, int]:
+        coords = dict(self.x.states[c[0]].seq_coords)
+        coords.update(self.y.states[c[1]].seq_coords)
+        return coords
+
+    def cell_align_path(self, c) -> AlignPath:
+        i, j, s = c
+        x_state, y_state = self.x.states[i], self.y.states[j]
+        if s == IMM:
+            if not x_state.is_null and not y_state.is_null:
+                path = align_path_union(x_state.align_path, y_state.align_path)
+            elif x_state.is_emit_or_start:
+                path = dict(y_state.align_path)
+            else:
+                path = dict(x_state.align_path)
+        elif s in (IMD, IIW):
+            path = dict(x_state.align_path)
+        elif s in (IDM, IMI):
+            path = dict(y_state.align_path)
+        elif s == EEE:
+            path = {}
+        else:
+            raise ValueError(f"bad state {s}")
+        if self.is_absorbing(c):
+            prev = path.get(self.parent_row, np.zeros(0, dtype=bool))
+            path[self.parent_row] = np.append(prev, True)
+        return path
+
+    def transition_align_path(self, src, dest) -> AlignPath:
+        path: AlignPath = {}
+        if src[0] != dest[0]:
+            path = self.x.get_trans(src[0], dest[0]).align_path
+        if src[1] != dest[1]:
+            path = align_path_concat(path, self.y.get_trans(src[1], dest[1]).align_path)
+        return path
+
+    def trace_align_path(self, path: list) -> AlignPath:
+        p: AlignPath = {}
+        for n in range(len(path) - 1):
+            cap = self.cell_align_path(path[n])
+            tap = self.transition_align_path(path[n], path[n + 1])
+            p = align_path_concat(p, cap, tap)
+        p = align_path_concat(p, self.cell_align_path(path[-1]))
+        ensure_align_path_has_row(p, self.parent_row)
+        ensure_align_path_has_row(p, self.x.root_row)
+        ensure_align_path_has_row(p, self.y.root_row)
+        return p
+
+    # --------------------------------------------------------------- counts
+    def eliminated_lp_insert(self, c) -> float:
+        i, j, s = c
+        if s == IIW:
+            return 0.0 if self.x_null[i] else self.insx[i]
+        if s == IMI:
+            return 0.0 if self.y_null[j] else self.insy[j]
+        return 0.0
+
+    def transition_eigen_counts(self, src, dest) -> EigenCounts:
+        """Indel-event bookkeeping per transition (forward.cpp:579-652)."""
+        c = EigenCounts()
+        if src[0] != dest[0]:
+            t = self.x.get_trans(src[0], dest[0])
+            if t.counts is not None:
+                c += t.counts
+        if src[1] != dest[1]:
+            t = self.y.get_trans(src[1], dest[1])
+            if t.counts is not None:
+                c += t.counts
+        hmm = self.hmm
+        i, j, s = dest
+        ss = src[2]
+        x_null = self.x_null[i]
+        y_null = self.y_null[j]
+        ic = c.indel
+        if s == IMM:
+            if not x_null and not y_null:
+                if ss in (IMM, IMD):
+                    ic.ins_time += hmm.l.t
+                    ic.del_time += hmm.l.t
+                if ss in (IMM, IDM):
+                    ic.ins_time += hmm.r.t
+                    ic.del_time += hmm.r.t
+        elif s == IMD:
+            if not x_null:
+                if ss in (IMM, IMD):
+                    ic.ins_time += hmm.l.t
+                    ic.del_time += hmm.l.t
+                if ss == s:
+                    ic.del_ext += 1
+                else:
+                    ic.del_ += 1
+                    ic.del_time += hmm.r.del_wait
+        elif s == IIW:
+            if not x_null:
+                if ss == s:
+                    ic.ins_ext += 1
+                else:
+                    ic.ins += 1
+                    ic.ins_time += hmm.l.ins_wait
+        elif s == IDM:
+            if not y_null:
+                if ss in (IMM, IDM):
+                    ic.ins_time += hmm.r.t
+                    ic.del_time += hmm.r.t
+                if ss == s:
+                    ic.del_ext += 1
+                else:
+                    ic.del_ += 1
+                    ic.del_time += hmm.l.del_wait
+        elif s == IMI:
+            if not y_null:
+                if ss == s:
+                    ic.ins_ext += 1
+                else:
+                    ic.ins += 1
+                    ic.ins_time += hmm.r.ins_wait
+        return c
+
+    def get_alignment_column(self, c) -> dict[int, str]:
+        """Characters at this cell's column (forward.cpp:938-973)."""
+        i, j, s = c
+        col: dict[int, str] = {}
+        if 0 < i < self.x_size - 1 and 0 < j < self.y_size - 1:
+            if s == IMM:
+                if not self.x_null[i] and not self.y_null[j]:
+                    col = self.x.align_column(i)
+                    col.update(self.y.align_column(j))
+                    col[self.parent_row] = "*"
+                elif self.x_emit_or_start[i] and self.y_null[j]:
+                    col = self.y.align_column(j)
+                elif self.x_null[i]:
+                    col = self.x.align_column(i)
+            elif s == IMD:
+                col = self.x.align_column(i)
+                if not self.x_null[i]:
+                    col[self.parent_row] = "*"
+            elif s == IDM:
+                col = self.y.align_column(j)
+                if not self.y_null[j]:
+                    col[self.parent_row] = "*"
+            elif s == IIW:
+                col = self.x.align_column(i)
+            elif s == IMI:
+                col = self.y.align_column(j)
+        return col
+
+    def cell_eigen_counts(self, c) -> EigenCounts:
+        counts = EigenCounts(self.hmm.components, self.hmm.alphabet_size)
+        col = self.get_alignment_column(c)
+        if col and self.sumprod is not None:
+            fill = self.sumprod.fill_column(col)
+            fill.accumulate_eigen_counts(counts.root_count, counts.eigen_count, 1.0)
+        return counts
+
+    def cached_cell_eigen_counts(self, c) -> EigenCounts:
+        if not self.is_absorbing(c):
+            if self.changes_x(c):
+                if c[0] not in self.x_insert_counts:
+                    self.x_insert_counts[c[0]] = self.cell_eigen_counts(c)
+                return self.x_insert_counts[c[0]]
+            if self.changes_y(c):
+                if c[1] not in self.y_insert_counts:
+                    self.y_insert_counts[c[1]] = self.cell_eigen_counts(c)
+                return self.y_insert_counts[c[1]]
+        return self.cell_eigen_counts(c)
+
+    # ------------------------------------------------------ profile builders
+    def make_profile(self, cells: set, strategy: int = COLLAPSE_CHAINS) -> Profile:
+        """Select retained cells, sum out the rest into effective
+        transitions (forward.cpp:686-843)."""
+        hmm = self.hmm
+        prof = Profile(hmm.components, self.alph_size, self.parent_row)
+        prof.name = Tree.pair_parent_name(self.x.name, hmm.l.t, self.y.name, hmm.r.t)
+        prof.meta["node"] = str(self.parent_row)
+
+        assert self.start_cell in cells, "missing SSS"
+        assert self.end_cell in cells, "missing EEE"
+
+        sorted_cells = sorted(cells)
+        out_count: dict = {}
+        for dest in sorted_cells:
+            for src in self.source_transitions(dest):
+                out_count[src] = out_count.get(src, 0) + 1
+
+        prof_state_index: dict = {}
+        for c in sorted_cells:
+            if (
+                self.is_absorbing(c)
+                or c == self.start_cell
+                or c == self.end_cell
+                or out_count.get(c, 0) > 1
+                or (strategy & KEEP_GAPS_OPEN)
+                or not (strategy & COLLAPSE_CHAINS)
+            ):
+                idx = len(prof.states)
+                prof_state_index[c] = idx
+                st = ProfState()
+                if self.is_absorbing(c):
+                    i, j, s = c
+                    if s == IMM:
+                        st.lp_absorb = (
+                            self.subx.states[i].lp_absorb + self.suby.states[j].lp_absorb
+                        )
+                    elif s == IMD:
+                        st.lp_absorb = self.subx.states[i].lp_absorb.copy()
+                    elif s == IDM:
+                        st.lp_absorb = self.suby.states[j].lp_absorb.copy()
+                st.align_path = self.cell_align_path(c)
+                st.seq_coords = self.cell_seq_coords(c)
+                st.name = self.cell_name(c)
+                from historian_tpu.engine.profile import _cpp_to_string
+
+                st.meta["fwdLogProb"] = _cpp_to_string(
+                    self.lp_end if c[2] == EEE else self.cells[c[0], c[1], c[2]]
+                )
+                prof.states.append(st)
+
+        if strategy & KEEP_GAPS_OPEN:
+            for c in sorted_cells:
+                if not self.is_absorbing(c) and c in prof_state_index:
+                    equiv = self.equiv_absorb_cells(c)
+                    if equiv and equiv[0] in prof_state_index:
+                        prof.equiv_absorb_state[prof_state_index[c]] = prof_state_index[equiv[0]]
+
+        want_counts = strategy & (COUNT_SUBST_EVENTS | COUNT_INDEL_EVENTS)
+
+        # effective transitions: effTrans[srcCell][destStateIdx]
+        eff_trans: dict = {}
+        for iter_cell in reversed(sorted_cells):
+            slp = self.source_transitions_without_emit_or_absorb(iter_cell)
+            cell_lp_insert = self.eliminated_lp_insert(iter_cell)
+            if iter_cell in prof_state_index:
+                cell_idx = prof_state_index[iter_cell]
+                for src, lp_trans in slp.items():
+                    eff = eff_trans.setdefault(src, {}).setdefault(
+                        cell_idx, _EffectiveTransition()
+                    )
+                    eff.lp_path = eff.lp_best = lp_trans + cell_lp_insert
+                    eff.best_align_path = self.transition_align_path(src, iter_cell)
+                    if want_counts:
+                        eff.counts = self.transition_eigen_counts(src, iter_cell)
+            else:
+                cell_eff = eff_trans.get(iter_cell, {})
+                cap = self.cell_align_path(iter_cell)
+                cell_counts = None
+                if (strategy & COUNT_SUBST_EVENTS) and self.sumprod is not None:
+                    cell_counts = self.cached_cell_eigen_counts(iter_cell)
+                for src, lp_trans in slp.items():
+                    if want_counts:
+                        src_cell_counts = self.transition_eigen_counts(src, iter_cell)
+                        if cell_counts is not None:
+                            src_cell_counts += cell_counts
+                    src_eff = eff_trans.setdefault(src, {})
+                    for dest_idx, cell_dest_eff in cell_eff.items():
+                        sd = src_eff.setdefault(dest_idx, _EffectiveTransition())
+                        lp_path = lp_trans + cell_lp_insert + cell_dest_eff.lp_path
+                        new_lp = np.logaddexp(sd.lp_path, lp_path)
+                        if want_counts:
+                            pp_path = np.exp(lp_path - new_lp) if new_lp > NEG_INF else 0.0
+                            merged = (src_cell_counts + cell_dest_eff.counts) if cell_dest_eff.counts is not None else src_cell_counts
+                            if sd.counts is None:
+                                sd.counts = merged.copy()
+                                sd.counts *= pp_path
+                            else:
+                                sd.counts *= 1 - pp_path
+                                scaled = merged.copy()
+                                scaled *= pp_path
+                                sd.counts += scaled
+                        sd.lp_path = new_lp
+                        lp_best = lp_trans + cell_lp_insert + cell_dest_eff.lp_best
+                        if lp_best > sd.lp_best:
+                            sd.lp_best = lp_best
+                            tap = self.transition_align_path(src, iter_cell)
+                            sd.best_align_path = align_path_concat(
+                                tap, cap, cell_dest_eff.best_align_path
+                            )
+
+        # populate transitions (reference iterates profStateIndex in
+        # CellCoords order and effTrans in dest-index order)
+        for c, src_idx in prof_state_index.items():
+            for dest_idx, eff in sorted(eff_trans.get(c, {}).items()):
+                trans_idx = len(prof.trans)
+                t = ProfTrans(src=src_idx, dest=dest_idx, lp=eff.lp_path)
+                t.align_path = eff.best_align_path
+                if want_counts and eff.counts is not None:
+                    t.counts = eff.counts
+                prof.trans.append(t)
+                if prof.states[dest_idx].is_null:
+                    prof.states[src_idx].null_out.append(trans_idx)
+                else:
+                    prof.states[src_idx].absorb_out.append(trans_idx)
+                prof.states[dest_idx].in_trans.append(trans_idx)
+
+        prof.seqs = dict(self.x.seqs)
+        prof.seqs.update(self.y.seqs)
+
+        prof.assert_transitions_consistent()
+        prof.assert_path_to_end_exists()
+        prof = prof.add_ready_states()
+        prof.assert_seq_coords_consistent()
+        return prof
+
+    def sample_profile(self, rng: MT19937, profile_samples: int, max_cells: int = 0, strategy: int = COLLAPSE_CHAINS, min_len: int = 0, max_len: int = 1 << 62) -> Profile:
+        """N stochastic tracebacks -> retained cell set (forward.cpp:845-889)."""
+        cell_count: dict = {}
+        assert (strategy & INCLUDE_BEST_TRACE) or profile_samples > 0
+        n_traces = 0
+        if strategy & INCLUDE_BEST_TRACE:
+            for c in self.best_trace():
+                cell_count[c] = 2
+            n_traces += 1
+        n_accepted = 0
+        while n_accepted < profile_samples and (max_cells == 0 or len(cell_count) < max_cells):
+            sampled = self.sample_trace(rng)
+            anc_len = sum(1 for c in sampled if c[2] in (IMM, IDM, IMD))
+            if anc_len < min_len or anc_len > max_len:
+                break
+            for c in sampled:
+                cell_count[c] = cell_count.get(c, 0) + 1
+            n_traces += 1
+            n_accepted += 1
+        threshold = 2 if (n_traces > 1 and max_cells > 0 and len(cell_count) >= max_cells) else 1
+        prof_cells = {c for c, n in cell_count.items() if n >= threshold}
+        return self.make_profile(prof_cells, strategy)
+
+    def best_profile(self, strategy: int = COLLAPSE_CHAINS) -> Profile:
+        return self.make_profile(set(self.best_trace()), strategy)
+
+
+class _EffectiveTransition:
+    __slots__ = ("lp_path", "lp_best", "best_align_path", "counts")
+
+    def __init__(self):
+        self.lp_path = NEG_INF
+        self.lp_best = NEG_INF
+        self.best_align_path: AlignPath = {}
+        self.counts = None
+
+
+class BackwardMatrix(DPMatrix):
+    def __init__(self, fwd: ForwardMatrix):
+        super().__init__(fwd.x, fwd.y, fwd.hmm, fwd.env)
+        self.fwd = fwd
+        self._fill()
+        # forward/backward agreement check (forward.cpp:1091-1096)
+        back_ll = self.lp_start
+        if np.isfinite(back_ll) or np.isfinite(fwd.lp_end):
+            rel = abs(back_ll - fwd.lp_end) / max(abs(back_ll), abs(fwd.lp_end), 1e-12)
+            if rel > 0.01:
+                log_this_at(1, f"Forward ll {fwd.lp_end} != Backward ll {back_ll}")
+
+    @property
+    def lp_start(self) -> float:
+        return float(self.cells[0, 0, IMM])
+
+    def _fill(self) -> None:
+        hmm = self.hmm
+        x, y = self.x, self.y
+        sx, sy = self.x_size, self.y_size
+        cells = self.cells
+        self.lp_end = 0.0
+
+        # transitions into EEE seed the final cells
+        for xt in x.end.in_trans:
+            x_trans = x.trans[xt]
+            for yt in y.end.in_trans:
+                y_trans = y.trans[yt]
+                i, j = x_trans.src, y_trans.src
+                if self.env_mask[i, j]:
+                    base = x_trans.lp + y_trans.lp
+                    cells[i, j, IMM] = base + hmm.imm_eee
+                    cells[i, j, IMD] = base + hmm.imd_eee
+                    cells[i, j, IDM] = base + hmm.idm_eee
+                    cells[i, j, IMI] = base + hmm.imi_eee
+                    cells[i, j, IIW] = base + hmm.iiw_eee
+
+        # out-edge arrays
+        def out_arrays(profile, attr):
+            dests, lps = [], []
+            for st in profile.states:
+                idxs = getattr(st, attr)
+                dests.append(np.array([profile.trans[t].dest for t in idxs], dtype=np.int64))
+                lps.append(np.array([profile.trans[t].lp for t in idxs]))
+            return dests, lps
+
+        x_abs_dest, x_abs_lp = out_arrays(x, "absorb_out")
+        x_null_dest, x_null_lp = out_arrays(x, "null_out")
+        y_abs_dest, y_abs_lp = out_arrays(y, "absorb_out")
+        y_null_dest, y_null_lp = out_arrays(y, "null_out")
+
+        ready_y = self.y_ready[: sy - 1] | self.y_empty
+
+        for i in range(sx - 2, -1, -1):
+            x_state = x.states[i]
+            mask_row = self.env_mask[i, : sy - 1]
+            if not mask_row.any():
+                continue
+            add = np.full((sy - 1, 5), NEG_INF)
+
+            # build flat y absorb edges once
+            if not hasattr(self, "_flat_y_abs"):
+                fd, fs, fl = [], [], []
+                for j in range(sy):
+                    for t in y.states[j].absorb_out:
+                        fs.append(j)
+                        fd.append(y.trans[t].dest)
+                        fl.append(y.trans[t].lp)
+                self._flat_y_abs = (
+                    np.array(fs, dtype=np.int64),
+                    np.array(fd, dtype=np.int64),
+                    np.array(fl),
+                )
+            f_src, f_dest, f_lp = self._flat_y_abs
+
+            for xd, lp_xt in zip(x_abs_dest[i], x_abs_lp[i]):
+                if len(f_src):
+                    dest_imm_vals = (
+                        lp_xt
+                        + f_lp
+                        + self.absorb[xd, f_dest]
+                        + cells[xd, f_dest, IMM]
+                    )
+                    acc = np.full(sy - 1, NEG_INF)
+                    sel = f_src < sy - 1
+                    np.logaddexp.at(acc, f_src[sel], dest_imm_vals[sel])
+                    for s_idx, tcoef in (
+                        (IMM, hmm.imm_imm),
+                        (IMD, hmm.imd_imm),
+                        (IDM, hmm.idm_imm),
+                        (IMI, hmm.imi_imm),
+                        (IIW, hmm.iiw_imm),
+                    ):
+                        add[:, s_idx] = np.logaddexp(add[:, s_idx], tcoef + acc)
+
+                # x-absorbing into IMD, IIW (same j)
+                dest_imd = lp_xt + self.rootsubx[xd] + cells[xd, : sy - 1, IMD]
+                dest_iiw = lp_xt + self.insx[xd] + cells[xd, : sy - 1, IIW]
+                dest_imd = np.where(ready_y, dest_imd, NEG_INF)
+                dest_iiw = np.where(ready_y, dest_iiw, NEG_INF)
+                for s_idx, tcoef in (
+                    (IMM, hmm.imm_imd),
+                    (IMD, hmm.imd_imd),
+                    (IDM, hmm.idm_imd),
+                    (IMI, hmm.imi_imd),
+                ):
+                    add[:, s_idx] = np.logaddexp(add[:, s_idx], tcoef + dest_imd)
+                for s_idx, tcoef in (
+                    (IMM, hmm.imm_iiw),
+                    (IMI, hmm.imi_iiw),
+                    (IIW, hmm.iiw_iiw),
+                ):
+                    add[:, s_idx] = np.logaddexp(add[:, s_idx], tcoef + dest_iiw)
+
+            # x-nonabsorbing (null) edges: IMD, IIW, IMM propagate at same j
+            for xd, lp_xt in zip(x_null_dest[i], x_null_lp[i]):
+                if xd >= sx:  # safety
+                    continue
+                prop_imd = np.where(ready_y, lp_xt + cells[xd, : sy - 1, IMD], NEG_INF)
+                prop_iiw = np.where(ready_y, lp_xt + cells[xd, : sy - 1, IIW], NEG_INF)
+                prop_imm = np.where(ready_y, lp_xt + cells[xd, : sy - 1, IMM], NEG_INF)
+                add[:, IMD] = np.logaddexp(add[:, IMD], prop_imd)
+                add[:, IIW] = np.logaddexp(add[:, IIW], prop_iiw)
+                add[:, IMM] = np.logaddexp(add[:, IMM], prop_imm)
+
+            # merge row-level contributions into cells (respect existing seeds)
+            row = cells[i, : sy - 1]
+            np.logaddexp(row, add, out=row, where=mask_row[:, None])
+
+            # sequential y pass (descending): y-absorbing + y-null edges
+            x_ready_or_empty = self.x_ready[i] or self.x_empty
+            for j in range(sy - 2, -1, -1):
+                if not mask_row[j]:
+                    continue
+                cell_ij = cells[i, j]
+                if x_ready_or_empty:
+                    for yd, lp_yt in zip(y_abs_dest[j], y_abs_lp[j]):
+                        dest_idm = lp_yt + self.rootsuby[yd] + cells[i, yd, IDM]
+                        dest_imi = lp_yt + self.insy[yd] + cells[i, yd, IMI]
+                        for s_idx, tcoef in (
+                            (IMM, hmm.imm_idm),
+                            (IMD, hmm.imd_idm),
+                            (IDM, hmm.idm_idm),
+                            (IIW, hmm.iiw_idm),
+                        ):
+                            cell_ij[s_idx] = np.logaddexp(cell_ij[s_idx], tcoef + dest_idm)
+                        for s_idx, tcoef in ((IMM, hmm.imm_imi), (IMI, hmm.imi_imi)):
+                            cell_ij[s_idx] = np.logaddexp(cell_ij[s_idx], tcoef + dest_imi)
+                for yd, lp_yt in zip(y_null_dest[j], y_null_lp[j]):
+                    if yd >= sy - 1:
+                        continue
+                    cell_ij[IDM] = np.logaddexp(cell_ij[IDM], lp_yt + cells[i, yd, IDM])
+                    cell_ij[IMI] = np.logaddexp(cell_ij[IMI], lp_yt + cells[i, yd, IMI])
+                    if x_state.is_emit_or_start:
+                        cell_ij[IMM] = np.logaddexp(cell_ij[IMM], lp_yt + cells[i, yd, IMM])
+
+    # ------------------------------------------------------------- posteriors
+    def cell_post_prob(self, c) -> float:
+        return float(np.exp(self.fwd.cells[c[0], c[1], c[2]] + self.cells[c[0], c[1], c[2]] - self.fwd.lp_end))
+
+    def trans_post_prob(self, src, dest) -> float:
+        src_trans = self.fwd.source_transitions(dest)
+        if src in src_trans:
+            dlp = 0.0 if dest[2] == EEE else self.cells[dest[0], dest[1], dest[2]]
+            return float(
+                np.exp(self.fwd.cells[src[0], src[1], src[2]] + src_trans[src] + dlp - self.fwd.lp_end)
+            )
+        return 0.0
+
+    def get_counts(self) -> EigenCounts:
+        """Posterior-expected counts: sum over cells & transitions
+        (forward.cpp:1183-1214)."""
+        fwd = self.fwd
+        counts = EigenCounts(self.hmm.components, self.hmm.alphabet_size)
+        counts.indel.lp = fwd.lp_end
+        for i in range(self.x_size - 1):
+            for j in range(self.y_size - 1):
+                if not self.env_mask[i, j]:
+                    continue
+                for s in PairHMM.states():
+                    dest = (i, j, s)
+                    lp_dest = self.cells[i, j, s]
+                    if fwd.sumprod is not None:
+                        w = np.exp(fwd.cells[i, j, s] + lp_dest - fwd.lp_end)
+                        if w > 0:
+                            cc = fwd.cached_cell_eigen_counts(dest)
+                            scaled = cc.copy()
+                            scaled *= w
+                            counts += scaled
+                    for src, lp_trans in fwd.source_transitions(dest).items():
+                        w = np.exp(
+                            fwd.cells[src[0], src[1], src[2]] + lp_trans + lp_dest - fwd.lp_end
+                        )
+                        if w > 0:
+                            tc = fwd.transition_eigen_counts(src, dest)
+                            tc *= w
+                            counts += tc
+        return counts
+
+    # ----------------------------------------------------------- traceforward
+    def dest_transitions(self, src_cell) -> dict:
+        i, j, s = src_cell
+        x, y, hmm = self.x, self.y, self.hmm
+        x_state, y_state = x.states[i], y.states[j]
+        clp: dict = {}
+        for xt in x_state.absorb_out:
+            x_trans = x.trans[xt]
+            for yt in y_state.absorb_out:
+                y_trans = y.trans[yt]
+                clp[(x_trans.dest, y_trans.dest, IMM)] = (
+                    hmm.lp_trans(s, IMM) + x_trans.lp + y_trans.lp
+                )
+        if y_state.is_ready or self.y_empty:
+            for xt in x_state.absorb_out:
+                x_trans = x.trans[xt]
+                clp[(x_trans.dest, j, IMD)] = hmm.lp_trans(s, IMD) + x_trans.lp
+                clp[(x_trans.dest, j, IIW)] = hmm.lp_trans(s, IIW) + x_trans.lp
+        if x_state.is_ready or self.x_empty:
+            for yt in y_state.absorb_out:
+                y_trans = y.trans[yt]
+                clp[(i, y_trans.dest, IDM)] = hmm.lp_trans(s, IDM) + y_trans.lp
+                clp[(i, y_trans.dest, IMI)] = hmm.lp_trans(s, IMI) + y_trans.lp
+        if (y_state.is_ready or self.y_empty) and s in (IMD, IIW, IMM):
+            for xt in x_state.null_out:
+                x_trans = x.trans[xt]
+                if x_trans.dest != self.x_size - 1:
+                    clp[(x_trans.dest, j, s)] = x_trans.lp
+        if s in (IDM, IMI) or (x_state.is_emit_or_start and s == IMM):
+            for yt in y_state.null_out:
+                y_trans = y.trans[yt]
+                if y_trans.dest != self.y_size - 1:
+                    clp[(i, y_trans.dest, s)] = y_trans.lp
+        for xt in x_state.null_out:
+            x_trans = x.trans[xt]
+            if x_trans.dest == self.x_size - 1:
+                for yt in y_state.null_out:
+                    y_trans = y.trans[yt]
+                    if y_trans.dest == self.y_size - 1:
+                        clp[(x_trans.dest, y_trans.dest, EEE)] = (
+                            x_trans.lp + y_trans.lp + hmm.lp_trans(s, EEE)
+                        )
+        return {c: lp + self.lp_cell_emit_or_absorb(c) for c, lp in clp.items()}
+
+    def dest_cells(self, src_cell) -> dict:
+        out = {}
+        for c, lp in self.dest_transitions(src_cell).items():
+            if c[2] != EEE:
+                lp = lp + self.cells[c[0], c[1], c[2]]
+            out[c] = lp
+        return out
+
+    def best_trace(self, trace_start) -> list:
+        path = []
+        current = trace_start
+        while current[0] < self.x_size - 1 and current[1] < self.y_size - 1:
+            clp = self.dest_cells(current)
+            current = self.best_cell(clp)
+            path.append(current)
+        path.append(self.fwd.end_cell)
+        return path
+
+    def cells_above_post_prob_threshold(self, min_post_prob: float) -> list:
+        """[(lpp, cell)] sorted descending (reference priority queue)."""
+        lpp_threshold = np.log(min_post_prob)
+        out = []
+        for i in range(self.x_size - 2, -1, -1):
+            for j in range(self.y_size - 2, -1, -1):
+                if not self.env_mask[i, j]:
+                    continue
+                for s in PairHMM.states():
+                    lpp = self.cells[i, j, s] + self.fwd.cells[i, j, s] - self.fwd.lp_end
+                    if lpp >= lpp_threshold:
+                        out.append((lpp, (i, j, s)))
+        out.sort(key=lambda t: (-t[0], t[1]))
+        return out
+
+    def add_cells(self, cells: set, max_cells: int, fwd_trace: list, back_trace: list, keep_gaps_open: bool) -> bool:
+        new_cells = []
+        for c in reversed(fwd_trace):
+            if c in cells:
+                break
+            new_cells.append(c)
+        for c in back_trace:
+            if c in cells:
+                break
+            new_cells.append(c)
+        if max_cells > 0 and len(cells) > 0 and len(cells) + len(new_cells) > max_cells:
+            return False
+        cells.update(new_cells)
+        if keep_gaps_open:
+            for c in new_cells:
+                for eqv in self.equiv_absorb_cells(c):
+                    if (
+                        eqv not in cells
+                        and self.cell_post_prob(eqv) > 0
+                        and self.env_mask[eqv[0], eqv[1]]
+                    ):
+                        self.add_trace(eqv, cells, max_cells, False)
+        return True
+
+    def add_trace(self, cell, cells: set, max_cells: int, keep_gaps_open: bool) -> bool:
+        fwd_trace = self.fwd.best_trace(cell)
+        back_trace = self.best_trace(cell)
+        return self.add_cells(cells, max_cells, fwd_trace, back_trace, keep_gaps_open)
+
+    def post_prob_profile(self, min_post_prob: float, max_cells: int = 0, strategy: int = COLLAPSE_CHAINS) -> Profile:
+        bc = self.cells_above_post_prob_threshold(min_post_prob)
+        cells: set = set()
+        if not bc or (strategy & INCLUDE_BEST_TRACE):
+            self.add_cells(cells, 0, self.fwd.best_trace(), [], bool(strategy & KEEP_GAPS_OPEN))
+        pos = 0
+        while (max_cells == 0 or len(cells) < max_cells) and pos < len(bc):
+            best = bc[pos][1]
+            if best in cells:
+                pos += 1
+            else:
+                if not self.add_trace(best, cells, max_cells, bool(strategy & KEEP_GAPS_OPEN)):
+                    break
+        return self.fwd.make_profile(cells, strategy)
+
+    def best_profile(self, strategy: int = COLLAPSE_CHAINS) -> Profile:
+        cells: set = set()
+        self.add_trace(self.fwd.end_cell, cells, 0, bool(strategy & KEEP_GAPS_OPEN))
+        return self.fwd.make_profile(cells, strategy)

@@ -81,6 +81,19 @@ class SumProductEngine:
         )
         return SumProductFill(self, tokens, F, logF, E, logE, G, logG, cpt_ll, col_ll)
 
+    def fill_column(self, col: dict[int, str]) -> "SumProductFill":
+        """Single-column fill from a {node: char} map (absent nodes are
+        gaps) -- the per-cell entry point used by the Forward DP's count
+        machinery (reference SumProduct::initColumn, sumprod.cpp:58-87)."""
+        n = self.arrays.n_nodes
+        tokens = np.full((n, 1), GAP_TOK, dtype=np.int32)
+        for node, ch in col.items():
+            if ch == "-" or ch == ".":
+                continue
+            tok = self.model.alphabet.tokenize_char(ch)
+            tokens[node, 0] = tok if tok >= 0 else -2
+        return self.fill_tokens(tokens)
+
     def column_log_likelihoods(self, gapped_rows: list[str]) -> np.ndarray:
         return np.asarray(self.fill(gapped_rows).col_ll)
 
