@@ -1,0 +1,145 @@
+"""Tree+alignment likelihood decomposition and alignment-path surgery.
+
+Counterpart of the reference's TreeAlignFuncs (/root/reference/src/sampler.h:18-211,
+sampler.cpp:136-448): the full history log-likelihood decomposes as
+
+  logLik = [tree prior] + root geometric length + sum_branches indel path
+           + sum_columns substitution likelihood
+
+with the substitution term computed by the batched sum-product engine
+(one device fill over all columns).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from historian_tpu.core.alignpath import AlignPath, Alignment, align_path_columns
+from historian_tpu.core.seqs import FastSeq
+from historian_tpu.core.tree import Tree
+from historian_tpu.engine.sumprod import SumProductEngine
+from historian_tpu.models.ratemodel import ProbModel, RateModel
+
+
+@dataclass
+class History:
+    gapped: list[FastSeq]
+    tree: Tree
+
+
+def root_ext_prob(model: RateModel) -> float:
+    return model.ins_ext_prob
+
+
+def pair_path(path: AlignPath, node1: int, node2: int) -> AlignPath:
+    """Canonical-order 2-row subpath: deletions deferred past inserts
+    (sampler.cpp:150-189)."""
+    cols = align_path_columns(path)
+    row1 = np.asarray(path[node1], dtype=bool)
+    row2 = np.asarray(path[node2], dtype=bool)
+    r1: list[bool] = []
+    r2: list[bool] = []
+    n_del = 0
+    for col in range(cols):
+        c1, c2 = bool(row1[col]), bool(row2[col])
+        if not (c1 or c2):
+            continue
+        state = ProbModel.get_state(c1, c2)
+        if state == ProbModel.MATCH:
+            while n_del > 0:
+                r1.append(True)
+                r2.append(False)
+                n_del -= 1
+            r1.append(c1)
+            r2.append(c2)
+        elif state == ProbModel.INSERT:
+            r1.append(c1)
+            r2.append(c2)
+        elif state == ProbModel.DELETE:
+            n_del += 1
+    while n_del > 0:
+        r1.append(True)
+        r2.append(False)
+        n_del -= 1
+    return {node1: np.array(r1, dtype=bool), node2: np.array(r2, dtype=bool)}
+
+
+def log_branch_path_likelihood(prob_model: ProbModel, path: AlignPath, parent: int, child: int) -> float:
+    """Transition-probability walk over a 2-row path (sampler.cpp:439-450)."""
+    cols = align_path_columns(path)
+    state = ProbModel.MATCH  # Start aliases Match
+    lp = 0.0
+    prow = np.asarray(path[parent], dtype=bool)
+    crow = np.asarray(path[child], dtype=bool)
+    for col in range(cols):
+        next_state = ProbModel.get_state(bool(prow[col]), bool(crow[col]))
+        p = prob_model.trans_prob(state, next_state)
+        lp += math.log(p) if p > 0 else -math.inf
+        state = next_state
+    p = prob_model.trans_prob(state, ProbModel.END)
+    lp += math.log(p) if p > 0 else -math.inf
+    return lp
+
+
+def root_log_likelihood(model: RateModel, history: History) -> float:
+    root_len = sum(
+        1 for c in history.gapped[history.tree.root()].seq if c not in "-."
+    )
+    ext = root_ext_prob(model)
+    return math.log(1 - ext) + math.log(ext) * root_len if ext > 0 else (
+        math.log(1 - ext) if root_len == 0 else -math.inf
+    )
+
+
+def indel_log_likelihood(model: RateModel, history: History) -> float:
+    align = Alignment.from_gapped(history.gapped)
+    lp = 0.0
+    for node in range(history.tree.root()):
+        parent = history.tree.parent(node)
+        pm = ProbModel(model, history.tree.branch_length(node))
+        path = pair_path(align.path, parent, node)
+        lp += log_branch_path_likelihood(pm, path, parent, node)
+    return lp
+
+
+def subst_log_likelihood(model: RateModel, history: History) -> float:
+    engine = SumProductEngine(model, history.tree)
+    return engine.log_likelihood([s.seq for s in history.gapped])
+
+
+def log_likelihood(model: RateModel, tree: Tree, gapped: list[FastSeq]) -> float:
+    history = History(gapped=gapped, tree=tree)
+    return (
+        root_log_likelihood(model, history)
+        + indel_log_likelihood(model, history)
+        + subst_log_likelihood(model, history)
+    )
+
+
+class SimpleTreePrior:
+    """Coalescent prior with rate C(k,2)/N (sampler.cpp:9-31)."""
+
+    def __init__(self, population_size: float = 1.0):
+        self.population_size = population_size
+
+    def tree_log_likelihood(self, tree: Tree) -> float:
+        # times between coalescences under the coalescent with k lineages
+        heights = tree.distance_from_root()
+        max_h = heights.max()
+        node_times = sorted(
+            (max_h - heights[n]) for n in range(tree.n_nodes()) if not tree.is_leaf(n)
+        )
+        n_leaves = sum(1 for n in range(tree.n_nodes()) if tree.is_leaf(n))
+        lp = 0.0
+        k = n_leaves
+        last_t = 0.0
+        for t in node_times:
+            rate = k * (k - 1) / 2 / self.population_size
+            dt = max(0.0, t - last_t)
+            lp += math.log(rate) - rate * dt
+            k -= 1
+            last_t = t
+        return lp

@@ -277,7 +277,7 @@ class RateModel:
         diff = float(pair_counts.sum() - same)
         total = same + diff
         if total == 0:
-            return math.inf
+            return math.nan  # matches the reference's 0/0 division result
         p_diff = diff / total
         a = float(self.alphabet_size)
         if p_diff >= (a - 1) / a:
@@ -287,7 +287,10 @@ class RateModel:
     def ml_distance_from_counts(self, pair_counts: np.ndarray, max_iterations: int = DEFAULT_DISTANCE_MATRIX_ITERATIONS) -> float:
         """Golden-section ML branch length (model.cpp:584-655 semantics)."""
         t_min, t_max = 1e-9, 10.0
-        tjc = min(t_max, max(t_min, self.jukes_cantor_distance(pair_counts)))
+        jc = self.jukes_cantor_distance(pair_counts)
+        # std::min/max NaN semantics: NaN comparisons are false, so a NaN
+        # tJC (no aligned residue pairs) clamps to t_min like the reference
+        tjc = t_min if math.isnan(jc) else min(t_max, max(t_min, jc))
         if max_iterations <= 0:
             return tjc
         nll = lambda t: self.neg_log_like_distance(t, pair_counts)

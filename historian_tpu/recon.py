@@ -1,0 +1,800 @@
+"""Reconstruction orchestrator: the framework's workflow engine.
+
+TPU-native counterpart of the reference's Reconstructor
+(/root/reference/src/recon.h:29-160): dataset loading with format
+autodetection, model loading with overrides, guide alignment, tree
+estimation, the postorder progressive transducer merge with
+band-doubling retry, ancestral prediction, EM fitting with the
+count/sum MapReduce algebra, and all output writers.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from historian_tpu.core.alignpath import (
+    AlignPath,
+    Alignment,
+    align_path_columns,
+    align_path_has_gaps,
+    residues_in_row,
+)
+from historian_tpu.core.ctok import codon_tokenizer
+from historian_tpu.core.nexus import NexusData
+from historian_tpu.core.seqs import FastSeq, format_fasta, read_fasta
+from historian_tpu.core.stockholm import ID_TAG, LP_TAG, NH_TAG, Stockholm
+from historian_tpu.core.tree import Tree
+from historian_tpu.engine import treealign
+from historian_tpu.engine.diagenv import DiagEnvParams
+from historian_tpu.engine.forward import (
+    COLLAPSE_CHAINS,
+    COUNT_INDEL_EVENTS,
+    COUNT_SUBST_EVENTS,
+    INCLUDE_BEST_TRACE,
+    KEEP_GAPS_OPEN,
+    BackwardMatrix,
+    ForwardMatrix,
+)
+from historian_tpu.engine.pairhmm import PairHMM
+from historian_tpu.engine.profile import Profile
+from historian_tpu.engine.span import AlignGraph
+from historian_tpu.engine.sumprod import SumProductEngine
+from historian_tpu.models.counts import EigenCounts, EventCounts
+from historian_tpu.models.gamma import make_discretized_gamma_model
+from historian_tpu.models.presets import DEFAULT_AMINO_MODEL, DEFAULT_CODON_MODEL, named_model
+from historian_tpu.models.ratemodel import ProbModel, RateModel
+from historian_tpu.utils.logging import log_this_at
+from historian_tpu.utils.rng import DEFAULT_SEED, MT19937
+
+DEFAULT_PROFILE_SAMPLES = 10
+DEFAULT_MAX_DISTANCE_FROM_GUIDE = 20
+DEFAULT_MAX_EM_ITERATIONS = 100
+DEFAULT_MIN_EM_IMPROVEMENT = 0.001
+DEFAULT_MCMC_SAMPLES_PER_SEQ = 100
+DEFAULT_SIMULATOR_ROOT_SEQ_LEN = 100
+ANCESTRAL_POST_PROB_TAG = "PP"
+
+# deterministic replacement for the reference's RAM-derived profile cap
+# (maxProfileStates = sqrt(frac * RAM / cellSize), recon.cpp:77-79)
+DEFAULT_DP_MEMORY_BYTES = 1 << 30
+DP_CELL_SIZE = 40
+
+
+@dataclass
+class Dataset:
+    name: str = ""
+    tree: Tree | None = None
+    seqs: list[FastSeq] = field(default_factory=list)
+    gapped_guide: list[FastSeq] = field(default_factory=list)
+    gapped_recon: list[FastSeq] = field(default_factory=list)
+    gapped_ancestral_recon: list[FastSeq] = field(default_factory=list)
+    ancestral_post_prob: dict = field(default_factory=dict)
+    guide: AlignPath = field(default_factory=dict)
+    seq_index: dict[str, int] = field(default_factory=dict)
+    node_to_seq_index: dict[int, int] = field(default_factory=dict)
+    row_name: list[str] = field(default_factory=list)
+    closest_leaf: list[int] = field(default_factory=list)
+    closest_leaf_distance: list[float] = field(default_factory=list)
+    reconstruction: Alignment | None = None
+    eigen_counts: EigenCounts = field(default_factory=EigenCounts)
+
+    def has_reconstruction(self) -> bool:
+        return bool(self.gapped_recon)
+
+    def init_guide(self, gapped: list[FastSeq]) -> None:
+        self.gapped_guide = gapped
+        align = Alignment.from_gapped(gapped)
+        self.guide = align.path
+        self.seqs = align.ungapped
+
+    def prepare_recon(self, recon: "Reconstructor") -> None:
+        """Reorder rows to tree nodes, compute closest leaves
+        (recon.cpp:864-915)."""
+        self.tree.validate_branch_lengths()
+        for n, s in enumerate(self.seqs):
+            if s.name in self.seq_index:
+                raise ValueError(f"duplicate sequence name {s.name}")
+            self.seq_index[s.name] = n
+        self.tree.assert_binary()
+        reordered_guide: AlignPath = {}
+        for node in range(self.tree.n_nodes()):
+            if self.tree.is_leaf(node):
+                name = self.tree.node_name(node)
+                if not name:
+                    raise ValueError(f"leaf node {node} is unnamed")
+                if name not in self.seq_index:
+                    raise KeyError(f"can't find sequence for leaf node {name}")
+                seqidx = self.seq_index[name]
+                self.node_to_seq_index[node] = seqidx
+                if self.guide:
+                    reordered_guide[node] = self.guide[seqidx]
+                self.closest_leaf.append(node)
+                self.closest_leaf_distance.append(0.0)
+            else:
+                cl, dcl = -1, 0.0
+                for nc, c in enumerate(self.tree.children(node)):
+                    dc = self.closest_leaf_distance[c] + self.tree.branch_length(c)
+                    if nc == 0 or dc < dcl:
+                        cl = self.closest_leaf[c]
+                        dcl = dc
+                self.closest_leaf.append(cl)
+                self.closest_leaf_distance.append(dcl)
+            self.row_name.append(self.tree.seq_name(node))
+        self.guide = reordered_guide
+
+
+FORMAT_FASTA = "fasta"
+FORMAT_GAPPED_FASTA = "gapped-fasta"
+FORMAT_NEXUS = "nexus"
+FORMAT_STOCKHOLM = "stockholm"
+FORMAT_NEWICK = "newick"
+FORMAT_JSON = "json"
+FORMAT_UNKNOWN = "unknown"
+
+
+def detect_format(path: str) -> str:
+    """First-line heuristics + gap scan (recon.cpp:1441-1480)."""
+    with open(path) as f:
+        text = f.read(1 << 20)
+    first = ""
+    for line in text.splitlines():
+        if line.strip():
+            first = line
+            break
+    if re.match(r"^\s*#\s*STOCKHOLM", first):
+        return FORMAT_STOCKHOLM
+    if re.match(r"^\s*#\s*NEXUS", first, re.IGNORECASE) or first.strip().upper() == "#NEXUS":
+        return FORMAT_NEXUS
+    if re.match(r"^\s*\{", first):
+        return FORMAT_JSON
+    if re.match(r"^\s*\(", first):
+        return FORMAT_NEWICK
+    if re.match(r"^\s*>", first):
+        seqs = read_fasta(path)
+        if any("-" in s.seq or "." in s.seq for s in seqs):
+            return FORMAT_GAPPED_FASTA
+        return FORMAT_FASTA
+    return FORMAT_UNKNOWN
+
+
+class Reconstructor:
+    def __init__(self):
+        self.profile_samples = DEFAULT_PROFILE_SAMPLES
+        self.profile_node_limit = 0
+        self.profile_min_len = 0
+        self.profile_max_len = 1 << 62
+        self.dp_memory_bytes = DEFAULT_DP_MEMORY_BYTES
+        self.max_dp_memory_fraction = 0.05
+        self.rnd_seed = DEFAULT_SEED
+        self.max_distance_from_guide = DEFAULT_MAX_DISTANCE_FROM_GUIDE
+        self.tokenize_codons = False
+        self.guide_align_try_all_pairs = False
+        self.use_upgma = True
+        self.jukes_cantor_distance_matrix = False
+        self.include_best_trace_in_profile = True
+        self.keep_gaps_open = False
+        self.use_posteriors_for_profile = False
+        self.reconstruct_root = True
+        self.refine_reconstruction = False
+        self.accumulate_subst_counts = False
+        self.accumulate_indel_counts = False
+        self.predict_ancestral_sequence = False
+        self.report_ancestral_sequence_probability = False
+        self.got_prior = False
+        self.use_laplace_pseudocounts = True
+        self.min_post_prob = 0.0
+        self.max_em_iterations = DEFAULT_MAX_EM_ITERATIONS
+        self.min_em_improvement = DEFAULT_MIN_EM_IMPROVEMENT
+        self.run_mcmc = False
+        self.fix_tree_mcmc = False
+        self.fix_align_mcmc = False
+        self.mcmc_samples_per_seq = DEFAULT_MCMC_SAMPLES_PER_SEQ
+        self.mcmc_trace_filename = ""
+        self.output_format = FORMAT_STOCKHOLM
+        self.output_leaves_only = False
+        self.simulator_root_seq_len = -1
+        self.gamma_categories = 0
+        self.gamma_shape = 1.0
+        self.normalize_model = False
+        self.fit_subst_rates = True
+        self.fit_indel_rates = True
+
+        self.model_filename = ""
+        self.preset_model_name = ""
+        self.model_save_filename = ""
+        self.guide_save_filename = ""
+        self.tree_filename = ""
+        self.tree_root = ""
+        self.model_param: dict[str, float] = {}
+        self.seq_filenames: list[str] = []
+        self.fasta_guide_filenames: list[str] = []
+        self.nexus_guide_filenames: list[str] = []
+        self.stockholm_guide_filenames: list[str] = []
+        self.fasta_recon_filename = ""
+        self.nexus_recon_filenames: list[str] = []
+        self.stockholm_recon_filenames: list[str] = []
+        self.count_filenames: list[str] = []
+        self.simulator_tree_filenames: list[str] = []
+
+        self.diag_env_params = DiagEnvParams()
+        self.model: RateModel | None = None
+        self.datasets: list[Dataset] = []
+        self.prior_counts: EventCounts | None = None
+        self.data_counts: EventCounts | None = None
+        self.data_plus_prior_counts: EventCounts | None = None
+        self.generator = MT19937(self.rnd_seed)
+
+    # ------------------------------------------------------------------ model
+    def seed_generator(self) -> None:
+        self.generator = MT19937(self.rnd_seed)
+
+    def max_profile_states(self) -> int:
+        if self.profile_node_limit:
+            return int(self.profile_node_limit)
+        return int(math.sqrt(self.max_dp_memory_fraction * self.dp_memory_bytes / DP_CELL_SIZE))
+
+    def load_model(self) -> None:
+        if self.preset_model_name:
+            self.model = named_model(self.preset_model_name)
+        elif self.model_filename:
+            self.model = RateModel.from_file(self.model_filename)
+        elif self.tokenize_codons:
+            self.model = named_model(DEFAULT_CODON_MODEL)
+        else:
+            self.model = named_model(DEFAULT_AMINO_MODEL)
+
+        if self.normalize_model:
+            self.model = self.model.normalize_substitution_rate()
+
+        p = self.model_param
+        for attr, key in [
+            ("ins_rate", "insrate"), ("del_rate", "delrate"),
+            ("ins_ext_prob", "insextprob"), ("del_ext_prob", "delextprob"),
+        ]:
+            if key in p:
+                setattr(self.model, attr, p[key])
+        for attr, key in [("ins_ext_prob", "inslen"), ("del_ext_prob", "dellen")]:
+            if key in p:
+                setattr(self.model, attr, max(0.0, 1.0 - 1.0 / p[key]))
+        if "gaprate" in p:
+            self.model.ins_rate = self.model.del_rate = p["gaprate"]
+        if "gapextprob" in p:
+            self.model.ins_ext_prob = self.model.del_ext_prob = p["gapextprob"]
+        if "gaplen" in p:
+            v = max(0.0, 1.0 - 1.0 / p["gaplen"])
+            self.model.ins_ext_prob = self.model.del_ext_prob = v
+        sub_scale = p.get("subscale", 1.0) * p.get("scale", 1.0)
+        indel_scale = p.get("indelscale", 1.0) * p.get("scale", 1.0)
+        if sub_scale != 1.0 or indel_scale != 1.0:
+            self.model = self.model.scale_rates(sub_scale, indel_scale)
+
+        if self.gamma_categories > 1:
+            self.model = make_discretized_gamma_model(self.model, self.gamma_categories, self.gamma_shape)
+
+        if self.tokenize_codons:
+            codon_tokenizer.assert_alphabet_tokenized(self.model.alphabet.symbols)
+
+        self.data_counts = EventCounts(self.model.alphabet, self.model.components)
+
+        if self.model_save_filename:
+            with open(self.model_save_filename, "w") as f:
+                self.model.write(f)
+
+    # ------------------------------------------------------------------- data
+    def new_dataset(self) -> Dataset:
+        ds = Dataset(name=f"#{len(self.datasets) + 1}")
+        self.datasets.append(ds)
+        return ds
+
+    def load_tree(self, dataset: Dataset) -> None:
+        if not self.tree_filename:
+            raise ValueError("must specify a tree")
+        with open(self.tree_filename) as f:
+            dataset.tree = Tree(f.read())
+        if self.tree_root:
+            dataset.tree = dataset.tree.reroot_above(self.tree_root)
+
+    def build_tree(self, dataset: Dataset) -> None:
+        if self.run_mcmc and not self.fix_tree_mcmc:
+            self.use_upgma = True
+        dist = self.model.distance_matrix(
+            dataset.gapped_guide,
+            0 if self.jukes_cantor_distance_matrix else 100,
+        )
+        names = [s.name for s in dataset.gapped_guide]
+        if self.use_upgma:
+            dataset.tree = Tree.upgma(names, dist)
+        else:
+            dataset.tree = Tree.neighbor_joining(names, dist)
+
+    def load_seqs(self) -> None:
+        for fn in self.seq_filenames:
+            self._load_one(seq_filename=fn)
+        for fn in self.fasta_guide_filenames:
+            self._load_one(guide_filename=fn)
+        for fn in self.nexus_guide_filenames:
+            self._load_one(nexus_filename=fn)
+        for fn in self.stockholm_guide_filenames:
+            self._load_one(stockholm_filename=fn)
+
+    def _tok(self, seqs: list[FastSeq]) -> list[FastSeq]:
+        return codon_tokenizer.tokenize_seqs(seqs) if self.tokenize_codons else seqs
+
+    def _load_one(self, seq_filename="", guide_filename="", nexus_filename="", stockholm_filename="") -> None:
+        if stockholm_filename:
+            with open(stockholm_filename) as f:
+                text = f.read()
+            for chunk in _split_stockholm(text):
+                stock = Stockholm.parse(chunk)
+                if stock.rows == 0:
+                    continue
+                ds = self.new_dataset()
+                ds.name = stockholm_filename
+                ds.init_guide(self._tok(stock.gapped))
+                if stock.has_tree():
+                    ds.tree = stock.get_tree()
+                else:
+                    self.build_tree(ds)
+                ds.prepare_recon(self)
+            return
+        ds = self.new_dataset()
+        if nexus_filename:
+            ds.name = nexus_filename
+            nex = NexusData.read(nexus_filename)
+            nex.convert_nexus_to_alignment()
+            ds.tree = nex.tree
+            ds.init_guide(self._tok(nex.gapped))
+            ds.prepare_recon(self)
+            return
+        if seq_filename:
+            ds.name = seq_filename
+            ds.seqs = self._tok(read_fasta(seq_filename))
+            if self.max_distance_from_guide < 0 and self.tree_filename:
+                pass  # no guide needed: unbanded DP with a supplied tree
+            else:
+                if self.guide_align_try_all_pairs:
+                    graph = AlignGraph(ds.seqs, self.model, 1.0, self.diag_env_params, dense=True)
+                else:
+                    self.seed_generator()
+                    graph = AlignGraph(ds.seqs, self.model, 1.0, self.diag_env_params, rng=self.generator)
+                align = graph.mst_align()
+                ds.guide = align.path
+                ds.gapped_guide = align.gapped()
+        else:
+            ds.name = guide_filename
+            guide = read_fasta(guide_filename)
+            ds.init_guide(self._tok(guide))
+            if not align_path_has_gaps(ds.guide):
+                log_this_at(1, f"warning: guide alignment {guide_filename} has no gaps")
+        if self.tree_filename:
+            self.load_tree(ds)
+        else:
+            self.build_tree(ds)
+        ds.prepare_recon(self)
+
+        if self.guide_save_filename and ds.gapped_guide:
+            with open(self.guide_save_filename, "w") as f:
+                reordered = [None] * ds.tree.n_nodes()
+                rows = []
+                for node in range(ds.tree.n_nodes()):
+                    if ds.tree.is_leaf(node):
+                        rows.append(ds.gapped_guide[ds.node_to_seq_index[node]])
+                self.write_tree_alignment(ds.tree, rows, ds.name, f, False)
+
+    def load_auto(self, path: str) -> None:
+        """Format autodetection for bare filenames (-auto)."""
+        fmt = detect_format(path)
+        if fmt == FORMAT_FASTA:
+            self.seq_filenames.append(path)
+        elif fmt == FORMAT_GAPPED_FASTA:
+            self.fasta_guide_filenames.append(path)
+        elif fmt == FORMAT_NEXUS:
+            self.nexus_guide_filenames.append(path)
+        elif fmt == FORMAT_STOCKHOLM:
+            self.stockholm_guide_filenames.append(path)
+        elif fmt == FORMAT_NEWICK:
+            self.tree_filename = path
+        elif fmt == FORMAT_JSON:
+            self.model_filename = path
+        else:
+            raise ValueError(f"can't detect format of {path}")
+
+    def load_recon(self) -> None:
+        if self.fasta_recon_filename:
+            ds = self.new_dataset()
+            ds.name = self.fasta_recon_filename
+            self.load_tree(ds)
+            ds.gapped_recon = self._tok(read_fasta(self.fasta_recon_filename))
+            ds.gapped_recon = ds.tree.reorder_seqs(ds.gapped_recon)
+            ds.reconstruction = Alignment.from_gapped(ds.gapped_recon)
+            ds.gapped_guide = ds.gapped_recon
+        for fn in self.nexus_recon_filenames:
+            ds = self.new_dataset()
+            ds.name = fn
+            nex = NexusData.read(fn)
+            nex.convert_nexus_to_alignment()
+            ds.tree = nex.tree
+            ds.gapped_recon = self._tok(nex.gapped)
+            ds.gapped_recon = ds.tree.reorder_seqs(ds.gapped_recon)
+            ds.reconstruction = Alignment.from_gapped(ds.gapped_recon)
+            ds.gapped_guide = ds.gapped_recon
+        for fn in self.stockholm_recon_filenames:
+            with open(fn) as f:
+                text = f.read()
+            for n, chunk in enumerate(_split_stockholm(text)):
+                stock = Stockholm.parse(chunk)
+                if stock.rows == 0:
+                    continue
+                if not stock.has_tree():
+                    raise ValueError("Stockholm alignment lacks tree")
+                ds = self.new_dataset()
+                ds.name = f"{fn} alignment #{n + 1}"
+                ds.gapped_recon = self._tok(stock.gapped)
+                ds.tree = stock.get_tree()
+                ds.gapped_recon = ds.tree.reorder_seqs(ds.gapped_recon)
+                ds.reconstruction = Alignment.from_gapped(ds.gapped_recon)
+                ds.gapped_guide = ds.gapped_recon
+
+    def load_counts(self) -> None:
+        if not self.count_filenames:
+            self.prior_counts = EventCounts(self.model.alphabet, self.model.components)
+        else:
+            for i, fn in enumerate(self.count_filenames):
+                c = EventCounts.from_file(fn)
+                if i == 0:
+                    self.prior_counts = c
+                else:
+                    self.prior_counts += c
+                self.got_prior = True
+        if self.use_laplace_pseudocounts:
+            self.prior_counts += EventCounts(
+                self.prior_counts.alphabet, self.prior_counts.components, 1.0
+            )
+            self.got_prior = True
+        self.data_counts = self.prior_counts.copy()
+
+    # ---------------------------------------------------------- reconstruction
+    def reconstruct(self, dataset: Dataset) -> None:
+        """Postorder progressive transducer merge (recon.cpp:917-1052)."""
+        if not self.use_posteriors_for_profile:
+            self.seed_generator()
+        tree = dataset.tree
+        model = self.model
+        strategy = COLLAPSE_CHAINS
+        if self.keep_gaps_open:
+            strategy |= KEEP_GAPS_OPEN
+        if self.accumulate_subst_counts:
+            strategy |= COUNT_SUBST_EVENTS
+        if self.accumulate_indel_counts:
+            strategy |= COUNT_INDEL_EVENTS
+        if self.include_best_trace_in_profile:
+            strategy |= INCLUDE_BEST_TRACE
+
+        sumprod = SumProductEngine(model, tree) if self.accumulate_subst_counts else None
+
+        from historian_tpu.core.alignpath import GuideAlignmentEnvelope
+
+        path: AlignPath = {}
+        prof: dict[int, Profile] = {}
+        lp_final_fwd = -np.inf
+        for node in range(tree.n_nodes()):
+            if tree.is_leaf(node):
+                prof[node] = Profile.from_sequence(
+                    model.components, model.alphabet,
+                    dataset.seqs[dataset.node_to_seq_index[node]], node,
+                )
+                prof[node].name = tree.node_name(node)
+                continue
+            l_child, r_child = tree.children(node)
+            l_prof, r_prof = prof[l_child], prof[r_child]
+            l_probs = ProbModel(model, tree.branch_length(l_child))
+            r_probs = ProbModel(model, tree.branch_length(r_child))
+            hmm = PairHMM(l_probs, r_probs, model.ins_prob)
+            log_this_at(2, f"Aligning node #{l_child} ({l_prof.size} states) and node #{r_child} ({r_prof.size} states) to build profile for node #{node}")
+
+            max_dist = self.max_distance_from_guide
+            forward = None
+            while True:
+                env = (
+                    GuideAlignmentEnvelope()
+                    if not dataset.guide or max_dist < 0
+                    else GuideAlignmentEnvelope(
+                        dataset.guide,
+                        dataset.closest_leaf[l_child],
+                        dataset.closest_leaf[r_child],
+                        max_dist,
+                    )
+                )
+                forward = ForwardMatrix(l_prof, r_prof, hmm, node, env, sumprod)
+                if forward.lp_end > -np.inf:
+                    break
+                # band-doubling retry (recon.cpp:954-975)
+                if max_dist < 0:
+                    raise RuntimeError(
+                        "zero forward likelihood even without guide constraints"
+                    )
+                if dataset.guide and max_dist * 2 > align_path_columns(dataset.guide):
+                    max_dist = -1
+                elif max_dist == 0:
+                    max_dist = 1
+                else:
+                    max_dist *= 2
+
+            backward = None
+            need_backward_root = (
+                (self.accumulate_subst_counts or self.accumulate_indel_counts)
+                and node == tree.root()
+            )
+            if need_backward_root or (self.use_posteriors_for_profile and node != tree.root()):
+                backward = BackwardMatrix(forward)
+
+            if node == tree.root():
+                if self.reconstruct_root:
+                    path = forward.best_align_path()
+                    prof[node] = forward.best_profile()
+                lp_final_fwd = forward.lp_end
+                if self.accumulate_subst_counts or self.accumulate_indel_counts:
+                    dataset.eigen_counts = backward.get_counts()
+            elif self.use_posteriors_for_profile:
+                prof[node] = backward.post_prob_profile(
+                    self.min_post_prob, self.max_profile_states(), strategy
+                )
+            else:
+                prof[node] = forward.sample_profile(
+                    self.generator, self.profile_samples, self.max_profile_states(), strategy
+                )
+            # free children
+            prof.pop(l_child, None)
+            prof.pop(r_child, None)
+
+        log_this_at(2, f"Final Forward log-likelihood is {lp_final_fwd}")
+
+        if self.reconstruct_root:
+            dataset.reconstruction = self.make_alignment(dataset, path, tree.root())
+            dataset.gapped_recon = dataset.reconstruction.gapped()
+            if self.refine_reconstruction:
+                self.refine(dataset)
+
+        if self.accumulate_subst_counts:
+            self.data_counts += dataset.eigen_counts.transform(model)
+        elif self.accumulate_indel_counts:
+            self.data_counts.indel += dataset.eigen_counts.indel
+
+    def reconstruct_all(self) -> None:
+        if not self.datasets:
+            raise ValueError("please supply some data")
+        for ds in self.datasets:
+            self.reconstruct(ds)
+
+    def make_alignment(self, dataset: Dataset, path: AlignPath, root: int) -> Alignment:
+        tree = dataset.tree
+        ungapped: list[FastSeq] = [FastSeq(name="", seq="") for _ in range(tree.n_nodes())]
+        for node in tree.node_and_descendants(root):
+            if tree.is_leaf(node):
+                ungapped[node] = dataset.seqs[dataset.seq_index[dataset.row_name[node]]]
+            else:
+                n_res = residues_in_row(np.asarray(path[node]))
+                ungapped[node] = FastSeq(name=dataset.row_name[node], seq="*" * n_res)
+        return Alignment(ungapped, path)
+
+    def refine(self, dataset: Dataset) -> None:
+        from historian_tpu.sampler.refiner import Refiner
+
+        gapped = (
+            dataset.gapped_ancestral_recon
+            if dataset.gapped_ancestral_recon
+            else dataset.gapped_recon
+        )
+        refiner = Refiner(self.model)
+        new_tree, new_gapped = refiner.refine(dataset.tree, gapped)
+        dataset.tree = new_tree
+        if dataset.gapped_ancestral_recon:
+            dataset.gapped_ancestral_recon = new_gapped
+        else:
+            dataset.gapped_recon = new_gapped
+
+    # ----------------------------------------------------- ancestral prediction
+    def predict_ancestors(self, dataset: Dataset) -> None:
+        if not self.predict_ancestral_sequence:
+            return
+        engine = SumProductEngine(self.model, dataset.tree)
+        rows = [s.seq for s in dataset.gapped_recon]
+        fill = engine.fill(rows)
+        anc_rows = fill.ancestral_gapped_rows(rows)
+        dataset.gapped_ancestral_recon = [
+            FastSeq(name=s.name, comment=s.comment, seq=r)
+            for s, r in zip(dataset.gapped_recon, anc_rows)
+        ]
+        if self.report_ancestral_sequence_probability:
+            dataset.ancestral_post_prob = fill.ancestral_post_probs(rows)
+
+    def predict_all_ancestors(self) -> None:
+        for ds in self.datasets:
+            self.predict_ancestors(ds)
+
+    # ------------------------------------------------------------------ counts
+    def count(self, dataset: Dataset) -> None:
+        dataset.eigen_counts = EigenCounts(self.model.components, self.model.alphabet_size)
+        dataset.eigen_counts.accumulate_counts(
+            self.model, dataset.reconstruction, dataset.tree,
+            self.accumulate_indel_counts, self.accumulate_subst_counts,
+        )
+        if self.accumulate_subst_counts:
+            self.data_counts += dataset.eigen_counts.transform(self.model)
+        elif self.accumulate_indel_counts:
+            self.data_counts.indel += dataset.eigen_counts.indel
+
+    def count_all(self) -> None:
+        if not self.datasets:
+            raise ValueError("please supply some data")
+        self.data_counts = EventCounts(self.model.alphabet, self.model.components)
+        for ds in self.datasets:
+            if ds.has_reconstruction():
+                self.count(ds)
+            else:
+                self.reconstruct(ds)
+        if self.prior_counts is not None:
+            self.data_plus_prior_counts = self.data_counts + self.prior_counts
+        else:
+            self.data_plus_prior_counts = self.data_counts.copy()
+
+    def fit(self) -> None:
+        """EM loop (recon.cpp:1385-1408)."""
+        if not (self.accumulate_indel_counts or self.accumulate_subst_counts):
+            raise ValueError("with indel AND substitution rates fixed, nothing to fit")
+        if not self.datasets:
+            if not self.got_prior:
+                raise ValueError("please specify data or pseudocounts to fit a model")
+            self.prior_counts.optimize(
+                self.model, self.accumulate_indel_counts, self.accumulate_subst_counts
+            )
+            return
+        lp_last = -np.inf
+        self.prior_counts.indel.lp = 0.0
+        for it in range(self.max_em_iterations):
+            self.count_all()
+            lp_data = self.data_counts.indel.lp
+            lp_prior = (
+                self.prior_counts.log_prior(
+                    self.model, self.accumulate_indel_counts, self.accumulate_subst_counts
+                )
+                if self.got_prior
+                else 0.0
+            )
+            lp_with_prior = lp_data + lp_prior
+            log_this_at(1, f"EM iteration #{it + 1}: log-likelihood = {lp_with_prior}")
+            if lp_with_prior <= lp_last + abs(lp_last) * self.min_em_improvement:
+                break
+            self.data_plus_prior_counts.optimize(
+                self.model, self.accumulate_indel_counts, self.accumulate_subst_counts
+            )
+            lp_last = lp_with_prior
+
+    # ------------------------------------------------------------------- MCMC
+    def sample_all(self) -> None:
+        if not self.run_mcmc:
+            return
+        from historian_tpu.sampler.sampler import run_mcmc_on_datasets
+
+        run_mcmc_on_datasets(self)
+
+    # ---------------------------------------------------------------- simulate
+    def simulate(self) -> None:
+        from historian_tpu.sampler.simulator import simulate_tree
+
+        for fn in self.simulator_tree_filenames:
+            with open(fn) as f:
+                tree = Tree(f.read())
+            ds = self.new_dataset()
+            ds.name = fn
+            ds.tree = tree
+            root_len = (
+                self.simulator_root_seq_len
+                if self.simulator_root_seq_len >= 0
+                else DEFAULT_SIMULATOR_ROOT_SEQ_LEN
+            )
+            stock = simulate_tree(self.generator, self.model, tree, root_len)
+            ds.gapped_recon = stock.gapped
+            ds.tree = tree
+
+    # ----------------------------------------------------------------- writers
+    def write_tree_alignment(self, tree: Tree, gapped: list[FastSeq], name: str, out, is_reconstruction: bool, post_prob=None) -> None:
+        t = Tree(tree.to_string())
+        g = [FastSeq(name=s.name, comment=s.comment, seq=s.seq) for s in gapped]
+        if self.output_leaves_only:
+            g = [g[n] for n in range(tree.n_nodes()) if tree.is_leaf(n)]
+        if self.tokenize_codons:
+            g = codon_tokenizer.detokenize_seqs(g)
+        # convert internal wildcard to the model's wildcard char
+        wild = self.model.wildcard if self.model else "*"
+        for s in g:
+            s.seq = s.seq.replace("*", wild)
+        if self.output_format == FORMAT_JSON or (
+            is_reconstruction and self.output_format in (FORMAT_NEXUS, FORMAT_STOCKHOLM)
+        ):
+            if self.output_leaves_only:
+                t.assign_internal_node_names()
+            else:
+                t.assign_internal_node_names()
+                for n in range(t.n_nodes()):
+                    if n < len(g) and not g[n].name:
+                        g[n].name = t.seq_name(n)
+                # rename rows to match named nodes
+                for n in range(t.n_nodes()):
+                    if n < len(g):
+                        g[n].name = t.seq_name(n)
+        if self.output_format == FORMAT_FASTA:
+            out.write(format_fasta(g))
+        elif self.output_format == FORMAT_NEXUS:
+            nex = NexusData(gapped=g, tree=t)
+            nex.convert_alignment_to_nexus()
+            out.write(nex.to_string())
+        elif self.output_format == FORMAT_JSON:
+            out.write(self._json_alignment(t, g, post_prob))
+        else:  # stockholm
+            stock = Stockholm.from_seqs(g, t)
+            if post_prob and not self.output_leaves_only:
+                for row, by_col in sorted(post_prob.items()):
+                    for col, by_char in sorted(by_col.items()):
+                        for ch, prob in sorted(by_char.items()):
+                            stock.gs.setdefault(ANCESTRAL_POST_PROB_TAG, {}).setdefault(
+                                stock.gapped[row].name, []
+                            ).append(f"{col + 1} {ch} {prob:.6f}")
+            stock.gf.setdefault(ID_TAG, []).append(name)
+            lp = treealign.log_likelihood(self.model, tree, gapped)
+            stock.gf.setdefault(LP_TAG, []).append(f"{lp:.6f}")
+            out.write(stock.to_string(0))
+
+    def _json_alignment(self, tree: Tree, gapped: list[FastSeq], post_prob=None) -> str:
+        out = ['{"root": "' + tree.node_name(tree.root()) + '",']
+        branches = []
+        for n in range(tree.n_nodes()):
+            if n != tree.root():
+                branches.append(
+                    f'\n  ["{tree.node_name(tree.parent(n))}","{tree.node_name(n)}",{tree.branch_length(n):g}]'
+                )
+        out.append(' "branches": [' + ",".join(branches) + "],")
+        rows = []
+        for s, fs in enumerate(gapped):
+            rows.append(f'\n  "{fs.name}": "{fs.seq}"')
+        out.append(' "rowData": {' + ",".join(rows) + "\n}}")
+        return "\n".join(out) + "\n"
+
+    def write_recon(self, out) -> None:
+        if not self.datasets:
+            raise ValueError("no dataset")
+        for ds in self.datasets:
+            gapped = (
+                ds.gapped_ancestral_recon
+                if self.predict_ancestral_sequence
+                else ds.gapped_recon
+            )
+            self.write_tree_alignment(
+                ds.tree, gapped, ds.name, out, True,
+                ds.ancestral_post_prob if self.report_ancestral_sequence_probability else None,
+            )
+
+    def write_counts(self, out) -> None:
+        self.data_counts.write(out)
+
+    def write_model(self, out) -> None:
+        self.model.write(out)
+
+
+def _split_stockholm(text: str) -> list[str]:
+    """Split a multi-alignment Stockholm file on '//' dividers."""
+    chunks = []
+    current: list[str] = []
+    for line in text.splitlines():
+        current.append(line)
+        if re.match(r"^\s*//\s*$", line):
+            chunks.append("\n".join(current))
+            current = []
+    if any(line.strip() for line in current):
+        chunks.append("\n".join(current))
+    return chunks

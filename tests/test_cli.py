@@ -1,0 +1,116 @@
+"""End-to-end CLI tests: the reference's testhist/testcount/testsum/testzerolen
+golden commands (reference Makefile:304-331) run through `python -m
+historian_tpu` and compared byte-for-byte."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args: list[str]) -> str:
+    env = dict(os.environ)
+    env["HISTORIAN_PLATFORM"] = "cpu"
+    env.pop("JAX_PLATFORMS", None)
+    result = subprocess.run(
+        [sys.executable, "-m", "historian_tpu", *args],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    return result.stdout
+
+
+def golden(ref_data, name):
+    with open(os.path.join(ref_data, name)) as f:
+        return f.read()
+
+
+def d(ref_data, name):
+    return os.path.join(ref_data, name)
+
+
+def test_recon_testcount(ref_data):
+    out = run_cli(
+        ["recon", "-careful", "-norefine", "-output", "fasta",
+         "-model", d(ref_data, "testcount.jukescantor.json"),
+         "-guide", d(ref_data, "testcount.fa"), "-tree", d(ref_data, "testcount.nh")]
+    )
+    assert out == golden(ref_data, "testcount.historian.fa")
+
+
+def test_recon_nexus(ref_data):
+    out = run_cli(
+        ["recon", "-careful", "-norefine", "-output", "fasta",
+         "-model", d(ref_data, "testnj.jukescantor.json"),
+         "-nexus", d(ref_data, "testnexus.nex")]
+    )
+    assert out == golden(ref_data, "testnexus.hist.fa")
+
+
+@pytest.mark.slow
+def test_recon_pf16593_sampled(ref_data):
+    out = run_cli(
+        ["recon", "-careful", "-norefine", "-output", "fasta", "-profsamples", "100",
+         "-guide", d(ref_data, "PF16593.testspan.fa"),
+         "-model", d(ref_data, "testamino.json"),
+         "-tree", d(ref_data, "PF16593.testspan.testnj.nh"), "-band", "10"]
+    )
+    assert out == golden(ref_data, "PF16593.testspan.testnj.historian.fa")
+
+
+@pytest.mark.slow
+def test_recon_full_pipeline(ref_data):
+    """Unaligned seqs -> guide alignment -> banded recon, vs golden."""
+    out = run_cli(
+        ["recon", "-careful", "-norefine", "-output", "fasta", "-profsamples", "100",
+         "-seqs", d(ref_data, "PF16593.fa"), "-tree", d(ref_data, "PF16593.nhx"),
+         "-model", d(ref_data, "testamino.json"), "-nj"]
+    )
+    assert out == golden(ref_data, "PF16593.historian.fa")
+
+
+def test_count_golden(ref_data):
+    out = run_cli(
+        ["count", "-careful", "-model", d(ref_data, "testcount.jukescantor.json"),
+         "-recon", d(ref_data, "testcount.fa"), "-tree", d(ref_data, "testcount.nh")]
+    )
+    assert out == golden(ref_data, "testcount.out.json")
+
+
+def test_count_with_ancestors(ref_data):
+    out = run_cli(
+        ["count", "-careful", "-model", d(ref_data, "testcount.jukescantor.json"),
+         "-tree", d(ref_data, "testcount.nh"), "-recon", d(ref_data, "testcount.historian.fa")]
+    )
+    assert out == golden(ref_data, "testcount.count.json")
+
+
+def test_count_mixture(ref_data):
+    out = run_cli(
+        ["count", "-careful", "-model", d(ref_data, "testrates.mix2.json"),
+         "-recon", d(ref_data, "testcount.mix2.fa"), "-tree", d(ref_data, "testcount.mix2.nh")]
+    )
+    assert out == golden(ref_data, "testcount.mix2.count.json")
+
+
+def test_sum_golden(ref_data):
+    out = run_cli(["sum", d(ref_data, "testcount.out.json"), d(ref_data, "testcount.out.json")])
+    assert out == golden(ref_data, "testcount.sum.json")
+
+
+@pytest.mark.parametrize("case", ["zerolen", "zerolen2"])
+def test_zerolen(ref_data, case):
+    out = run_cli([d(ref_data, f"{case}.fa"), "-output", "fasta"])
+    assert out == golden(ref_data, f"{case}.aligned.fa")
+
+
+def test_version():
+    out = run_cli(["version"])
+    assert "historian-tpu" in out
