@@ -317,8 +317,7 @@ def main(argv: list[str] | None = None) -> int:
         recon.load_model()
         recon.load_seqs()
         recon.load_recon()
-        recon.reconstruct_all()
-        recon.sample_all()
+        recon.sample_all()  # reconstructs any dataset lacking a reconstruction
         recon.predict_all_ancestors()
         recon.write_recon(out)
     elif command == "generate":

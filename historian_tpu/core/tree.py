@@ -351,6 +351,40 @@ class Tree:
             n = self.find_node(n)
         return Tree(self.to_string_rerooted_above(n, new_root_name))
 
+    def has_children(self) -> bool:
+        return any(not self.is_leaf(n) for n in range(self.n_nodes()))
+
+    def has_grandchildren(self) -> bool:
+        return any(
+            not self.is_leaf(n) and any(not self.is_leaf(c) for c in self.children(n))
+            for n in range(self.n_nodes())
+        )
+
+    def detach(self, n: int) -> None:
+        """Remove node n from its parent's child list (leaves parent dangling)."""
+        p = self.parent(n)
+        if p >= 0:
+            self.nodes[p].children = [c for c in self.nodes[p].children if c != n]
+        self.nodes[n].parent = -1
+
+    def set_parent(self, n: int, parent: int, branch_length: float) -> None:
+        """Re-attach node n below parent.  WARNING: does not check for
+        cycles and may leave the tree non-postorder-sorted (reference
+        tree.h:74)."""
+        old = self.parent(n)
+        if old >= 0:
+            self.nodes[old].children = [c for c in self.nodes[old].children if c != n]
+        self.nodes[n].parent = parent
+        self.nodes[n].length = branch_length
+        if parent >= 0 and n not in self.nodes[parent].children:
+            self.nodes[parent].children.append(n)
+
+    def copy(self) -> "Tree":
+        t = Tree()
+        for n in self.nodes:
+            t.nodes.append(TreeNode(parent=n.parent, children=list(n.children), name=n.name, length=n.length))
+        return t
+
     def reorder_nodes(self, new_order: list[int]) -> "Tree":
         t = Tree()
         old2new = [-1] * self.n_nodes()

@@ -119,6 +119,80 @@ def log_likelihood(model: RateModel, tree: Tree, gapped: list[FastSeq]) -> float
     )
 
 
+def clade_path(path: AlignPath, tree: Tree, clade_root: int, clade_root_parent: int, exclude: int = -1) -> AlignPath:
+    """Sub-path of rows in the clade rooted at clade_root (viewed from
+    clade_root_parent), empty columns removed (sampler.cpp:136-148)."""
+    from historian_tpu.core.alignpath import align_path_remove_empty_columns
+
+    rerooted_parent = tree.rerooted_parent(clade_root_parent)
+    children_included = [False] * tree.n_nodes()
+    children_included[clade_root_parent] = True
+    p: AlignPath = {}
+    for n in tree.rerooted_preorder(clade_root, clade_root_parent):
+        if n != exclude and children_included[rerooted_parent[n]]:
+            p[n] = path[n]
+            children_included[n] = True
+    return align_path_remove_empty_columns(p)
+
+
+def branch_path(path: AlignPath, tree: Tree, node: int) -> AlignPath:
+    parent = tree.parent(node)
+    if parent < 0:
+        raise ValueError("parent node not found")
+    return pair_path(path, parent, node)
+
+
+def get_guide_seq_pos(path: AlignPath, row: int, guide_row: int) -> np.ndarray:
+    """guidePos[i] = #guide-row residues before/at the i-th residue of row
+    (sampler.cpp:118-133): maps sequence positions onto envelope coords."""
+    rowp = np.asarray(path[row], dtype=bool)
+    guidep = np.asarray(path[guide_row], dtype=bool)
+    cum = np.cumsum(guidep)
+    return np.concatenate([[0], cum[rowp]]).astype(np.int64)
+
+
+# PosWeightMatrix: [L, C, A] log-probability tensor, one row per residue.
+
+def get_conditional_pwms(model: RateModel, tree: Tree, gapped: list[FastSeq], exclude: dict[int, int], normalize: bool = True) -> dict[int, np.ndarray]:
+    """Per-column conditional log-posteriors of each node's residue
+    excluding one neighbor's message (reference getConditionalPWMs,
+    sampler.cpp:356-370).
+
+    The reference restricts its per-column traversals purely to skip
+    computing messages it won't read; a full batched fill yields
+    identical E/G messages, so here one device fill serves all columns.
+    """
+    engine = SumProductEngine(model, tree)
+    fill = engine.fill([s.seq for s in gapped])
+    pwms: dict[int, list[np.ndarray]] = {n: [] for n in exclude}
+    n_cols = fill.n_columns
+    for node, excl in exclude.items():
+        row = gapped[node].seq
+        for col in range(n_cols):
+            if row[col] not in "-.":
+                pwms[node].append(fill.log_node_excluded_post_prob(col, node, excl, normalize))
+    return {n: np.array(v).reshape(len(v), model.components, model.alphabet_size) for n, v in pwms.items()}
+
+
+def pre_multiply(child_pwm: np.ndarray, log_sub_prob: np.ndarray) -> np.ndarray:
+    """pwm'[l, c, i] = lse_j(logSubProb[c, i, j] + pwm[l, c, j])
+    (sampler.cpp:452-464), vectorized."""
+    mx = child_pwm.max(axis=2, keepdims=True)
+    safe = np.where(np.isfinite(mx), mx, 0.0)
+    p = np.exp(child_pwm - safe)
+    with np.errstate(divide="ignore"):
+        return np.log(np.einsum("cij,lcj->lci", np.exp(log_sub_prob), p)) + safe
+
+
+def calc_ins_probs(child_pwm: np.ndarray, log_ins_prob: np.ndarray, log_cpt_weight: np.ndarray) -> np.ndarray:
+    """ins[l] = lse_{c,i}(log w_c + log insProb[c,i] + pwm[l,c,i])."""
+    from scipy.special import logsumexp
+
+    return logsumexp(
+        child_pwm + log_ins_prob[None, :, :] + log_cpt_weight[None, :, None], axis=(1, 2)
+    )
+
+
 class SimpleTreePrior:
     """Coalescent prior with rate C(k,2)/N (sampler.cpp:9-31)."""
 

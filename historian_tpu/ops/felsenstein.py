@@ -42,8 +42,11 @@ class TreeArrays:
 
     def __init__(self, tree: Tree):
         tree_n = tree.n_nodes()
-        if not tree.is_postorder_sorted():
-            raise ValueError("tree must be postorder sorted")
+        # require only a toposort (children before parents); forests with
+        # multiple roots and 1-child nodes arise from MCMC detach operations
+        for n in range(tree_n):
+            if 0 <= tree.parent(n) <= n:
+                raise ValueError("tree nodes must be toposorted (children before parents)")
         parent = np.full(tree_n, -1, dtype=np.int32)
         left = np.full(tree_n, -1, dtype=np.int32)
         right = np.full(tree_n, -1, dtype=np.int32)
@@ -52,10 +55,12 @@ class TreeArrays:
         for n in range(tree_n):
             parent[n] = tree.parent(n)
             kids = tree.children(n)
-            if kids:
-                if len(kids) != 2:
-                    raise ValueError("device sum-product requires a binary tree")
-                left[n], right[n] = kids
+            if len(kids) > 2:
+                raise ValueError("device sum-product requires at most 2 children per node")
+            if len(kids) >= 1:
+                left[n] = kids[0]
+            if len(kids) == 2:
+                right[n] = kids[1]
                 sibling[kids[0]] = kids[1]
                 sibling[kids[1]] = kids[0]
             branch_len[n] = tree.branch_length(n)
@@ -125,13 +130,14 @@ def _fill_up_batch(
         def step(carry, n):
             E, logE, F, logF, cpt_ll = carry
             l, r = left[n], right[n]
-            leaf = l < 0
-            # product of children E (ones for leaves)
-            child_prod = jnp.where(
-                leaf, jnp.ones((C, A), dtype), E[jnp.maximum(l, 0)] * E[jnp.maximum(r, 0)]
-            )
-            log_children = jnp.where(
-                leaf, jnp.zeros((C,), dtype), logE[jnp.maximum(l, 0)] + logE[jnp.maximum(r, 0)]
+            # product of children E, each factor masked independently
+            # (nodes may have 0, 1 or 2 children -- forests from detach ops)
+            e_l = jnp.where(l >= 0, E[jnp.maximum(l, 0)], jnp.ones((C, A), dtype))
+            e_r = jnp.where(r >= 0, E[jnp.maximum(r, 0)], jnp.ones((C, A), dtype))
+            child_prod = e_l * e_r
+            log_children = (
+                jnp.where(l >= 0, logE[jnp.maximum(l, 0)], jnp.zeros((C,), dtype))
+                + jnp.where(r >= 0, logE[jnp.maximum(r, 0)], jnp.zeros((C,), dtype))
             )
             Fn_raw = child_prod * obs_col[n][None, :]  # [C, A]
             # rescale by per-component max

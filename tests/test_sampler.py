@@ -1,0 +1,148 @@
+"""Refiner and MCMC sampler tests: self-consistency invariants.
+
+The reference golden-tests none of its MCMC outputs (stochastic and
+platform-sensitive); its own checks are traceback-total asserts and
+fwd/vit agreement, mirrored here.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from historian_tpu.core.alignpath import Alignment, GuideAlignmentEnvelope
+from historian_tpu.core.seqs import read_fasta
+from historian_tpu.core.tree import Tree
+from historian_tpu.engine.branchmatrix import BranchMatrix
+from historian_tpu.engine.treealign import (
+    History,
+    SimpleTreePrior,
+    get_conditional_pwms,
+    log_likelihood,
+)
+from historian_tpu.models.ratemodel import RateModel
+from historian_tpu.sampler.refiner import Refiner
+from historian_tpu.sampler.sampler import Sampler, triple_path
+from historian_tpu.sampler.sibling import SiblingMatrix
+from historian_tpu.utils.rng import MT19937
+
+
+def load(ref_data):
+    model = RateModel.from_file(os.path.join(ref_data, "testcount.jukescantor.json"))
+    tree = Tree(open(os.path.join(ref_data, "testcount.nh")).read())
+    gapped = read_fasta(os.path.join(ref_data, "testcount.historian.fa"))
+    gapped = tree.reorder_seqs(gapped)
+    return model, tree, gapped
+
+
+def test_refiner_improves_loglik(ref_data):
+    model, tree, gapped = load(ref_data)
+    lp0 = log_likelihood(model, tree, gapped)
+    _, refined = Refiner(model).refine(tree, gapped)
+    lp1 = log_likelihood(model, tree, refined)
+    assert lp1 >= lp0 - 1e-9
+
+
+def test_branch_matrix_viterbi_vs_forward(ref_data):
+    model, tree, gapped = load(ref_data)
+    node = 0
+    parent = tree.parent(node)
+    pwms = get_conditional_pwms(model, tree, gapped, {node: parent, parent: node})
+    args = (
+        model, pwms[parent], pwms[node], tree.branch_length(node), GuideAlignmentEnvelope(),
+        np.arange(len(pwms[parent]) + 1), np.arange(len(pwms[node]) + 1), parent, node,
+    )
+    vit = BranchMatrix(*args, viterbi=True)
+    fwd = BranchMatrix(*args, viterbi=False)
+    best = vit.best()
+    # Viterbi end score equals the best path's score; forward dominates
+    assert abs(vit.log_path_prob(best) - vit.lp_end) < 1e-9
+    assert fwd.lp_end >= vit.lp_end - 1e-9
+    # sampled paths have valid posterior probabilities
+    rng = MT19937(123)
+    for _ in range(5):
+        path = fwd.sample(rng)
+        lpp = fwd.log_post_prob(path)
+        assert lpp <= 1e-9
+        assert np.isfinite(lpp)
+
+
+def test_sibling_matrix_consistency(ref_data):
+    model, tree, gapped = load(ref_data)
+    # node = parent23 (internal), children seq2 seq3
+    node = tree.find_node("parent23")
+    l_child, r_child = tree.children(node)
+    exclude = {l_child: node, r_child: node}
+    pwms = get_conditional_pwms(model, tree, gapped, exclude)
+    sib = SiblingMatrix(
+        model, pwms[l_child], pwms[r_child],
+        tree.branch_length(l_child), tree.branch_length(r_child),
+        GuideAlignmentEnvelope(),
+        np.arange(len(pwms[l_child]) + 1), np.arange(len(pwms[r_child]) + 1),
+        l_child, r_child, node,
+    )
+    assert np.isfinite(sib.lp_end)
+    rng = MT19937(99)
+    for _ in range(5):
+        path = sib.sample(rng)
+        # parent/child residue counts consistent
+        assert path[l_child].sum() == len(pwms[l_child])
+        assert path[r_child].sum() == len(pwms[r_child])
+        lpp = sib.log_post_prob(path)
+        assert np.isfinite(lpp) and lpp <= 1e-9
+        pwm = sib.parent_seq(path)
+        assert pwm.shape[0] == path[node].sum()
+        # PWM rows normalized
+        from scipy.special import logsumexp
+
+        np.testing.assert_allclose(logsumexp(pwm, axis=(1, 2)), 0.0, atol=1e-9)
+
+
+def test_triple_path_roundtrip(ref_data):
+    model, tree, gapped = load(ref_data)
+    align = Alignment.from_gapped(gapped)
+    node = tree.find_node("parent23")
+    l_child, r_child = tree.children(node)
+    tp = triple_path(align.path, l_child, r_child, node)
+    assert tp[l_child].sum() == align.path[l_child].sum()
+    assert tp[r_child].sum() == align.path[r_child].sum()
+    assert tp[node].sum() == align.path[node].sum()
+
+
+def test_mcmc_chain_runs(ref_data):
+    model, tree, gapped = load(ref_data)
+    tree = tree.copy()
+    tree.assign_internal_node_names()
+    from historian_tpu.core.seqs import FastSeq
+
+    rows = [FastSeq(name=tree.seq_name(n), seq=gapped[n].seq) for n in range(tree.n_nodes())]
+    sampler = Sampler(model, SimpleTreePrior(), rows, name="test")
+    sampler.initialize(History(gapped=rows, tree=tree))
+    rng = MT19937(5489)
+    lp0 = sampler.current_lp
+    for _ in range(40):
+        sampler.sample(rng)
+    assert np.isfinite(sampler.current_lp)
+    assert sampler.best_lp >= lp0 - 1e-9
+    assert sum(sampler.moves_proposed) == 40
+    # at least some moves accepted, alignment stays flush
+    assert sum(sampler.moves_accepted) > 0
+    cols = {len(s.seq) for s in sampler.current_history.gapped}
+    assert len(cols) == 1
+
+
+def test_mcmc_fix_tree(ref_data):
+    model, tree, gapped = load(ref_data)
+    tree = tree.copy()
+    tree.assign_internal_node_names()
+    from historian_tpu.core.seqs import FastSeq
+
+    rows = [FastSeq(name=tree.seq_name(n), seq=gapped[n].seq) for n in range(tree.n_nodes())]
+    sampler = Sampler(model, SimpleTreePrior(), rows, name="fixtree")
+    sampler.initialize(History(gapped=rows, tree=tree))
+    sampler.fix_tree()
+    rng = MT19937(7)
+    t0 = sampler.current_history.tree.to_string()
+    for _ in range(20):
+        sampler.sample(rng)
+    assert sampler.current_history.tree.to_string() == t0  # tree untouched
