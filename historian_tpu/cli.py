@@ -110,6 +110,19 @@ def _parse_common(recon: Reconstructor, argvec: deque) -> bool:
     elif arg == "-profmaxmem":
         recon.max_dp_memory_fraction = float(take()) / 100.0
         recon.profile_node_limit = 0
+    elif arg == "-savedot":
+        recon.dot_save_filename = take()
+    elif arg == "-dotpost":
+        argvec.popleft()
+        recon.use_posteriors_for_dot = True
+        recon.min_dot_post_prob = float(argvec.popleft()) if argvec and not argvec[0].startswith("-") else recon.min_dot_post_prob
+    elif arg == "-dotgapsopen":
+        argvec.popleft()
+        recon.keep_dot_gaps_open = True
+    elif arg == "-dotsubpost":
+        argvec.popleft()
+        recon.use_separate_sub_posteriors_for_dot = True
+        recon.min_dot_sub_post_prob = float(argvec.popleft()) if argvec and not argvec[0].startswith("-") else recon.min_dot_sub_post_prob
     elif arg == "-keepgapsopen":
         argvec.popleft()
         recon.keep_gaps_open = True

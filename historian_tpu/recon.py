@@ -204,6 +204,12 @@ class Reconstructor:
         self.fit_subst_rates = True
         self.fit_indel_rates = True
 
+        self.dot_save_filename = ""
+        self.use_posteriors_for_dot = False
+        self.min_dot_post_prob = 0.01
+        self.keep_dot_gaps_open = False
+        self.use_separate_sub_posteriors_for_dot = False
+        self.min_dot_sub_post_prob = 0.01
         self.model_filename = ""
         self.preset_model_name = ""
         self.model_save_filename = ""
@@ -527,13 +533,37 @@ class Reconstructor:
 
             backward = None
             need_backward_root = (
-                (self.accumulate_subst_counts or self.accumulate_indel_counts)
+                (self.accumulate_subst_counts or self.accumulate_indel_counts or self.dot_save_filename)
                 and node == tree.root()
             )
             if need_backward_root or (self.use_posteriors_for_profile and node != tree.root()):
                 backward = BackwardMatrix(forward)
 
             if node == tree.root():
+                if self.dot_save_filename:
+                    from historian_tpu.engine.seqgraph import SeqGraph
+
+                    dot_strategy = INCLUDE_BEST_TRACE | (
+                        KEEP_GAPS_OPEN if self.keep_dot_gaps_open else 0
+                    )
+                    dot_prof = (
+                        backward.post_prob_profile(self.min_dot_post_prob, 0, dot_strategy)
+                        if self.use_posteriors_for_dot
+                        else backward.best_profile(dot_strategy)
+                    )
+                    min_sub = (
+                        self.min_dot_sub_post_prob
+                        if self.use_separate_sub_posteriors_for_dot
+                        else (self.min_dot_post_prob if self.use_posteriors_for_dot else self.min_post_prob)
+                    )
+                    with np.errstate(divide="ignore"):
+                        graph = SeqGraph.from_profile(
+                            dot_prof, model.alphabet.symbols,
+                            np.log(model.cpt_weight), np.log(model.ins_prob),
+                            min_sub,
+                        )
+                    with open(self.dot_save_filename, "w") as f:
+                        f.write(graph.simplify().to_dot())
                 if self.reconstruct_root:
                     path = forward.best_align_path()
                     prof[node] = forward.best_profile()
