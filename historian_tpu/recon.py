@@ -781,6 +781,9 @@ class Reconstructor:
             out.write(stock.to_string(0))
 
     def _json_alignment(self, tree: Tree, gapped: list[FastSeq], post_prob=None) -> str:
+        """JSON output incl. per-column ancestral posterior arrays for
+        internal nodes (reference writeJson, recon.cpp:1148-1185)."""
+        align_cols = len(gapped[0].seq) if gapped else 0
         out = ['{"root": "' + tree.node_name(tree.root()) + '",']
         branches = []
         for n in range(tree.n_nodes()):
@@ -791,7 +794,21 @@ class Reconstructor:
         out.append(' "branches": [' + ",".join(branches) + "],")
         rows = []
         for s, fs in enumerate(gapped):
-            rows.append(f'\n  "{fs.name}": "{fs.seq}"')
+            n = s if not self.output_leaves_only else tree.find_node(fs.name)
+            if tree.is_leaf(n) or not post_prob or s not in post_prob:
+                rows.append(f'\n  "{fs.name}": "{fs.seq}"')
+            else:
+                cols = []
+                by_col = post_prob[s]
+                for col in range(align_cols):
+                    if col in by_col:
+                        cells = ",".join(
+                            f'["{ch}",{prob:.6f}]' for ch, prob in sorted(by_col[col].items())
+                        )
+                        cols.append(f"[{cells}]")
+                    else:
+                        cols.append("[]")
+                rows.append(f'\n  "{fs.name}": [' + ",".join(cols) + "]")
         out.append(' "rowData": {' + ",".join(rows) + "\n}}")
         return "\n".join(out) + "\n"
 
