@@ -69,6 +69,16 @@ def _lse_rows(*rows):
     return out
 
 
+def _affine_chain(u_prev: float, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Solve u[k] = a[k] lse (u[k-1] + b[k]) with u[-1] = u_prev, vectorized:
+    with B = cumsum(b), v[k] = u[k] - B[k] satisfies v[k] = (a[k]-B[k]) lse
+    v[k-1], i.e. a running logaddexp."""
+    B = np.cumsum(b)
+    vals = np.concatenate([[u_prev], a - B])
+    v = np.logaddexp.accumulate(vals)[1:]
+    return v + B
+
+
 class DPMatrix:
     def __init__(self, x: Profile, y: Profile, hmm: PairHMM, env: GuideAlignmentEnvelope | None = None):
         self.x = x
@@ -93,25 +103,26 @@ class DPMatrix:
         self.y_ready = np.array([s.is_ready for s in y.states])
         self.x_emit_or_start = np.array([s.is_emit_or_start for s in x.states])
 
-        self.insx = np.full(self.x_size, NEG_INF)
-        self.insy = np.full(self.y_size, NEG_INF)
-        self.rootsubx = np.full(self.x_size, NEG_INF)
-        self.rootsuby = np.full(self.y_size, NEG_INF)
+        # per-state emission scores, vectorized over all emit states at once
         logl, logr = hmm.logl, hmm.logr
-        for i in range(1, self.x_size - 1):
-            st = x.states[i]
-            if st.is_emit:
-                self.insx[i] = logsumexp(
-                    logl.log_cpt_weight[:, None] + logl.log_ins_prob + st.lp_absorb
-                )
-                self.rootsubx[i] = logsumexp(hmm.log_root + self.subx.states[i].lp_absorb)
-        for j in range(1, self.y_size - 1):
-            st = y.states[j]
-            if st.is_emit:
-                self.insy[j] = logsumexp(
-                    logr.log_cpt_weight[:, None] + logr.log_ins_prob + st.lp_absorb
-                )
-                self.rootsuby[j] = logsumexp(hmm.log_root + self.suby.states[j].lp_absorb)
+
+        def emit_scores(profile, sub_profile, log_wins, log_root, size):
+            ins = np.full(size, NEG_INF)
+            rootsub = np.full(size, NEG_INF)
+            emit_idx = [i for i in range(1, size - 1) if profile.states[i].is_emit]
+            if emit_idx:
+                raw = np.stack([profile.states[i].lp_absorb for i in emit_idx])  # [E, C, A]
+                subbed = np.stack([sub_profile.states[i].lp_absorb for i in emit_idx])
+                ins[emit_idx] = logsumexp(raw + log_wins[None, :, :], axis=(1, 2))
+                rootsub[emit_idx] = logsumexp(subbed + log_root[None, :, :], axis=(1, 2))
+            return ins, rootsub
+
+        self.insx, self.rootsubx = emit_scores(
+            x, self.subx, logl.log_cpt_weight[:, None] + logl.log_ins_prob, hmm.log_root, self.x_size
+        )
+        self.insy, self.rootsuby = emit_scores(
+            y, self.suby, logr.log_cpt_weight[:, None] + logr.log_ins_prob, hmm.log_root, self.y_size
+        )
 
         # xy-absorb matrix: lse_{c,a}(logRoot + subx_i + suby_j) for all (i, j)
         # as an exp-space matmul with per-state max shifts (MXU-shaped work).
@@ -283,6 +294,27 @@ class ForwardMatrix(DPMatrix):
         y_null = self.y_null
         x_null = self.x_null
 
+        # chain-emit y states: single in-edge from the previous index with
+        # finite edge/emission scores -> the within-row IDM/IMI recurrence
+        # vectorizes as an affine (log,+,lse) scan
+        self._y_chain_emit = np.zeros(sy, dtype=bool)
+        self._y_chain_lp = np.full(sy, NEG_INF)
+        for jj in range(1, sy - 1):
+            st = y.states[jj]
+            if (
+                st.is_emit
+                and len(st.in_trans) == 1
+                and y.trans[st.in_trans[0]].src == jj - 1
+            ):
+                lp_e = y.trans[st.in_trans[0]].lp
+                if (
+                    np.isfinite(lp_e)
+                    and np.isfinite(self.rootsuby[jj])
+                    and np.isfinite(self.insy[jj])
+                ):
+                    self._y_chain_emit[jj] = True
+                    self._y_chain_lp[jj] = lp_e
+
         # per-j sequential lists (y in-edges)
         progress = ProgressLogger(f"Forward ({x.name} vs {y.name})", level=5)
 
@@ -361,9 +393,41 @@ class ForwardMatrix(DPMatrix):
             cells[i, : sy - 1, IMM] = np.where(mask_row, imm_row, NEG_INF)
 
             # --- sequential y pass: IDM, IMI, and IMM through null y ------
+            # maximal runs of in-envelope chain-emit y states (single
+            # in-edge from j-1) vectorize as (log,+,lse)-semiring affine
+            # recurrences via cumsum + logaddexp.accumulate; other states
+            # fall back to the per-state walk.
             x_ready_or_empty = self.x_ready[i] or self.x_empty
-            for j in range(sy - 1):
+            j = 0
+            chain_ok = self._y_chain_emit[: sy - 1] & mask_row
+            while j < sy - 1:
+                if chain_ok[j] and x_ready_or_empty and j > 0:
+                    j1 = j
+                    while j1 + 1 < sy - 1 and chain_ok[j1 + 1]:
+                        j1 += 1
+                    seg = slice(j, j1 + 1)
+                    lp_edge = self._y_chain_lp[seg]
+                    prev = cells[i, j - 1 : j1]  # rows j-1 .. j1-1, [n, 5]
+                    # IDM: u[k] = a[k] lse (u[k-1] + b[k])
+                    a_idm = (
+                        _lse_rows(
+                            prev[:, IMM] + hmm.imm_idm,
+                            prev[:, IMD] + hmm.imd_idm,
+                            prev[:, IIW] + hmm.iiw_idm,
+                        )
+                        + lp_edge
+                        + self.rootsuby[seg]
+                    )
+                    b_idm = hmm.idm_idm + lp_edge + self.rootsuby[seg]
+                    cells[i, seg, IDM] = _affine_chain(cells[i, j - 1, IDM], a_idm, b_idm)
+                    # IMI: sources IMM (prev col) and IMI self
+                    a_imi = prev[:, IMM] + hmm.imm_imi + lp_edge + self.insy[seg]
+                    b_imi = hmm.imi_imi + lp_edge + self.insy[seg]
+                    cells[i, seg, IMI] = _affine_chain(cells[i, j - 1, IMI], a_imi, b_imi)
+                    j = j1 + 1
+                    continue
                 if not mask_row[j]:
+                    j += 1
                     continue
                 if not y_null[j]:
                     if x_ready_or_empty:
@@ -387,18 +451,21 @@ class ForwardMatrix(DPMatrix):
                             )
                         cells[i, j, IDM] = idm + self.rootsuby[j]
                         cells[i, j, IMI] = imi + self.insy[j]
-                else:
-                    idm = imi = NEG_INF
+                    j += 1
+                    continue
+                # y-null state: propagate IDM/IMI (and IMM when x emit/start)
+                idm = imi = NEG_INF
+                for yt, lp_yt in zip(y_in_src[j], y_in_lp[j]):
+                    idm = np.logaddexp(idm, cells[i, yt, IDM] + lp_yt)
+                    imi = np.logaddexp(imi, cells[i, yt, IMI] + lp_yt)
+                cells[i, j, IDM] = idm
+                cells[i, j, IMI] = imi
+                if self.x_emit_or_start[i]:
+                    imm = NEG_INF
                     for yt, lp_yt in zip(y_in_src[j], y_in_lp[j]):
-                        idm = np.logaddexp(idm, cells[i, yt, IDM] + lp_yt)
-                        imi = np.logaddexp(imi, cells[i, yt, IMI] + lp_yt)
-                    cells[i, j, IDM] = idm
-                    cells[i, j, IMI] = imi
-                    if self.x_emit_or_start[i]:
-                        imm = NEG_INF
-                        for yt, lp_yt in zip(y_in_src[j], y_in_lp[j]):
-                            imm = np.logaddexp(imm, cells[i, yt, IMM] + lp_yt)
-                        cells[i, j, IMM] = imm if (i, j) != (0, 0) else 0.0
+                        imm = np.logaddexp(imm, cells[i, yt, IMM] + lp_yt)
+                    cells[i, j, IMM] = imm if (i, j) != (0, 0) else 0.0
+                j += 1
 
         # transitions into EEE
         lp_end = NEG_INF
@@ -1121,17 +1188,18 @@ class BackwardMatrix(DPMatrix):
         return path
 
     def cells_above_post_prob_threshold(self, min_post_prob: float) -> list:
-        """[(lpp, cell)] sorted descending (reference priority queue)."""
+        """[(lpp, cell)] sorted descending (reference priority queue),
+        selected with one vectorized pass over the cell tensor."""
         lpp_threshold = np.log(min_post_prob)
-        out = []
-        for i in range(self.x_size - 2, -1, -1):
-            for j in range(self.y_size - 2, -1, -1):
-                if not self.env_mask[i, j]:
-                    continue
-                for s in PairHMM.states():
-                    lpp = self.cells[i, j, s] + self.fwd.cells[i, j, s] - self.fwd.lp_end
-                    if lpp >= lpp_threshold:
-                        out.append((lpp, (i, j, s)))
+        lpp = (
+            self.cells[: self.x_size - 1, : self.y_size - 1]
+            + self.fwd.cells[: self.x_size - 1, : self.y_size - 1]
+            - self.fwd.lp_end
+        )
+        with np.errstate(invalid="ignore"):
+            sel = (lpp >= lpp_threshold) & self.env_mask[: self.x_size - 1, : self.y_size - 1, None]
+        ii, jj, ss = np.nonzero(sel)
+        out = [(float(lpp[i, j, s]), (int(i), int(j), int(s))) for i, j, s in zip(ii, jj, ss)]
         out.sort(key=lambda t: (-t[0], t[1]))
         return out
 
