@@ -42,6 +42,40 @@ def arrays_to_counts(tree, alphabet) -> EventCounts:
     return out
 
 
+def column_sharded_eigen_counts(model, tree, gapped_rows: list[str], n_shards: int):
+    """E-step eigencounts with alignment columns sharded dp-ways.
+
+    Columns are split into n_shards equal blocks (padded with all-gap
+    columns, which contribute exactly zero likelihood and zero counts);
+    each shard runs its own batched fill and accumulates its block's
+    eigencounts; shards reduce with the EventCounts/EigenCounts algebra.
+    This is the in-memory form of the reference's count/sum MapReduce and
+    must be invariant to n_shards (tested in tests/test_parallel.py).
+    """
+    import math
+
+    from historian_tpu.engine.sumprod import SumProductEngine
+    from historian_tpu.models.counts import EigenCounts
+
+    engine = SumProductEngine(model, tree)
+    n_cols = len(gapped_rows[0])
+    block = math.ceil(n_cols / n_shards)
+    total = EigenCounts(model.components, model.alphabet_size)
+    for s in range(n_shards):
+        cols = [row[s * block : (s + 1) * block] for row in gapped_rows]
+        pad = block - len(cols[0])
+        if pad:
+            cols = [c + "-" * pad for c in cols]
+        if not cols[0]:
+            continue
+        fill = engine.fill(cols)
+        shard = EigenCounts(model.components, model.alphabet_size)
+        fill.accumulate_eigen_counts(shard.root_count, shard.eigen_count)
+        shard.indel.lp = float(fill.col_ll.sum())
+        total += shard
+    return total
+
+
 def psum_counts(shard_counts: list[EventCounts], alphabet) -> EventCounts:
     """Tree-reduce per-shard EventCounts (host-side fallback when no mesh).
 

@@ -347,6 +347,7 @@ class Reconstructor:
                 else:
                     self.build_tree(ds)
                 ds.prepare_recon(self)
+                self._maybe_save_guide(ds)
             return
         ds = self.new_dataset()
         if nexus_filename:
@@ -356,6 +357,7 @@ class Reconstructor:
             ds.tree = nex.tree
             ds.init_guide(self._tok(nex.gapped))
             ds.prepare_recon(self)
+            self._maybe_save_guide(ds)
             return
         if seq_filename:
             ds.name = seq_filename
@@ -382,15 +384,18 @@ class Reconstructor:
         else:
             self.build_tree(ds)
         ds.prepare_recon(self)
+        self._maybe_save_guide(ds)
 
-        if self.guide_save_filename and ds.gapped_guide:
-            with open(self.guide_save_filename, "w") as f:
-                reordered = [None] * ds.tree.n_nodes()
-                rows = []
-                for node in range(ds.tree.n_nodes()):
-                    if ds.tree.is_leaf(node):
-                        rows.append(ds.gapped_guide[ds.node_to_seq_index[node]])
-                self.write_tree_alignment(ds.tree, rows, ds.name, f, False)
+    def _maybe_save_guide(self, ds: Dataset) -> None:
+        if not (self.guide_save_filename and ds.gapped_guide):
+            return
+        rows = [
+            ds.gapped_guide[ds.node_to_seq_index[node]]
+            for node in range(ds.tree.n_nodes())
+            if ds.tree.is_leaf(node)
+        ]
+        with open(self.guide_save_filename, "a") as f:
+            self.write_tree_alignment(ds.tree, rows, ds.name, f, False)
 
     def load_auto(self, path: str) -> None:
         """Format autodetection for bare filenames (-auto)."""

@@ -1,0 +1,75 @@
+"""Multi-chip scaling validation: shard-count invariance and psum algebra.
+
+SURVEY.md section 4: 'multi-chip tests that assert shard-count-invariance
+of logLik/counts' -- the count algebra being associative makes per-shard
+accumulation + reduction exactly equal to the single-shard result.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from historian_tpu.core.seqs import read_fasta
+from historian_tpu.core.tree import Tree
+from historian_tpu.models.counts import EventCounts
+from historian_tpu.models.ratemodel import RateModel
+from historian_tpu.parallel.pcounts import (
+    arrays_to_counts,
+    column_sharded_eigen_counts,
+    counts_to_arrays,
+    psum_counts,
+)
+
+
+def load(ref_data):
+    model = RateModel.from_file(os.path.join(ref_data, "testcount.jukescantor.json"))
+    tree = Tree(open(os.path.join(ref_data, "testcount.nh")).read())
+    gapped = read_fasta(os.path.join(ref_data, "testcount.historian.fa"))
+    gapped = tree.reorder_seqs(gapped)
+    return model, tree, [s.seq for s in gapped]
+
+
+@pytest.mark.parametrize("n_shards", [2, 3, 8])
+def test_column_shard_invariance(ref_data, n_shards):
+    model, tree, rows = load(ref_data)
+    single = column_sharded_eigen_counts(model, tree, rows, 1)
+    sharded = column_sharded_eigen_counts(model, tree, rows, n_shards)
+    np.testing.assert_allclose(sharded.root_count, single.root_count, atol=1e-12)
+    np.testing.assert_allclose(sharded.eigen_count, single.eigen_count, atol=1e-12)
+    assert abs(sharded.indel.lp - single.indel.lp) < 1e-9
+
+
+def test_all_gap_padding_is_identity(ref_data):
+    """Padding columns contribute exactly zero (enables equal-shape shards)."""
+    model, tree, rows = load(ref_data)
+    padded = [r + "----" for r in rows]
+    a = column_sharded_eigen_counts(model, tree, rows, 1)
+    b = column_sharded_eigen_counts(model, tree, padded, 1)
+    np.testing.assert_allclose(a.eigen_count, b.eigen_count, atol=1e-12)
+    assert abs(a.indel.lp - b.indel.lp) < 1e-12
+
+
+def test_counts_pytree_roundtrip_and_psum_on_mesh(ref_data):
+    """EventCounts flatten to psum-able pytrees; an 8-device pmap psum of
+    per-shard counts equals the host-side algebra reduction."""
+    import jax
+    import jax.numpy as jnp
+
+    model, tree, rows = load(ref_data)
+    # build 8 per-shard EventCounts (transform eigen shards to real basis)
+    shards = []
+    for s in range(8):
+        ec = column_sharded_eigen_counts(model, tree, [r[s::8] for r in rows], 1)
+        shards.append(ec.transform(model))
+    host_total = psum_counts(shards, model.alphabet)
+
+    trees = [counts_to_arrays(c) for c in shards]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+    n_dev = min(8, len(jax.devices()))
+    assert n_dev == 8, "expected 8 virtual CPU devices"
+    reduced = jax.pmap(lambda t: jax.lax.psum(t, "dp"), axis_name="dp")(stacked)
+    device_total = arrays_to_counts(jax.tree.map(lambda x: x[0], reduced), model.alphabet)
+    np.testing.assert_allclose(device_total.sub_count, host_total.sub_count, rtol=1e-12)
+    np.testing.assert_allclose(device_total.root_count, host_total.root_count, rtol=1e-12)
+    assert abs(device_total.indel.lp - host_total.indel.lp) < 1e-9
