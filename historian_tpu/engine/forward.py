@@ -1097,32 +1097,78 @@ class BackwardMatrix(DPMatrix):
 
     def get_counts(self) -> EigenCounts:
         """Posterior-expected counts: sum over cells & transitions
-        (forward.cpp:1183-1214)."""
+        (forward.cpp:1183-1214).
+
+        Restructured for batching: cell substitution counts are linear in
+        the posterior weight, so cells sharing an alignment column
+        (x-insert columns keyed by xpos, y-insert by ypos) pool their
+        weights, and ALL distinct columns run through ONE batched
+        sum-product fill with per-column weights.  Only the
+        indel-bookkeeping transition walk stays per-transition on host.
+        """
         fwd = self.fwd
         counts = EigenCounts(self.hmm.components, self.hmm.alphabet_size)
         counts.indel.lp = fwd.lp_end
-        for i in range(self.x_size - 1):
-            for j in range(self.y_size - 1):
-                if not self.env_mask[i, j]:
-                    continue
-                for s in PairHMM.states():
-                    dest = (i, j, s)
-                    lp_dest = self.cells[i, j, s]
-                    if fwd.sumprod is not None:
-                        w = np.exp(fwd.cells[i, j, s] + lp_dest - fwd.lp_end)
-                        if w > 0:
-                            cc = fwd.cached_cell_eigen_counts(dest)
-                            scaled = cc.copy()
-                            scaled *= w
-                            counts += scaled
-                    for src, lp_trans in fwd.source_transitions(dest).items():
-                        w = np.exp(
-                            fwd.cells[src[0], src[1], src[2]] + lp_trans + lp_dest - fwd.lp_end
-                        )
-                        if w > 0:
-                            tc = fwd.transition_eigen_counts(src, dest)
-                            tc *= w
-                            counts += tc
+
+        # posterior cell weights, one tensor op
+        with np.errstate(invalid="ignore", over="ignore"):
+            post = np.exp(
+                fwd.cells[: self.x_size - 1, : self.y_size - 1]
+                + self.cells[: self.x_size - 1, : self.y_size - 1]
+                - fwd.lp_end
+            )
+        post = np.where(
+            self.env_mask[: self.x_size - 1, : self.y_size - 1, None], post, 0.0
+        )
+        post = np.nan_to_num(post, nan=0.0)
+
+        if fwd.sumprod is not None:
+            # pool weights per distinct alignment column
+            col_weight: dict = {}
+            col_cells: dict = {}
+            ii, jj, ss = np.nonzero(post > 0)
+            for i, j, s in zip(ii, jj, ss):
+                c = (int(i), int(j), int(s))
+                if not fwd.is_absorbing(c):
+                    if fwd.changes_x(c):
+                        key = ("x", c[0])
+                    elif fwd.changes_y(c):
+                        key = ("y", c[1])
+                    else:
+                        continue  # no column -> no substitution counts
+                else:
+                    key = ("cell", c)
+                col_weight[key] = col_weight.get(key, 0.0) + float(post[i, j, s])
+                col_cells.setdefault(key, c)
+            keys = [k for k in col_weight if fwd.get_alignment_column(col_cells[k])]
+            if keys:
+                n_nodes = fwd.sumprod.arrays.n_nodes
+                tokens = np.full((n_nodes, len(keys)), -1, dtype=np.int32)
+                alphabet = fwd.sumprod.model.alphabet
+                for idx, k in enumerate(keys):
+                    for node, ch in fwd.get_alignment_column(col_cells[k]).items():
+                        if ch in "-.":
+                            continue
+                        tok = alphabet.tokenize_char(ch)
+                        tokens[node, idx] = tok if tok >= 0 else -2
+                fill = fwd.sumprod.fill_tokens(tokens)
+                weights = np.array([col_weight[k] for k in keys])
+                fill.accumulate_eigen_counts(counts.root_count, counts.eigen_count, weights)
+
+        # transition indel counts (host walk over posterior-reachable cells)
+        ii, jj, ss = np.nonzero(post > 0)
+        order = np.lexsort((ss, jj, ii))
+        for n in order:
+            dest = (int(ii[n]), int(jj[n]), int(ss[n]))
+            lp_dest = self.cells[dest[0], dest[1], dest[2]]
+            for src, lp_trans in fwd.source_transitions(dest).items():
+                w = np.exp(
+                    fwd.cells[src[0], src[1], src[2]] + lp_trans + lp_dest - fwd.lp_end
+                )
+                if w > 0:
+                    tc = fwd.transition_eigen_counts(src, dest)
+                    tc *= w
+                    counts += tc
         return counts
 
     # ----------------------------------------------------------- traceforward

@@ -240,20 +240,40 @@ class SumProductFill:
         return out
 
     # ----------------------------------------------------------------- counts
-    def accumulate_root_counts(self, root_counts: np.ndarray, weight: float = 1.0) -> None:
-        """root_counts[c,i] += w * insProb*F(root) * exp(logw+logF-colLL)
-        per column (sumprod.cpp:264-271)."""
-        eng = self.engine
-        for col in range(self.n_columns):
-            if not self.column_roots(col):
-                continue
-            root = self.column_root(col)
-            norm = np.exp(
-                eng.log_cpt_weight + self.logF[col, root] - self.col_ll[col]
-            )  # [C]
-            root_counts += weight * eng.ins_prob * self.F[col, root] * norm[:, None]
+    def column_root_array(self) -> np.ndarray:
+        """[L] per-column root node (-1 if empty; asserts single root)."""
+        arr = self.engine.arrays
+        gap = self.tokens.T == GAP_TOK  # [L, N]
+        parent_safe = np.maximum(arr.parent, 0)
+        parent_gap = np.where(arr.parent[None, :] >= 0, gap[:, parent_safe], True)
+        is_root = (~gap) & parent_gap  # [L, N]
+        n_roots = is_root.sum(axis=1)
+        if np.any(n_roots > 1):
+            bad = int(np.argmax(n_roots > 1))
+            raise ValueError(f"column {bad} has {n_roots[bad]} roots (expected 1)")
+        roots = np.where(n_roots == 1, np.argmax(is_root, axis=1), -1)
+        return roots.astype(np.int64)
 
-    def accumulate_eigen_counts(self, root_counts: np.ndarray, eigen_counts: np.ndarray, weight: float = 1.0) -> None:
+    def accumulate_root_counts(self, root_counts: np.ndarray, weight=1.0) -> None:
+        """root_counts[c,i] += w_l * insProb*F(root_l) * exp(logw+logF-colLL),
+        vectorized over columns (sumprod.cpp:264-271); weight may be a
+        scalar or a per-column [L] array."""
+        eng = self.engine
+        roots = self.column_root_array()
+        sel = roots >= 0
+        if not np.any(sel):
+            return
+        w = np.broadcast_to(np.asarray(weight, dtype=float), (self.n_columns,))[sel]
+        r = roots[sel]
+        cols = np.nonzero(sel)[0]
+        norm = np.exp(
+            eng.log_cpt_weight[None, :] + self.logF[cols, r] - self.col_ll[cols, None]
+        )  # [l, C]
+        root_counts += np.einsum(
+            "l,ci,lci,lc->ci", w, eng.ins_prob, self.F[cols, r], norm
+        )
+
+    def accumulate_eigen_counts(self, root_counts: np.ndarray, eigen_counts: np.ndarray, weight=1.0) -> None:
         """Vectorized eigencount accumulation over all columns and branches
         (sumprod.cpp:294-372): for each ungapped non-root node n,
 
@@ -287,7 +307,8 @@ class SumProductFill:
             + self.logE[:, sib_safe]
             - self.col_ll[:, None, None]
         )  # [L, N, C]
-        w = np.where(mask[:, :, None], np.exp(log_scale), 0.0) * weight
+        w_col = np.broadcast_to(np.asarray(weight, dtype=float), (L,))
+        w = np.where(mask[:, :, None], np.exp(log_scale), 0.0) * w_col[:, None, None]
 
         evec = eng.eigen.evec  # [C, A, A]
         evec_inv = eng.eigen.evec_inv
