@@ -107,6 +107,10 @@ def _parse_common(recon: Reconstructor, argvec: deque) -> bool:
         recon.use_posteriors_for_profile = True
     elif arg == "-profmaxstates":
         recon.profile_node_limit = int(take())
+    elif arg == "-profminlen":
+        recon.profile_min_len = int(take())
+    elif arg == "-profmaxlen":
+        recon.profile_max_len = int(take())
     elif arg == "-profmaxmem":
         recon.max_dp_memory_fraction = float(take()) / 100.0
         recon.profile_node_limit = 0
@@ -152,6 +156,9 @@ def _parse_common(recon: Reconstructor, argvec: deque) -> bool:
     elif arg == "-fixalign":
         argvec.popleft()
         recon.fix_align_mcmc = True
+    elif arg == "-fixguide":
+        argvec.popleft()
+        recon.fix_guide_mcmc = True
     # guide/tree estimation
     elif arg == "-rndspan":
         argvec.popleft()

@@ -30,6 +30,24 @@ from historian_tpu.ops.felsenstein import (
 
 MIN_POST_PROB = 0.01
 
+# small LRU of engines keyed by (model identity, tree topology+lengths):
+# MCMC alignment moves and likelihood evaluations reuse the same
+# (model, tree) pair many times, and engine construction does per-branch
+# expm + eigencount integrals
+_ENGINE_CACHE: dict = {}
+_ENGINE_CACHE_MAX = 32
+
+
+def get_engine(model, tree) -> "SumProductEngine":
+    key = (id(model), tree.to_string())
+    engine = _ENGINE_CACHE.pop(key, None)
+    if engine is None:
+        engine = SumProductEngine(model, tree)
+        if len(_ENGINE_CACHE) >= _ENGINE_CACHE_MAX:
+            _ENGINE_CACHE.pop(next(iter(_ENGINE_CACHE)))
+    _ENGINE_CACHE[key] = engine  # re-insert as most recent
+    return engine
+
 
 class SumProductEngine:
     """Per-(model, tree) state: branch substitution matrices, eigencount

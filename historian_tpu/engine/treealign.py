@@ -20,7 +20,7 @@ import numpy as np
 from historian_tpu.core.alignpath import AlignPath, Alignment, align_path_columns
 from historian_tpu.core.seqs import FastSeq
 from historian_tpu.core.tree import Tree
-from historian_tpu.engine.sumprod import SumProductEngine
+from historian_tpu.engine.sumprod import SumProductEngine, get_engine
 from historian_tpu.models.ratemodel import ProbModel, RateModel
 
 
@@ -106,7 +106,7 @@ def indel_log_likelihood(model: RateModel, history: History) -> float:
 
 
 def subst_log_likelihood(model: RateModel, history: History) -> float:
-    engine = SumProductEngine(model, history.tree)
+    engine = get_engine(model, history.tree)
     return engine.log_likelihood([s.seq for s in history.gapped])
 
 
@@ -162,7 +162,7 @@ def get_conditional_pwms(model: RateModel, tree: Tree, gapped: list[FastSeq], ex
     computing messages it won't read; a full batched fill yields
     identical E/G messages, so here one device fill serves all columns.
     """
-    engine = SumProductEngine(model, tree)
+    engine = get_engine(model, tree)
     fill = engine.fill([s.seq for s in gapped])
     pwms: dict[int, list[np.ndarray]] = {n: [] for n in exclude}
     n_cols = fill.n_columns

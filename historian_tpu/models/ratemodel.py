@@ -374,6 +374,51 @@ class RateModel:
         return dist
 
 
+class CachingRateModel(RateModel):
+    """Memoizes sub_prob_matrix(t) keyed by t at 5-sig-fig precision,
+    caching on second use and flushing at 1000 entries, computing through
+    the eigendecomposition (reference CachingRateModel,
+    model.cpp:1429-1466).  Used by the MCMC sampler, where the same
+    branch lengths recur across proposals."""
+
+    PRECISION = 5
+    FLUSH_SIZE = 1000
+
+    def __init__(self, model: RateModel):
+        super().__init__(
+            alphabet=model.alphabet,
+            ins_rate=model.ins_rate,
+            del_rate=model.del_rate,
+            ins_ext_prob=model.ins_ext_prob,
+            del_ext_prob=model.del_ext_prob,
+            cpt_weight=model.cpt_weight.copy(),
+            ins_prob=model.ins_prob.copy(),
+            sub_rate=model.sub_rate.copy(),
+        )
+        from historian_tpu.models.eigen import EigenModel
+
+        self._eigen = EigenModel(self)
+        self._cache: dict[str, np.ndarray] = {}
+        self._count: dict[str, int] = {}
+
+    def _time_key(self, t: float) -> str:
+        return f"{t:.{self.PRECISION}e}"
+
+    def sub_prob_matrix(self, t: float) -> np.ndarray:
+        key = self._time_key(t)
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        m = self._eigen.sub_prob_matrix(t)
+        self._count[key] = self._count.get(key, 0) + 1
+        if self._count[key] > 1:  # cache on 2nd evaluation
+            if len(self._cache) >= self.FLUSH_SIZE:
+                self._cache.clear()
+                self._count.clear()
+            self._cache[key] = m
+        return m
+
+
 class ProbModel:
     """Branch-conditioned probabilities at time t (model.cpp:374-447).
 

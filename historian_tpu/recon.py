@@ -193,6 +193,7 @@ class Reconstructor:
         self.run_mcmc = False
         self.fix_tree_mcmc = False
         self.fix_align_mcmc = False
+        self.fix_guide_mcmc = False
         self.mcmc_samples_per_seq = DEFAULT_MCMC_SAMPLES_PER_SEQ
         self.mcmc_trace_filename = ""
         self.output_format = FORMAT_STOCKHOLM

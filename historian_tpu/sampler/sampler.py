@@ -595,8 +595,11 @@ def _reorder_history(history: History, order: list[int]) -> History:
 def run_mcmc_on_datasets(recon) -> None:
     """CLI entry: MCMC over the Reconstructor's datasets
     (recon.cpp:1312-1366)."""
+    from historian_tpu.models.ratemodel import CachingRateModel
+
     samplers: list[Sampler] = []
     prior = SimpleTreePrior()
+    caching_model = CachingRateModel(recon.model)  # recon.cpp:1320
     for ds in recon.datasets:
         if not ds.has_reconstruction():
             recon.reconstruct(ds)
@@ -606,13 +609,24 @@ def run_mcmc_on_datasets(recon) -> None:
             FastSeq(name=tree.seq_name(n), seq=ds.gapped_recon[n].seq)
             for n in range(tree.n_nodes())
         ]
-        sampler = Sampler(recon.model, prior, ds.gapped_guide, name=ds.name)
+        sampler = Sampler(caching_model, prior, ds.gapped_guide, name=ds.name)
         sampler.max_distance_from_guide = recon.max_distance_from_guide
         sampler.initialize(History(gapped=gapped, tree=tree), ds.name)
         if recon.fix_tree_mcmc:
             sampler.fix_tree()
         if recon.fix_align_mcmc:
             sampler.fix_alignment()
+        sampler.use_fixed_guide = recon.fix_guide_mcmc
+        if recon.mcmc_trace_filename:
+            # -trace: write every sampled history to a numbered file
+            trace_path = f"{recon.mcmc_trace_filename}.{len(samplers) + 1}"
+            trace_file = open(trace_path, "w")
+
+            def log_history(history, _f=trace_file, _name=ds.name):
+                recon.write_tree_alignment(history.tree, history.gapped, _name, _f, True)
+                _f.flush()
+
+            sampler.history_loggers.append(log_history)
         samplers.append(sampler)
     n_samples = recon.mcmc_samples_per_seq * sum(
         s.current_history.tree.n_nodes() for s in samplers
