@@ -268,8 +268,70 @@ class ForwardMatrix(DPMatrix):
         self.y_insert_counts: dict[int, EigenCounts] = {}
         self._fill()
 
+    def _trans18(self) -> np.ndarray:
+        h = self.hmm
+        return np.array(
+            [h.imm_imm, h.imm_imd, h.imm_idm, h.imm_imi, h.imm_iiw,
+             h.imd_imm, h.imd_imd, h.imd_idm,
+             h.idm_imm, h.idm_imd, h.idm_idm,
+             h.imi_imm, h.imi_imd, h.imi_imi, h.imi_iiw,
+             h.iiw_imm, h.iiw_idm, h.iiw_iiw]
+        )
+
+    def _fill_native(self) -> bool:
+        """Run the fill through the native host runtime; False if unavailable."""
+        from historian_tpu.native import csr_in_edges, get_native
+
+        lib = get_native()
+        if lib is None:
+            return False
+        x_ptr, x_src, x_lp = csr_in_edges(self.x)
+        y_ptr, y_src, y_lp = csr_in_edges(self.y)
+        lib.forward_fill(
+            self.x_size, self.y_size,
+            x_ptr, x_src, x_lp, y_ptr, y_src, y_lp,
+            self.x_null.astype(np.uint8), self.y_null.astype(np.uint8),
+            self.x_ready.astype(np.uint8), self.y_ready.astype(np.uint8),
+            self.x_emit_or_start.astype(np.uint8),
+            np.uint8(self.x_empty), np.uint8(self.y_empty),
+            self.insx, self.rootsubx, self.insy, self.rootsuby,
+            np.ascontiguousarray(self.absorb), np.ascontiguousarray(self.env_mask.astype(np.uint8)),
+            self._trans18(), self.cells,
+        )
+        self._finish_fill()
+        return True
+
+    def _finish_fill(self) -> None:
+        """End-transition gather into lp_end (shared by both fill paths)."""
+        hmm = self.hmm
+        x, y = self.x, self.y
+        cells = self.cells
+        lp_end = NEG_INF
+        for xt in x.end.in_trans:
+            x_trans = x.trans[xt]
+            for yt in y.end.in_trans:
+                y_trans = y.trans[yt]
+                src = cells[x_trans.src, y_trans.src]
+                lp_end = np.logaddexp(
+                    lp_end,
+                    _lse_rows(
+                        src[IMM] + hmm.imm_eee,
+                        src[IMD] + hmm.imd_eee,
+                        src[IDM] + hmm.idm_eee,
+                        src[IMI] + hmm.imi_eee,
+                        src[IIW] + hmm.iiw_eee,
+                    )
+                    + x_trans.lp
+                    + y_trans.lp,
+                )
+        self.lp_end = float(lp_end)
+        self.start_cell = (0, 0, IMM)
+        self.end_cell = (self.x_size - 1, self.y_size - 1, EEE)
+
     # ------------------------------------------------------------------- fill
     def _fill(self) -> None:
+        if self._fill_native():
+            return
         hmm = self.hmm
         x, y = self.x, self.y
         sx, sy = self.x_size, self.y_size
@@ -467,28 +529,7 @@ class ForwardMatrix(DPMatrix):
                     cells[i, j, IMM] = imm if (i, j) != (0, 0) else 0.0
                 j += 1
 
-        # transitions into EEE
-        lp_end = NEG_INF
-        for xt in x.end.in_trans:
-            x_trans = x.trans[xt]
-            for yt in y.end.in_trans:
-                y_trans = y.trans[yt]
-                src = cells[x_trans.src, y_trans.src]
-                lp_end = np.logaddexp(
-                    lp_end,
-                    _lse_rows(
-                        src[IMM] + hmm.imm_eee,
-                        src[IMD] + hmm.imd_eee,
-                        src[IDM] + hmm.idm_eee,
-                        src[IMI] + hmm.imi_eee,
-                        src[IIW] + hmm.iiw_eee,
-                    )
-                    + x_trans.lp
-                    + y_trans.lp,
-                )
-        self.lp_end = float(lp_end)
-        self.start_cell = (0, 0, IMM)
-        self.end_cell = (self.x_size - 1, self.y_size - 1, EEE)
+        self._finish_fill()
 
     # --------------------------------------------------------- source lookups
     def source_transitions_without_emit_or_absorb(self, dest) -> dict:
@@ -942,6 +983,38 @@ class BackwardMatrix(DPMatrix):
     def lp_start(self) -> float:
         return float(self.cells[0, 0, IMM])
 
+    def _fill_native_backward(self) -> bool:
+        from historian_tpu.native import csr_out_edges, get_native
+
+        lib = get_native()
+        if lib is None:
+            return False
+        xa_ptr, xa_dest, xa_lp = csr_out_edges(self.x, "absorb_out")
+        xn_ptr, xn_dest, xn_lp = csr_out_edges(self.x, "null_out")
+        ya_ptr, ya_dest, ya_lp = csr_out_edges(self.y, "absorb_out")
+        yn_ptr, yn_dest, yn_lp = csr_out_edges(self.y, "null_out")
+        h = self.hmm
+        trans18 = np.array(
+            [h.imm_imm, h.imm_imd, h.imm_idm, h.imm_imi, h.imm_iiw,
+             h.imd_imm, h.imd_imd, h.imd_idm,
+             h.idm_imm, h.idm_imd, h.idm_idm,
+             h.imi_imm, h.imi_imd, h.imi_imi, h.imi_iiw,
+             h.iiw_imm, h.iiw_idm, h.iiw_iiw]
+        )
+        lib.backward_fill(
+            self.x_size, self.y_size,
+            xa_ptr, xa_dest, xa_lp, xn_ptr, xn_dest, xn_lp,
+            ya_ptr, ya_dest, ya_lp, yn_ptr, yn_dest, yn_lp,
+            self.x_ready.astype(np.uint8), self.y_ready.astype(np.uint8),
+            self.x_emit_or_start.astype(np.uint8),
+            np.uint8(self.x_empty), np.uint8(self.y_empty),
+            self.insx, self.rootsubx, self.insy, self.rootsuby,
+            np.ascontiguousarray(self.absorb),
+            np.ascontiguousarray(self.env_mask.astype(np.uint8)),
+            trans18, self.cells,
+        )
+        return True
+
     def _fill(self) -> None:
         hmm = self.hmm
         x, y = self.x, self.y
@@ -962,6 +1035,9 @@ class BackwardMatrix(DPMatrix):
                     cells[i, j, IDM] = base + hmm.idm_eee
                     cells[i, j, IMI] = base + hmm.imi_eee
                     cells[i, j, IIW] = base + hmm.iiw_eee
+
+        if self._fill_native_backward():
+            return
 
         # out-edge arrays
         def out_arrays(profile, attr):

@@ -1,0 +1,105 @@
+"""Loader for the native host runtime (native/fill.cpp).
+
+Builds the shared library on demand with g++ -O3 and binds it via
+ctypes + numpy.ctypeslib.  Set HISTORIAN_NATIVE=0 to force the pure
+numpy fills (used to cross-validate the two implementations).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+from numpy.ctypeslib import ndpointer
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_REPO, "native", "fill.cpp")
+_LIB = os.path.join(_REPO, "native", "libhistfill.so")
+
+_lib = None
+_tried = False
+
+
+def _f64(ndim=1):
+    return ndpointer(dtype=np.float64, ndim=ndim, flags="C_CONTIGUOUS")
+
+
+def _i64():
+    return ndpointer(dtype=np.int64, ndim=1, flags="C_CONTIGUOUS")
+
+
+def _u8(ndim=1):
+    return ndpointer(dtype=np.uint8, ndim=ndim, flags="C_CONTIGUOUS")
+
+
+def get_native():
+    """The bound library, or None if disabled/unbuildable."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("HISTORIAN_NATIVE", "1") == "0":
+        return None
+    try:
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _LIB, _SRC],
+                check=True, capture_output=True, timeout=300,
+            )
+        lib = ctypes.CDLL(_LIB)
+        lib.forward_fill.restype = None
+        lib.forward_fill.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            _i64(), _i64(), _f64(),  # x in-edges (CSR)
+            _i64(), _i64(), _f64(),  # y in-edges
+            _u8(), _u8(), _u8(), _u8(), _u8(),  # x_null, y_null, x_ready, y_ready, x_emit_or_start
+            ctypes.c_uint8, ctypes.c_uint8,  # x_empty, y_empty
+            _f64(), _f64(), _f64(), _f64(),  # insx, rootsubx, insy, rootsuby
+            _f64(2), _u8(2), _f64(),  # absorb, env_mask, trans18
+            _f64(3),  # cells
+        ]
+        lib.backward_fill.restype = None
+        lib.backward_fill.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            _i64(), _i64(), _f64(),  # x absorb-out (CSR)
+            _i64(), _i64(), _f64(),  # x null-out
+            _i64(), _i64(), _f64(),  # y absorb-out
+            _i64(), _i64(), _f64(),  # y null-out
+            _u8(), _u8(), _u8(),  # x_ready, y_ready, x_emit_or_start
+            ctypes.c_uint8, ctypes.c_uint8,
+            _f64(), _f64(), _f64(), _f64(),
+            _f64(2), _u8(2), _f64(),
+            _f64(3),
+        ]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def csr_in_edges(profile):
+    """CSR in-edge arrays (ptr, src, lp) over a profile's states."""
+    ptr = np.zeros(profile.size + 1, dtype=np.int64)
+    srcs: list[int] = []
+    lps: list[float] = []
+    for i, st in enumerate(profile.states):
+        for t in st.in_trans:
+            srcs.append(profile.trans[t].src)
+            lps.append(profile.trans[t].lp)
+        ptr[i + 1] = len(srcs)
+    return ptr, np.array(srcs, dtype=np.int64), np.array(lps, dtype=np.float64)
+
+
+def csr_out_edges(profile, attr: str):
+    """CSR out-edge arrays (ptr, dest, lp) for null_out or absorb_out."""
+    ptr = np.zeros(profile.size + 1, dtype=np.int64)
+    dests: list[int] = []
+    lps: list[float] = []
+    for i, st in enumerate(profile.states):
+        for t in getattr(st, attr):
+            dests.append(profile.trans[t].dest)
+            lps.append(profile.trans[t].lp)
+        ptr[i + 1] = len(dests)
+    return ptr, np.array(dests, dtype=np.int64), np.array(lps, dtype=np.float64)
