@@ -19,10 +19,13 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30
+F32_NEG = np.float32(NEG)
+F32_ZERO = np.float32(0.0)
 
 
 def _affine_scan_row(a, b, length):
@@ -36,10 +39,10 @@ def _affine_scan_row(a, b, length):
     d = 1
     for _ in range(n_steps):
         axis = len(a.shape) - 1
-        v_s = jnp.where(idx >= d, pltpu.roll(v, d, axis=axis), NEG)
-        w_s = jnp.where(idx >= d, pltpu.roll(w, d, axis=axis), 0.0)
+        v_s = jnp.where(idx >= d, pltpu.roll(v, np.int32(d), axis=axis), F32_NEG)
+        w_s = jnp.where(idx >= d, pltpu.roll(w, np.int32(d), axis=axis), F32_ZERO)
         v = jnp.logaddexp(v, v_s + w)
-        w = jnp.maximum(w + w_s, NEG)  # cap so repeated sentinels stay finite
+        w = jnp.maximum(w + w_s, F32_NEG)  # cap so repeated sentinels stay finite
         d *= 2
     return v
 
@@ -53,20 +56,35 @@ def _kernel(absorb_ref, rsx_ref, rsy_ref, ix_ref, iy_ref, trans_ref, out_ref):
 
     X1 = absorb_ref.shape[1]
     Y1 = absorb_ref.shape[2]
+    rsx_row = rsx_ref[0]  # [1, X1]
+    ix_row = ix_ref[0]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, X1), 1)
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, Y1), 1)
-    neg_row = jnp.full((1, Y1), NEG, dtype=absorb_ref.dtype)
+    neg_row = jnp.full((1, Y1), F32_NEG, dtype=absorb_ref.dtype)
     rsy = rsy_ref[0]  # [1, Y1]
     iy = iy_ref[0]
     y_ready = col_idx < Y1 - 1
 
     def shift1(v):
-        s = pltpu.roll(v, 1, axis=1)
-        return jnp.where(col_idx >= 1, s, NEG)
+        s = pltpu.roll(v, np.int32(1), axis=1)
+        return jnp.where(col_idx >= 1, s, F32_NEG)
+
+    # row 0 explicitly: imm = start row; IDM/IMI scans seeded from it.
+    # (boundary sentinels rsx[0]=ix[0]=-inf make the i>0 gates of IMD/IIW
+    # unnecessary inside the loop, and the final-row x_ready gate is
+    # applied after the loop -- no loop-index scalar branches remain.)
+    start_row = jnp.where(col_idx == 0, F32_ZERO, neg_row)
+    imm0 = start_row
+    idm0 = _affine_scan_row(shift1(imm0 + imm_idm) + rsy, idm_idm + rsy, Y1)
+    imi0 = _affine_scan_row(shift1(imm0 + imm_imi) + iy, imi_imi + iy, Y1)
 
     def body(i, carry):
-        imm_p, imd_p, idm_p, imi_p, iiw_p = carry
-        rsx_i = rsx_ref[0, 0, i]
-        ix_i = ix_ref[0, 0, i]
+        imm_p, imd_p, idm_p, imi_p, iiw_p, onehot = carry
+        # extract row-i scalars by one-hot reduction (dynamic lane-dim
+        # scalar loads from VMEM are not supported by Mosaic; the one-hot
+        # is carried and rolled to avoid comparing against the loop index)
+        rsx_i = jnp.sum(jnp.where(onehot > 0.5, jnp.maximum(rsx_row, F32_NEG), F32_ZERO))
+        ix_i = jnp.sum(jnp.where(onehot > 0.5, jnp.maximum(ix_row, F32_NEG), F32_ZERO))
 
         imd = jnp.logaddexp(
             jnp.logaddexp(imm_p + imm_imd, imd_p + imd_imd),
@@ -75,8 +93,8 @@ def _kernel(absorb_ref, rsx_ref, rsy_ref, ix_ref, iy_ref, trans_ref, out_ref):
         iiw = jnp.logaddexp(
             jnp.logaddexp(imm_p + imm_iiw, imi_p + imi_iiw), iiw_p + iiw_iiw
         ) + ix_i
-        imd = jnp.where(y_ready & (i > 0), imd, NEG)
-        iiw = jnp.where(y_ready & (i > 0), iiw, NEG)
+        imd = jnp.where(y_ready, imd, F32_NEG)
+        iiw = jnp.where(y_ready, iiw, F32_NEG)
 
         imm_src = jnp.logaddexp(
             jnp.logaddexp(
@@ -86,35 +104,25 @@ def _kernel(absorb_ref, rsx_ref, rsy_ref, ix_ref, iy_ref, trans_ref, out_ref):
             iiw_p + iiw_imm,
         )
         imm = shift1(imm_src) + absorb_ref[0, i]
-        imm = jnp.where((i == 0) & (col_idx == 0), 0.0, jnp.where(i == 0, NEG, imm))
 
-        x_ready = i < X1 - 1
         idm_other = jnp.logaddexp(
             jnp.logaddexp(imm + imm_idm, imd + imd_idm), iiw + iiw_idm
         )
-        a_idm = jnp.where(x_ready, shift1(idm_other) + rsy, NEG)
-        b_idm = jnp.where(x_ready, idm_idm + rsy, NEG)
-        idm = _affine_scan_row(a_idm, b_idm, Y1)
-        idm = jnp.where(x_ready, idm, NEG)
+        idm = _affine_scan_row(shift1(idm_other) + rsy, idm_idm + rsy, Y1)
+        imi = _affine_scan_row(shift1(imm + imm_imi) + iy, imi_imi + iy, Y1)
 
-        a_imi = jnp.where(x_ready, shift1(imm + imm_imi) + iy, NEG)
-        b_imi = jnp.where(x_ready, imi_imi + iy, NEG)
-        imi = _affine_scan_row(a_imi, b_imi, Y1)
-        imi = jnp.where(x_ready, imi, NEG)
+        return imm, imd, idm, imi, iiw, pltpu.roll(onehot, np.int32(1), axis=1)
 
-        return imm, imd, idm, imi, iiw
+    onehot0 = (row_iota == 1).astype(rsx_row.dtype)
+    init = (imm0, neg_row, idm0, imi0, neg_row, onehot0)
+    imm, imd, idm, imi, iiw, _ = jax.lax.fori_loop(1, X1, body, init)
 
-    init = (neg_row, neg_row, neg_row, neg_row, neg_row)
-    imm, imd, idm, imi, iiw = jax.lax.fori_loop(0, X1, body, init)
-
+    # final row: y-absorbing states are blocked (x is in its Wait state)
     lp_end = jnp.logaddexp(
-        jnp.logaddexp(
-            jnp.logaddexp(imm[0, Y1 - 1] + imm_eee, imd[0, Y1 - 1] + imd_eee),
-            jnp.logaddexp(idm[0, Y1 - 1] + idm_eee, imi[0, Y1 - 1] + imi_eee),
-        ),
+        jnp.logaddexp(imm[0, Y1 - 1] + imm_eee, imd[0, Y1 - 1] + imd_eee),
         iiw[0, Y1 - 1] + iiw_eee,
     )
-    out_ref[0, 0, 0] = lp_end
+    out_ref[0] = jnp.full((1, 1), lp_end, dtype=out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -123,21 +131,26 @@ def pallas_pair_forward_lp(absorb, rsx, rsy, ix, iy, trans):
 
     absorb: [B, X+1, Y+1]; rsx/ix: [B, X+1]; rsy/iy: [B, Y+1]; trans: [23].
     Returns lp_end [B].
+
+    All pairs in a batch must share the same real (X, Y): the end
+    log-likelihood is read at the block corner, so -inf-padding shorter
+    pairs is NOT supported -- bucket pairs by shape instead.
     """
     B = absorb.shape[0]
     x1, y1 = absorb.shape[1], absorb.shape[2]
+    Z = np.int32(0)  # index maps must return i32 (x64 would make literals i64)
     out = pl.pallas_call(
         _kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, x1, y1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, x1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, y1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, x1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, y1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 23), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, x1, y1), lambda b: (b, Z, Z), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, x1), lambda b: (b, Z, Z), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, y1), lambda b: (b, Z, Z), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, x1), lambda b: (b, Z, Z), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, y1), lambda b: (b, Z, Z), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 23), lambda b: (Z, Z), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 1, 1), lambda b: (b, Z, Z), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 1, 1), absorb.dtype),
     )(
         absorb,
