@@ -112,13 +112,24 @@ class QuickAlignResult:
              aligner.i2d, aligner.d2d, aligner.d2m, 0.0, 0.0],
             dtype=dtype,
         )
+        # bucket shapes to multiples of 128 so repeated guide-alignment
+        # calls share jit compilations (out-of-bounds cells carry a False
+        # mask, which the fill pins to -inf -- values are unchanged)
+        px = -(-(x_len + 1) // 128) * 128
+        py = -(-(y_len + 1) // 128) * 128
+        emit_p = np.zeros((px, py), dtype=dtype)
+        emit_p[: x_len + 1, : y_len + 1] = emit
+        mask_p = np.zeros((px, py), dtype=bool)
+        mask_p[: x_len + 1, : y_len + 1] = mask
+        start_p = np.zeros((px, py), dtype=dtype)
+        start_p[: x_len + 1, : y_len + 1] = start_gap
         mats, inss, dels = banded_viterbi_fill(
-            jnp.asarray(emit), jnp.asarray(mask), jnp.asarray(start_gap), jnp.asarray(trans)
+            jnp.asarray(emit_p), jnp.asarray(mask_p), jnp.asarray(start_p), jnp.asarray(trans)
         )
         # store [X+1, Y+1] row-major like the reference accessors
-        self.mat = np.asarray(mats).T
-        self.ins = np.asarray(inss).T
-        self.del_ = np.asarray(dels).T
+        self.mat = np.asarray(mats).T[: x_len + 1, : y_len + 1]
+        self.ins = np.asarray(inss).T[: x_len + 1, : y_len + 1]
+        self.del_ = np.asarray(dels).T[: x_len + 1, : y_len + 1]
         self.emit = emit
 
         # best end cell: scan j=1..Y outer, i inner ascending, strict >

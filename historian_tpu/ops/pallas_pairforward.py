@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: 5-state pair-transducer Forward DP, one pair per
+"""Pallas TPU kernel: 5-state pair-transducer Forward DP, G pairs per
 grid program, all DP state VMEM-resident.
 
 Compared to the lax.scan kernel (ops/pairforward.py), this version keeps
@@ -6,6 +6,8 @@ the whole [X+1, Y+1] emission block and the running row vectors in VMEM
 for the entire fill, avoiding per-step HBM traffic, and implements the
 within-row IDM/IMI affine recurrences as explicit Hillis-Steele prefix
 log-sum-exp scans (log2(Y) vector steps of roll+mask on the VPU).
+Packing G=8 pairs per program makes every row vector a full
+[8 sublanes, Y+1 lanes] tile, so the VPU is fully utilised.
 
 Returns only the per-pair end log-likelihood (the progressive aligner's
 band-doubling retry and best-path scoring need lp_end; full cell
@@ -26,6 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30
 F32_NEG = np.float32(NEG)
 F32_ZERO = np.float32(0.0)
+GROUP = 8  # pairs per grid program = f32 sublane count
 
 
 def _affine_scan_row(a, b, length):
@@ -34,11 +37,11 @@ def _affine_scan_row(a, b, length):
     with identity (-inf, 0).  log2(Y) roll+mask vector steps; avoids the
     cumsum formulation's huge intermediates when b holds -inf sentinels."""
     n_steps = max(1, int(math.ceil(math.log2(length))))
-    idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, len(a.shape) - 1)
+    axis = len(a.shape) - 1
+    idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, axis)
     v, w = a, b
     d = 1
     for _ in range(n_steps):
-        axis = len(a.shape) - 1
         v_s = jnp.where(idx >= d, pltpu.roll(v, np.int32(d), axis=axis), F32_NEG)
         w_s = jnp.where(idx >= d, pltpu.roll(w, np.int32(d), axis=axis), F32_ZERO)
         v = jnp.logaddexp(v, v_s + w)
@@ -55,13 +58,14 @@ def _kernel(absorb_ref, rsx_ref, rsy_ref, ix_ref, iy_ref, trans_ref, out_ref):
      iiw_imm, iiw_idm, iiw_iiw, iiw_eee) = (trans_ref[0, k] for k in range(23))
 
     X1 = absorb_ref.shape[1]
-    Y1 = absorb_ref.shape[2]
-    rsx_row = rsx_ref[0]  # [1, X1]
-    ix_row = ix_ref[0]
+    G = absorb_ref.shape[2]
+    Y1 = absorb_ref.shape[3]
+    rsx_rows = rsx_ref[0]  # [G, X1]
+    ix_rows = ix_ref[0]
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, X1), 1)
-    col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, Y1), 1)
-    neg_row = jnp.full((1, Y1), F32_NEG, dtype=absorb_ref.dtype)
-    rsy = rsy_ref[0]  # [1, Y1]
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (G, Y1), 1)
+    neg_row = jnp.full((G, Y1), F32_NEG, dtype=absorb_ref.dtype)
+    rsy = rsy_ref[0]  # [G, Y1]
     iy = iy_ref[0]
     y_ready = col_idx < Y1 - 1
 
@@ -83,8 +87,15 @@ def _kernel(absorb_ref, rsx_ref, rsy_ref, ix_ref, iy_ref, trans_ref, out_ref):
         # extract row-i scalars by one-hot reduction (dynamic lane-dim
         # scalar loads from VMEM are not supported by Mosaic; the one-hot
         # is carried and rolled to avoid comparing against the loop index)
-        rsx_i = jnp.sum(jnp.where(onehot > 0.5, jnp.maximum(rsx_row, F32_NEG), F32_ZERO))
-        ix_i = jnp.sum(jnp.where(onehot > 0.5, jnp.maximum(ix_row, F32_NEG), F32_ZERO))
+        sel = onehot > 0.5
+        rsx_i = jnp.sum(
+            jnp.where(sel, jnp.maximum(rsx_rows, F32_NEG), F32_ZERO),
+            axis=1, keepdims=True,
+        )  # [G, 1]
+        ix_i = jnp.sum(
+            jnp.where(sel, jnp.maximum(ix_rows, F32_NEG), F32_ZERO),
+            axis=1, keepdims=True,
+        )
 
         imd = jnp.logaddexp(
             jnp.logaddexp(imm_p + imm_imd, imd_p + imd_imd),
@@ -103,7 +114,7 @@ def _kernel(absorb_ref, rsx_ref, rsy_ref, ix_ref, iy_ref, trans_ref, out_ref):
             ),
             iiw_p + iiw_imm,
         )
-        imm = shift1(imm_src) + absorb_ref[0, i]
+        imm = shift1(imm_src) + absorb_ref[0, i]  # [G, Y1] row across pairs
 
         idm_other = jnp.logaddexp(
             jnp.logaddexp(imm + imm_idm, imd + imd_idm), iiw + iiw_idm
@@ -113,16 +124,18 @@ def _kernel(absorb_ref, rsx_ref, rsy_ref, ix_ref, iy_ref, trans_ref, out_ref):
 
         return imm, imd, idm, imi, iiw, pltpu.roll(onehot, np.int32(1), axis=1)
 
-    onehot0 = (row_iota == 1).astype(rsx_row.dtype)
+    onehot0 = (row_iota == 1).astype(rsx_rows.dtype)
     init = (imm0, neg_row, idm0, imi0, neg_row, onehot0)
     imm, imd, idm, imi, iiw, _ = jax.lax.fori_loop(1, X1, body, init)
 
     # final row: y-absorbing states are blocked (x is in its Wait state)
     lp_end = jnp.logaddexp(
-        jnp.logaddexp(imm[0, Y1 - 1] + imm_eee, imd[0, Y1 - 1] + imd_eee),
-        iiw[0, Y1 - 1] + iiw_eee,
+        jnp.logaddexp(
+            imm[:, Y1 - 1:Y1] + imm_eee, imd[:, Y1 - 1:Y1] + imd_eee
+        ),
+        iiw[:, Y1 - 1:Y1] + iiw_eee,
     )
-    out_ref[0] = jnp.full((1, 1), lp_end, dtype=out_ref.dtype)
+    out_ref[0] = lp_end  # [G, 1]
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -138,26 +151,39 @@ def pallas_pair_forward_lp(absorb, rsx, rsy, ix, iy, trans):
     """
     B = absorb.shape[0]
     x1, y1 = absorb.shape[1], absorb.shape[2]
+    G = GROUP
+    NG = (B + G - 1) // G
+    pad = NG * G - B
+    if pad:
+        # replicate the first pair into the tail slots (finite, discarded)
+        absorb = jnp.concatenate([absorb, jnp.broadcast_to(absorb[:1], (pad, x1, y1))])
+        rsx = jnp.concatenate([rsx, jnp.broadcast_to(rsx[:1], (pad, x1))])
+        rsy = jnp.concatenate([rsy, jnp.broadcast_to(rsy[:1], (pad, y1))])
+        ix = jnp.concatenate([ix, jnp.broadcast_to(ix[:1], (pad, x1))])
+        iy = jnp.concatenate([iy, jnp.broadcast_to(iy[:1], (pad, y1))])
+    # [NG, X1, G, Y1]: the DP row index lands on a leading (untiled) dim,
+    # which Mosaic supports for dynamic indexing; G rides the sublanes.
+    absorb_t = absorb.reshape(NG, G, x1, y1).transpose(0, 2, 1, 3)
     Z = np.int32(0)  # index maps must return i32 (x64 would make literals i64)
     out = pl.pallas_call(
         _kernel,
-        grid=(B,),
+        grid=(NG,),
         in_specs=[
-            pl.BlockSpec((1, x1, y1), lambda b: (b, Z, Z), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, x1), lambda b: (b, Z, Z), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, y1), lambda b: (b, Z, Z), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, x1), lambda b: (b, Z, Z), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, y1), lambda b: (b, Z, Z), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, x1, G, y1), lambda b: (b, Z, Z, Z), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, x1), lambda b: (b, Z, Z), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, y1), lambda b: (b, Z, Z), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, x1), lambda b: (b, Z, Z), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, y1), lambda b: (b, Z, Z), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 23), lambda b: (Z, Z), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1), lambda b: (b, Z, Z), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 1, 1), absorb.dtype),
+        out_specs=pl.BlockSpec((1, G, 1), lambda b: (b, Z, Z), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NG, G, 1), absorb.dtype),
     )(
-        absorb,
-        rsx.reshape(B, 1, x1),
-        rsy.reshape(B, 1, y1),
-        ix.reshape(B, 1, x1),
-        iy.reshape(B, 1, y1),
+        absorb_t,
+        rsx.reshape(NG, G, x1),
+        rsy.reshape(NG, G, y1),
+        ix.reshape(NG, G, x1),
+        iy.reshape(NG, G, y1),
         trans.reshape(1, 23),
     )
-    return out[:, 0, 0]
+    return out.reshape(NG * G)[:B]
