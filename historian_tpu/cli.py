@@ -43,6 +43,8 @@ def _parse_common(recon: Reconstructor, argvec: deque) -> bool:
     arg = argvec[0]
 
     def take(n=1):
+        if len(argvec) < n + 1:
+            raise SystemExit(f"{PROG}: option {arg!r} requires {n} argument(s)")
         vals = [argvec.popleft() for _ in range(n + 1)][1:]
         return vals[0] if n == 1 else vals
 
@@ -86,10 +88,16 @@ def _parse_common(recon: Reconstructor, argvec: deque) -> bool:
         recon.guide_save_filename = take()
     elif arg == "-output":
         fmt = take().lower()
-        recon.output_format = {
+        formats = {
             "fasta": FORMAT_FASTA, "nexus": FORMAT_NEXUS,
             "stockholm": FORMAT_STOCKHOLM, "json": FORMAT_JSON,
-        }[fmt]
+        }
+        if fmt not in formats:
+            raise SystemExit(
+                f"{PROG}: unknown output format {fmt!r}"
+                f" (expected one of: {', '.join(formats)})"
+            )
+        recon.output_format = formats[fmt]
     elif arg == "-noancs":
         argvec.popleft()
         recon.output_leaves_only = True
@@ -291,6 +299,17 @@ def main(argv: list[str] | None = None) -> int:
 
     argvec = deque(rest)
 
+    try:
+        return _dispatch(command, recon, argvec, out)
+    except OSError as e:
+        if e.filename is not None:
+            raise SystemExit(f"{PROG}: {e.strerror.lower()}: {e.filename!r}")
+        raise
+    except ValueError as e:
+        raise SystemExit(f"{PROG}: {e}")
+
+
+def _dispatch(command: str, recon: Reconstructor, argvec: deque, out) -> int:
     if command == "recon":
         _drain_args(recon, argvec)
         recon.load_model()
@@ -311,7 +330,7 @@ def main(argv: list[str] | None = None) -> int:
         recon.count_all()
         recon.write_counts(out)
     elif command == "sum":
-        paths = [a for a in rest if not a.startswith("-")]
+        paths = [a for a in argvec if not a.startswith("-")]
         total = None
         for p in paths:
             c = EventCounts.from_file(p)
