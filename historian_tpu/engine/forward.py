@@ -150,6 +150,7 @@ class DPMatrix:
         self.env_mask = self._envelope_mask()  # [Sx, Sy]
         self.cells = np.full((self.x_size, self.y_size, 5), NEG_INF)
         self.lp_end = NEG_INF
+        self._trace_cache: dict = {}  # dest -> (cells, weights, ptot, best)
 
     def _absorb_matrix(self) -> np.ndarray:
         sx = np.full((self.x_size, self.hmm.components, self.alph_size), NEG_INF)
@@ -597,16 +598,50 @@ class ForwardMatrix(DPMatrix):
         }
 
     # ------------------------------------------------------------- tracebacks
+    def _trace_entry(self, dest):
+        """Cached per-cell traceback distribution.
+
+        The cells array is fixed once the fill completes, so the sorted
+        candidate list, its exp-weights, the weight total, and the argmax
+        depend only on `dest`; sampled paths overlap heavily, making this
+        cache the traceback hot path.  The arithmetic mirrors sample_cell /
+        best_cell exactly (same sort order, same float accumulation), so
+        the mt19937 draw sequence -- and thus every sampled profile -- is
+        bit-identical to the uncached walk.
+        """
+        cache = self._trace_cache
+        entry = cache.get(dest)
+        if entry is None:
+            items = sorted(self.source_cells(dest).items())
+            lpmax = max(lp for _, lp in items)
+            weights = [np.exp(lp - lpmax) for _, lp in items]
+            ptot = sum(weights)
+            best, best_lp = None, NEG_INF
+            for c, lp in items:
+                if lp > best_lp:
+                    best, best_lp = c, lp
+            entry = ([c for c, _ in items], weights, ptot, best)
+            cache[dest] = entry
+        return entry
+
     def sample_trace(self, rng: MT19937) -> list:
         assert self.lp_end > NEG_INF, "Forward likelihood is zero; traceback fail"
         path = [self.end_cell]
-        clp = self.source_cells(self.end_cell)
+        current = self.end_cell
         while True:
-            current = self.sample_cell(clp, rng)
+            cells_, weights, ptot, _ = self._trace_entry(current)
+            p = rng.uniform(0, ptot)
+            current = None
+            for c, w in zip(cells_, weights):
+                p -= w
+                if p <= 0:
+                    current = c
+                    break
+            if current is None:
+                raise RuntimeError(f"sample_cell failed (ptot={ptot})")
             path.insert(0, current)
             if current[0] == 0 and current[1] == 0:
                 break
-            clp = self.source_cells(current)
         return path
 
     def best_trace(self, end=None) -> list:
@@ -615,13 +650,12 @@ class ForwardMatrix(DPMatrix):
             end = self.end_cell
         path = [end]
         if end[0] > 0 or end[1] > 0:
-            clp = self.source_cells(end)
+            current = end
             while True:
-                current = self.best_cell(clp)
+                current = self._trace_entry(current)[3]
                 path.insert(0, current)
                 if current[0] == 0 and current[1] == 0:
                     break
-                clp = self.source_cells(current)
         return path
 
     def best_align_path(self) -> AlignPath:

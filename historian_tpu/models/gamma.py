@@ -10,12 +10,14 @@ naturally across devices (expert-parallel analogue, SURVEY.md 2.7).
 from __future__ import annotations
 
 import numpy as np
-from scipy.stats import gamma as gamma_dist
 
 from historian_tpu.models.ratemodel import RateModel
 
 
 def make_discretized_gamma_model(model: RateModel, bins: int, shape: float) -> RateModel:
+    # deferred: scipy.stats costs ~1s of import time, only -gamma needs it
+    from scipy.stats import gamma as gamma_dist
+
     if model.components != 1:
         raise ValueError("can't make a discretized gamma model from an existing mixture model")
     q = (np.arange(1, bins + 1)) / (bins + 1)
