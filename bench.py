@@ -24,10 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-BATCH = 32
+BATCH = 64
 X_LEN = 384
 Y_LEN = 384
-REPS = 5
+REPS = 24
+SEED_PAIRS = 8  # distinct real pairs; tiled to BATCH
 
 
 def build_baseline() -> float:
@@ -48,6 +49,16 @@ def build_baseline() -> float:
 
 
 def bench_device() -> float:
+    """Measure the fastest device pair-forward kernel.
+
+    Timing protocol (the accelerator sits behind an async dispatch layer,
+    so naive block_until_ready loops can under- or over-state wildly):
+    every iteration gets DISTINCT inputs (a per-iteration emission shift,
+    defeating any result caching along the dispatch path), all REPS
+    results are reduced into one scalar on device (a data dependency on
+    every iteration), and the clock stops only after that scalar reaches
+    the host.  The single device->host round trip is amortised over REPS.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -61,44 +72,65 @@ def bench_device() -> float:
     def random_seq(n):
         return "".join(alpha[i] for i in rng.randint(0, 20, size=n))
 
-    # one representative arg set; batch by stacking emission tensors
-    args0, _ = chain_pair_forward_arrays(model, random_seq(X_LEN), random_seq(Y_LEN), 0.5, 0.5, dtype=np.float32)
-
-    def stack(template, batch):
-        return [jnp.stack([a] * batch) for a in template[:5]]
-
-    batched = []
-    for b in range(BATCH):
+    pairs = []
+    for _ in range(SEED_PAIRS):
         a, _ = chain_pair_forward_arrays(
             model, random_seq(X_LEN), random_seq(Y_LEN), 0.5, 0.5, dtype=np.float32
         )
-        batched.append(a)
-    absorb = jnp.stack([a[0] for a in batched])
-    rsx = jnp.stack([a[1] for a in batched])
-    rsy = jnp.stack([a[2] for a in batched])
-    ix = jnp.stack([a[3] for a in batched])
-    iy = jnp.stack([a[4] for a in batched])
-    mask = args0[5]
-    trans = args0[6]
+        pairs.append(a)
+    tile = BATCH // SEED_PAIRS
+    absorb = jnp.tile(jnp.stack([a[0] for a in pairs]), (tile, 1, 1))
+    rsx = jnp.tile(jnp.stack([a[1] for a in pairs]), (tile, 1))
+    rsy = jnp.tile(jnp.stack([a[2] for a in pairs]), (tile, 1))
+    ix = jnp.tile(jnp.stack([a[3] for a in pairs]), (tile, 1))
+    iy = jnp.tile(jnp.stack([a[4] for a in pairs]), (tile, 1))
+    mask = pairs[0][5]
+    trans = pairs[0][6]
 
-    @jax.jit
-    def run(absorb, rsx, rsy, ix, iy):
-        def one(a, rx, ry, jx, jy):
-            _, lp = pair_forward(a, rx, ry, jx, jy, mask, trans)
+    def scan_kernel(a, rx, ry, jx, jy):
+        def one(ab, r1, r2, j1, j2):
+            _, lp = pair_forward(ab, r1, r2, j1, j2, mask, trans)
             return lp
 
-        return jax.vmap(one)(absorb, rsx, rsy, ix, iy)
+        return jax.vmap(one)(a, rx, ry, jx, jy)
 
-    # warmup / compile
-    run(absorb, rsx, rsy, ix, iy).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        lps = run(absorb, rsx, rsy, ix, iy)
-    lps.block_until_ready()
-    t1 = time.perf_counter()
-    assert np.all(np.isfinite(np.asarray(lps))), "non-finite forward likelihoods"
-    cells = BATCH * (X_LEN + 1) * (Y_LEN + 1) * 5 * REPS
-    return cells / (t1 - t0)
+    def pallas_kernel(a, rx, ry, jx, jy):
+        from historian_tpu.ops.pallas_pairforward import pallas_pair_forward_lp
+
+        return pallas_pair_forward_lp(a, rx, ry, jx, jy, trans)
+
+    def measure(kernel) -> float:
+        @jax.jit
+        def step(eps):
+            # eps shifts every emission: distinct inputs per iteration
+            return jnp.sum(kernel(absorb + eps, rsx, rsy, ix, iy))
+
+        warm = float(step(jnp.float32(0.0)))  # compile + sanity
+        assert np.isfinite(warm), "non-finite forward likelihoods"
+        t0 = time.perf_counter()
+        accs = [step(jnp.float32(1e-4 * (k + 1))) for k in range(REPS)]
+        total = float(jnp.sum(jnp.stack(accs)))  # blocks on every iteration
+        t1 = time.perf_counter()
+        assert np.isfinite(total)
+        cells = BATCH * (X_LEN + 1) * (Y_LEN + 1) * 5 * REPS
+        return cells / (t1 - t0)
+
+    try:
+        import historian_tpu.ops.pallas_pairforward as pp
+
+        best = 0.0
+        for group in (32, 16, 8):
+            try:
+                pp.GROUP = group
+                pp.pallas_pair_forward_lp.clear_cache()
+                best = max(best, measure(pallas_kernel))
+            except Exception:
+                continue
+        if best > 0.0:
+            return best
+    except Exception:
+        pass
+    return measure(scan_kernel)
 
 
 def main() -> None:

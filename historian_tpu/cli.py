@@ -82,8 +82,11 @@ def _parse_common(recon: Reconstructor, argvec: deque) -> bool:
         recon.stockholm_guide_filenames.append(take())
     elif arg == "-tree":
         recon.tree_filename = take()
-    elif arg == "-root":
+    elif arg in ("-root", "-reroot"):  # reference name is -reroot (recon.cpp:466)
         recon.tree_root = take()
+    elif arg == "-nobest":
+        argvec.popleft()
+        recon.include_best_trace_in_profile = False
     elif arg == "-saveguide":
         recon.guide_save_filename = take()
     elif arg == "-output":
@@ -299,6 +302,9 @@ def main(argv: list[str] | None = None) -> int:
 
     argvec = deque(rest)
 
+    if "-abort" in argvec:  # debugging aid: raw tracebacks (reference optparser.cpp:35)
+        argvec.remove("-abort")
+        return _dispatch(command, recon, argvec, out)
     try:
         return _dispatch(command, recon, argvec, out)
     except OSError as e:
@@ -307,6 +313,8 @@ def main(argv: list[str] | None = None) -> int:
         raise
     except ValueError as e:
         raise SystemExit(f"{PROG}: {e}")
+    except LookupError as e:
+        raise SystemExit(f"{PROG}: {e.args[0] if e.args else e}")
 
 
 def _dispatch(command: str, recon: Reconstructor, argvec: deque, out) -> int:

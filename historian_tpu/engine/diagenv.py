@@ -25,7 +25,9 @@ from historian_tpu.core.seqs import make_kmers
 DEFAULT_KMER_LENGTH = 6
 DEFAULT_KMER_THRESHOLD = -1  # negative => use memory budget
 DEFAULT_BAND_SIZE = 64
-DEFAULT_MAX_SIZE = 1 << 30  # deterministic 1 GiB budget instead of RAM probing
+from historian_tpu.utils.memsize import physical_memory_bytes
+
+DEFAULT_MAX_SIZE = physical_memory_bytes()  # reference: getMemorySize() (diagenv.cpp:64)
 MIN_KMERS_FOR_SPARSE_ENVELOPE = 2
 
 

@@ -59,9 +59,11 @@ DEFAULT_MCMC_SAMPLES_PER_SEQ = 100
 DEFAULT_SIMULATOR_ROOT_SEQ_LEN = 100
 ANCESTRAL_POST_PROB_TAG = "PP"
 
-# deterministic replacement for the reference's RAM-derived profile cap
-# (maxProfileStates = sqrt(frac * RAM / cellSize), recon.cpp:77-79)
-DEFAULT_DP_MEMORY_BYTES = 1 << 30
+# RAM-derived profile cap (maxProfileStates = sqrt(frac * RAM / cellSize),
+# recon.cpp:78); HISTORIAN_MEMSIZE overrides the probe for reproducibility
+from historian_tpu.utils.memsize import physical_memory_bytes
+
+DEFAULT_DP_MEMORY_BYTES = physical_memory_bytes()
 DP_CELL_SIZE = 40
 
 
