@@ -73,3 +73,48 @@ def test_counts_pytree_roundtrip_and_psum_on_mesh(ref_data):
     np.testing.assert_allclose(device_total.sub_count, host_total.sub_count, rtol=1e-12)
     np.testing.assert_allclose(device_total.root_count, host_total.root_count, rtol=1e-12)
     assert abs(device_total.indel.lp - host_total.indel.lp) < 1e-9
+
+
+@pytest.mark.parametrize("n_sp", [2, 4, 8])
+def test_sp_pair_forward_matches_single_chip(ref_data, n_sp):
+    """Column-sharded wavefront Forward == single-device scan kernel."""
+    import jax
+    from jax.sharding import Mesh
+
+    from historian_tpu.ops.pairforward import chain_pair_forward_arrays, pair_forward
+    from historian_tpu.ops.sp_pairforward import sp_pair_forward
+
+    model = RateModel.from_file(os.path.join(ref_data, "testamino.json"))
+    seqs = read_fasta(os.path.join(ref_data, "PF16593.pair.fa"))
+    args, _ = chain_pair_forward_arrays(model, seqs[0].seq, seqs[1].seq, 1.0, 0.5, dtype=np.float64)
+    _, lp_single = pair_forward(*args)
+
+    devices = np.array(jax.devices()[:n_sp])
+    mesh = Mesh(devices, ("sp",))
+    lp_sp = sp_pair_forward(*args, mesh=mesh)
+    assert abs(float(lp_single) - float(lp_sp)) < 1e-9
+
+
+def test_sp_pair_forward_banded(ref_data):
+    """Sharded fill agrees under a banded envelope mask (odd Y => padding)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from historian_tpu.ops.pairforward import chain_pair_forward_arrays, pair_forward
+    from historian_tpu.ops.sp_pairforward import sp_pair_forward
+
+    model = RateModel.from_file(os.path.join(ref_data, "testamino.json"))
+    seqs = read_fasta(os.path.join(ref_data, "PF16593.pair.fa"))
+    x, y = seqs[0].seq[:33], seqs[1].seq[:29]
+    args, _ = chain_pair_forward_arrays(model, x, y, 0.7, 0.3, dtype=np.float64)
+    absorb, rsx, rsy, ix, iy, mask, trans = args
+    ii = np.arange(absorb.shape[0])[:, None]
+    jj = np.arange(absorb.shape[1])[None, :]
+    band = np.abs(ii - jj) <= 10
+    band[0, :] = band[:, 0] = True
+    band[-1, -1] = True
+    mask = np.asarray(mask) & band
+    _, lp_single = pair_forward(absorb, rsx, rsy, ix, iy, mask, trans)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("sp",))
+    lp_sp = sp_pair_forward(absorb, rsx, rsy, ix, iy, mask, trans, mesh=mesh)
+    assert abs(float(lp_single) - float(lp_sp)) < 1e-9
