@@ -88,6 +88,19 @@ class Stockholm:
         return cls.parse(fh.read())
 
     @classmethod
+    def read_all(cls, fh: IO[str] | str) -> "list[Stockholm]":
+        """All alignments in a possibly multi-block Stockholm file."""
+        text = open(fh).read() if isinstance(fh, str) else fh.read()
+        out = []
+        for chunk in text.split("//"):
+            if "# STOCKHOLM" not in chunk:
+                continue
+            stock = cls.parse(chunk + "//\n")
+            if stock.rows:
+                out.append(stock)
+        return out
+
+    @classmethod
     def from_seqs(cls, seqs: list[FastSeq], tree: Tree | None = None) -> "Stockholm":
         out = cls(gapped=list(seqs))
         if tree is not None:

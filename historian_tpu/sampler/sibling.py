@@ -18,7 +18,20 @@ from __future__ import annotations
 import math
 
 import numpy as np
-from scipy.special import logsumexp
+from scipy.special import logsumexp as logsumexp_nd
+
+
+def logsumexp(vals):
+    """Scalar log-sum-exp over a small list.
+
+    Same max-shift formulation as scipy.special.logsumexp (which this
+    replaces: its array-API dispatch costs ~200us per call, and the
+    sibling fill makes one call per cell), evaluated with math.* on
+    floats."""
+    m = max(vals)
+    if m == -math.inf:
+        return -math.inf
+    return m + math.log(sum(math.exp(v - m) for v in vals))
 
 from historian_tpu.core.alignpath import AlignPath, GuideAlignmentEnvelope, align_path_columns, residues_in_row
 from historian_tpu.engine.treealign import calc_ins_probs, pre_multiply, root_ext_prob
@@ -84,7 +97,7 @@ class SiblingMatrix:
         self.match_emit = np.full((self.x_size, self.y_size), NEG)
         if len(l_pwm) and len(r_pwm):
             combined = self.log_root[None, None, :, :] + self.l_sub[:, None] + self.r_sub[None, :]
-            self.match_emit[1:, 1:] = logsumexp(combined, axis=(2, 3))
+            self.match_emit[1:, 1:] = logsumexp_nd(combined, axis=(2, 3))
 
         self._init_transitions()
         self._fill()
@@ -376,6 +389,6 @@ class SiblingMatrix:
                 if rr[col]:
                     prof = prof + self.r_sub[r_pos]
                     r_pos += 1
-                prof = prof - logsumexp(prof)
+                prof = prof - logsumexp_nd(prof)
                 out.append(prof)
         return np.array(out).reshape(len(out), c, a)
