@@ -23,6 +23,17 @@ from historian_tpu.engine.diagenv import DiagonalEnvelope
 from historian_tpu.models.ratemodel import ProbModel, RateModel
 from historian_tpu.ops.pairdp import NEG_INF, banded_viterbi_fill
 
+_batched_fill = None
+
+
+def _get_batched_fill():
+    import jax
+
+    global _batched_fill
+    if _batched_fill is None:
+        _batched_fill = jax.jit(jax.vmap(banded_viterbi_fill, in_axes=(0, 0, 0, None)))
+    return _batched_fill
+
 
 class QuickAligner:
     """Reusable scoring context for one (model, time)."""
@@ -61,9 +72,47 @@ class QuickAligner:
     def align(self, x: FastSeq, y: FastSeq, envelope: DiagonalEnvelope | None = None):
         return QuickAlignResult(self, x, y, envelope)
 
+    def align_batch(self, jobs: "list[tuple[FastSeq, FastSeq, DiagonalEnvelope | None]]"):
+        """Align many pairs, batching same-bucket DP fills into one vmapped
+        device call each (the guide-graph hot path: one dispatch per shape
+        bucket instead of one per pair)."""
+        import jax
+
+        results = [QuickAlignResult(self, x, y, env, defer_fill=True) for x, y, env in jobs]
+        if jax.default_backend() == "cpu":
+            # serial backend: batching only adds vmap-compile cost
+            for r in results:
+                if not r.trivial:
+                    r._run_fill()
+            return results
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for k, r in enumerate(results):
+            if not r.trivial:
+                buckets.setdefault(r._padded_shape, []).append(k)
+        for idxs in buckets.values():
+            if len(idxs) == 1:
+                results[idxs[0]]._run_fill()
+                continue
+            # pad the batch to a multiple of 8 so bucket sizes reuse compiles
+            b = -(-len(idxs) // 8) * 8
+            pick = idxs + [idxs[-1]] * (b - len(idxs))
+            emit = np.stack([results[k]._emit_p for k in pick])
+            mask = np.stack([results[k]._mask_p for k in pick])
+            start = np.stack([results[k]._start_p for k in pick])
+            trans = results[idxs[0]]._trans
+            mats, inss, dels = _get_batched_fill()(
+                jnp.asarray(emit), jnp.asarray(mask), jnp.asarray(start), jnp.asarray(trans)
+            )
+            mats = np.asarray(mats)
+            inss = np.asarray(inss)
+            dels = np.asarray(dels)
+            for slot, k in enumerate(idxs):
+                results[k]._finish(mats[slot], inss[slot], dels[slot])
+        return results
+
 
 class QuickAlignResult:
-    def __init__(self, aligner: QuickAligner, x: FastSeq, y: FastSeq, envelope: DiagonalEnvelope | None):
+    def __init__(self, aligner: QuickAligner, x: FastSeq, y: FastSeq, envelope: DiagonalEnvelope | None, defer_fill: bool = False):
         self.aligner = aligner
         self.x = x
         self.y = y
@@ -123,14 +172,26 @@ class QuickAlignResult:
         mask_p[: x_len + 1, : y_len + 1] = mask
         start_p = np.zeros((px, py), dtype=dtype)
         start_p[: x_len + 1, : y_len + 1] = start_gap
-        mats, inss, dels = banded_viterbi_fill(
-            jnp.asarray(emit_p), jnp.asarray(mask_p), jnp.asarray(start_p), jnp.asarray(trans)
-        )
-        # store [X+1, Y+1] row-major like the reference accessors
-        self.mat = np.asarray(mats).T[: x_len + 1, : y_len + 1]
-        self.ins = np.asarray(inss).T[: x_len + 1, : y_len + 1]
-        self.del_ = np.asarray(dels).T[: x_len + 1, : y_len + 1]
         self.emit = emit
+        self._emit_p, self._mask_p, self._start_p = emit_p, mask_p, start_p
+        self._trans = trans
+        self._padded_shape = (px, py)
+        if not defer_fill:
+            self._run_fill()
+
+    def _run_fill(self) -> None:
+        mats, inss, dels = banded_viterbi_fill(
+            jnp.asarray(self._emit_p), jnp.asarray(self._mask_p),
+            jnp.asarray(self._start_p), jnp.asarray(self._trans),
+        )
+        self._finish(np.asarray(mats), np.asarray(inss), np.asarray(dels))
+
+    def _finish(self, mats: np.ndarray, inss: np.ndarray, dels: np.ndarray) -> None:
+        x_len, y_len = self.x_len, self.y_len
+        # store [X+1, Y+1] row-major like the reference accessors
+        self.mat = mats.T[: x_len + 1, : y_len + 1]
+        self.ins = inss.T[: x_len + 1, : y_len + 1]
+        self.del_ = dels.T[: x_len + 1, : y_len + 1]
 
         # best end cell: scan j=1..Y outer, i inner ascending, strict >
         end_scores = self.mat + self.end_gap  # [X+1, Y+1]

@@ -93,8 +93,8 @@ class AlignGraph:
     def _build(self, trial_edges: list[tuple[int, int]]) -> None:
         aligner = QuickAligner(self.model, self.time)
         progress = ProgressLogger(f"Guide alignment ({len(self.seqs)} sequences, {len(trial_edges)} pairs)")
-        for n, (src, dest) in enumerate(trial_edges):
-            progress.update(n / max(1, len(trial_edges)), f"pair {n + 1}/{len(trial_edges)}")
+        jobs = []
+        for src, dest in trial_edges:
             x, y = self.seqs[src], self.seqs[dest]
             env = DiagonalEnvelope(len(x.seq), len(y.seq))
             if self.params.sparse:
@@ -106,7 +106,11 @@ class AlignGraph:
                 )
             else:
                 env.init_full()
-            result = aligner.align(x, y, env)
+            jobs.append((x, y, env))
+        # all same-bucket DP fills run as one vmapped device call each
+        results = aligner.align_batch(jobs)
+        for n, ((src, dest), result) in enumerate(zip(trial_edges, results)):
+            progress.update(n / max(1, len(trial_edges)), f"pair {n + 1}/{len(trial_edges)}")
             self.edge_path[(src, dest)] = result.align_path(src, dest)
             # negative lp: python heapq is a min-heap, reference uses max-heap
             heapq.heappush(self.edges[src], (-result.end, src, dest))
