@@ -118,3 +118,37 @@ def test_sp_pair_forward_banded(ref_data):
     mesh = Mesh(np.array(jax.devices()[:4]), ("sp",))
     lp_sp = sp_pair_forward(absorb, rsx, rsy, ix, iy, mask, trans, mesh=mesh)
     assert abs(float(lp_single) - float(lp_sp)) < 1e-9
+
+
+@pytest.mark.parametrize("n_pp", [2, 3, 8])
+def test_pp_pipeline_matches_single_chip(ref_data, n_pp):
+    """Row-block pipeline stages over microbatched pairs == scan kernel."""
+    import jax
+    from jax.sharding import Mesh
+
+    from historian_tpu.ops.pairforward import chain_pair_forward_arrays, pair_forward
+    from historian_tpu.parallel.pp_pairforward import pp_pair_forward_lp
+
+    model = RateModel.from_file(os.path.join(ref_data, "testamino.json"))
+    seqs = read_fasta(os.path.join(ref_data, "PF16593.pair.fa"))
+    x, y = seqs[0].seq, seqs[1].seq
+    pairs = [(x, y), (x[:17], y[:23]), ((x * 2)[:40], y), (y, x)]
+    argsets = []
+    lps = []
+    L = max(max(len(a) for a, _ in pairs), max(len(b) for _, b in pairs))
+    for a, b in pairs:
+        # pad sequences to a common shape by tiling (pipeline wants equal shapes)
+        args, _ = chain_pair_forward_arrays(model, (a * 9)[:L], (b * 9)[:L], 1.0, 0.5, dtype=np.float64)
+        argsets.append(args)
+        lps.append(float(pair_forward(*args)[1]))
+
+    absorb = np.stack([np.asarray(a[0]) for a in argsets])
+    rsx = np.stack([np.asarray(a[1]) for a in argsets])
+    rsy = np.stack([np.asarray(a[2]) for a in argsets])
+    ix = np.stack([np.asarray(a[3]) for a in argsets])
+    iy = np.stack([np.asarray(a[4]) for a in argsets])
+    trans = np.asarray(argsets[0][6])
+
+    mesh = Mesh(np.array(jax.devices()[:n_pp]), ("pp",))
+    lp_pp = np.asarray(pp_pair_forward_lp(absorb, rsx, rsy, ix, iy, trans, mesh=mesh))
+    np.testing.assert_allclose(lp_pp, lps, atol=1e-9)
