@@ -201,3 +201,41 @@ def test_slow_fill_consistency(ref_data):
                 got = fwd.cells[i, j, s]
                 if np.isfinite(got) or np.isfinite(lp):
                     assert abs(got - lp) < 1e-9, f"cell {(i, j, s)}: {got} vs {lp}"
+
+
+@pytest.mark.parametrize(
+    "seq_file,golden",
+    [("testforward.len2.fa", "testbackward.len2.out"),
+     ("testforward.len2-4.fa", "testbackward.len2-4.out")],
+)
+def test_backward_golden(ref_data, seq_file, golden):
+    """Reference t/testbackward.cpp golden: Fwd/Bwd scores and the set of
+    cells with posterior > 0.5 (ordering within posterior ties is std
+    priority-queue heap order in the reference; compared as a set here)."""
+    seqs = read_fasta(data(ref_data, seq_file))
+    model = RateModel.from_file(data(ref_data, "testforward.jukescantor.json"))
+    probs = ProbModel(model, 1.0)
+    hmm = PairHMM(probs, probs, model.ins_prob)
+    xprof = Profile.from_sequence(1, model.alphabet, seqs[0], 1)
+    yprof = Profile.from_sequence(1, model.alphabet, seqs[1], 2)
+    fwd = ForwardMatrix(xprof, yprof, hmm, 0, GuideAlignmentEnvelope())
+    bwd = BackwardMatrix(fwd)
+
+    lines = open(data(ref_data, golden)).read().splitlines()
+    ref_fwd = float(lines[0].split(": ")[1])
+    ref_bwd = float(lines[1].split(": ")[1])
+    assert abs(fwd.lp_end - ref_fwd) < 5e-6 * abs(ref_fwd)
+    assert abs(bwd.lp_start - ref_bwd) < 5e-6 * abs(ref_bwd)
+
+    ref_cells = {}
+    for ln in lines[2:]:
+        name, val = ln[1:].split(" = ")
+        ref_cells[name] = float(val)
+    got = bwd.cells_above_post_prob_threshold(0.5)
+    got_cells = {bwd.cell_name(c): float(np.exp(lpp)) for lpp, c in got}
+    assert set(got_cells) == set(ref_cells)
+    for name, p in ref_cells.items():
+        assert abs(got_cells[name] - p) < 1e-4
+    # descending posterior order, as the reference's priority queue pops
+    probs_list = [lpp for lpp, _ in got]
+    assert probs_list == sorted(probs_list, reverse=True)
