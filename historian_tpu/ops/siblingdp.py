@@ -1,0 +1,211 @@
+"""Device kernel: 11-state sibling transducer Forward DP.
+
+TPU form of the reference's Sampler::SiblingMatrix fill
+(/root/reference/src/sampler.cpp:1185-1341): aligning two sibling
+profiles (left, right) under a parent, with the IDD self-loop already
+eliminated from the transition table (geometric; re-inserted during
+traceback on host).
+
+Mapping to lax.scan over x rows:
+
+- IIW/IIX/IMD read only the previous row (same column) -> vector ops.
+- IMM reads the previous row's previous column -> shift + vector ops.
+- WWX is same-cell from IIX/IMD -> elementwise.
+- The within-row chain splits into two scans:
+    1. IMI[y] = r[y] + lse(IMM[y-1]+t, IMI[y-1]+t): scalar affine scan
+       (IMM is fully known for the row), after which WWW[y] =
+       lse(IIW+t, IMI+t, IMM+t) is elementwise.
+    2. the coupled (IDM, IDI) pair: WXW and IDD are same-cell functions
+       of (IDM, IDI) and the known W states, so substituting them turns
+       the y-recurrence into the 2-vector linear system
+         s[y] = M[y] (x) s[y-1]  (+)  c[y]
+       in the (log, +, lse) semiring, solved by an associative scan of
+       2x2 log-matrix affine pairs.
+- WXW/IDD then evaluate elementwise, and masked cells enter the scans
+  as -inf sources (the envelope's sparse-skip semantics).
+
+Agrees with the host fill (sampler/sibling.py) to f64 round-off; the
+host fill remains the default so MCMC accept/reject decisions keep the
+reference's exact float sequence.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = -1e30
+
+# packed transition layout (see pack_sibling_transitions)
+_KEYS = [
+    ("IMM", "IIW"), ("IMI", "IIW"), ("IIW", "IIW"),
+    ("IMD", "IIX"), ("IIX", "IIX"),
+    ("WWW", "IMD"), ("WWX", "IMD"), ("WXW", "IMD"), ("IDD", "IMD"),
+    ("WWW", "IMM"), ("WWX", "IMM"), ("WXW", "IMM"), ("IDD", "IMM"),
+    ("IIW", "WWW"), ("IMI", "WWW"), ("IMM", "WWW"),
+    ("IIX", "WWX"), ("IMD", "WWX"),
+    ("IDI", "WXW"), ("IDM", "WXW"),
+    ("WWW", "IDD"), ("WWX", "IDD"), ("WXW", "IDD"),
+    ("IMM", "IMI"), ("IMI", "IMI"),
+    ("IDM", "IDI"), ("IDI", "IDI"),
+    ("WWW", "IDM"), ("WWX", "IDM"), ("WXW", "IDM"), ("IDD", "IDM"),
+    ("IDD", "EEE"), ("WWW", "EEE"), ("WWX", "EEE"), ("WXW", "EEE"),
+]
+
+
+def pack_sibling_transitions(sib) -> np.ndarray:
+    """Flatten a sampler.sibling.SiblingMatrix transition table."""
+    from historian_tpu.sampler import sibling as S
+
+    idx = {n: getattr(S, n) for n in
+           ("IMM", "IMD", "IDM", "IDD", "WWW", "WWX", "WXW", "IMI", "IIW", "IDI", "IIX", "EEE")}
+    out = np.array([sib.t[(idx[a], idx[b])] for a, b in _KEYS], dtype=np.float64)
+    return np.where(np.isfinite(out), out, NEG)
+
+
+@partial(jax.jit, static_argnames=())
+def sibling_forward(l_emit, r_emit, match_emit, mask, trans):
+    """Returns (cells [X+1, Y+1, 11], lp_end).
+
+    l_emit: [X] left-insert scores; r_emit: [Y]; match_emit: [X+1, Y+1]
+    (1-based, row/col 0 = -inf); mask: [X+1, Y+1] bool; trans: [35]
+    packed by pack_sibling_transitions.
+    State order matches sampler.sibling: IMM IMD IDM IDD WWW WWX WXW IMI IIW IDI IIX.
+    """
+    (tIMM_IIW, tIMI_IIW, tIIW_IIW,
+     tIMD_IIX, tIIX_IIX,
+     tWWW_IMD, tWWX_IMD, tWXW_IMD, tIDD_IMD,
+     tWWW_IMM, tWWX_IMM, tWXW_IMM, tIDD_IMM,
+     tIIW_WWW, tIMI_WWW, tIMM_WWW,
+     tIIX_WWX, tIMD_WWX,
+     tIDI_WXW, tIDM_WXW,
+     tWWW_IDD, tWWX_IDD, tWXW_IDD,
+     tIMM_IMI, tIMI_IMI,
+     tIDM_IDI, tIDI_IDI,
+     tWWW_IDM, tWWX_IDM, tWXW_IDM, tIDD_IDM,
+     tIDD_EEE, tWWW_EEE, tWWX_EEE, tWXW_EEE) = (trans[k] for k in range(35))
+
+    X1, Y1 = match_emit.shape
+    dtype = match_emit.dtype
+    neg = jnp.array(NEG, dtype)
+    neg_row = jnp.full((Y1,), neg, dtype)
+    col = jnp.arange(Y1)
+
+    def lse(*xs):
+        out = xs[0]
+        for x in xs[1:]:
+            out = jnp.logaddexp(out, x)
+        return out
+
+    def shift_right(v):
+        return jnp.concatenate([jnp.full((1,), neg, dtype), v[:-1]])
+
+    # effective IDM source weights from the W states, folding the stored
+    # IDD[y-1] = lse_W(W + t(W,IDD)) value through t(IDD,IDM)
+    aWWW = jnp.logaddexp(tWWW_IDM, tWWW_IDD + tIDD_IDM)
+    aWWX = jnp.logaddexp(tWWX_IDM, tWWX_IDD + tIDD_IDM)
+    aWXW = jnp.logaddexp(tWXW_IDM, tWXW_IDD + tIDD_IDM)
+
+    # pad emissions with a leading -inf (position 0 = start boundary)
+    le = jnp.concatenate([jnp.full((1,), neg, dtype), l_emit])   # [X1]
+    ren = jnp.concatenate([jnp.full((1,), neg, dtype), r_emit])  # [Y1]
+
+    def row_step(carry, i):
+        p = carry  # dict of previous-row vectors [Y1]
+        mask_row = mask[i]
+        is_first = i == 0
+        le_i = le[i]
+
+        # x-direction (previous row, same column)
+        iiw = le_i + lse(p["IMM"] + tIMM_IIW, p["IMI"] + tIMI_IIW, p["IIW"] + tIIW_IIW)
+        iix = le_i + jnp.logaddexp(p["IMD"] + tIMD_IIX, p["IIX"] + tIIX_IIX)
+        imd = le_i + lse(p["WWW"] + tWWW_IMD, p["WWX"] + tWWX_IMD,
+                         p["WXW"] + tWXW_IMD, p["IDD"] + tIDD_IMD)
+
+        # xy-diagonal
+        imm = match_emit[i] + shift_right(
+            lse(p["WWW"] + tWWW_IMM, p["WWX"] + tWWX_IMM,
+                p["WXW"] + tWXW_IMM, p["IDD"] + tIDD_IMM)
+        )
+        imm = jnp.where(is_first & (col == 0), 0.0, imm)
+        imm = jnp.where(mask_row, imm, neg)
+        iiw = jnp.where(mask_row, iiw, neg)
+        iix = jnp.where(mask_row, iix, neg)
+        imd = jnp.where(mask_row, imd, neg)
+
+        wwx = jnp.logaddexp(iix + tIIX_WWX, imd + tIMD_WWX)
+
+        # scan 1: IMI (sources IMM within the row)
+        a_imi = jnp.where(mask_row, shift_right(imm + tIMM_IMI) + ren, neg)
+        b_imi = jnp.where(mask_row, tIMI_IMI + ren, neg)
+
+        def aff(left, right):
+            al, bl = left
+            ar, br = right
+            return jnp.logaddexp(ar, al + br), bl + br
+
+        imi, _ = jax.lax.associative_scan(aff, (a_imi, b_imi))
+        imi = jnp.where(mask_row, imi, neg)
+
+        www = lse(iiw + tIIW_WWW, imi + tIMI_WWW, imm + tIMM_WWW)
+        www = jnp.where(mask_row, www, neg)
+        wwx = jnp.where(mask_row, wwx, neg)
+
+        # scan 2: coupled (IDM, IDI) as a 2x2 log-matrix affine scan
+        C = jnp.logaddexp(www + aWWW, wwx + aWWX)  # known W contribution
+        # s[y] = M[y] (x) s[y-1] (+) c[y], s = (IDM, IDI)
+        m00 = ren + tIDM_WXW + aWXW
+        m01 = ren + tIDI_WXW + aWXW
+        m10 = ren + tIDM_IDI
+        m11 = ren + tIDI_IDI
+        c0 = ren + shift_right(C)
+        c1 = neg_row
+        m00 = jnp.where(mask_row, m00, neg)
+        m01 = jnp.where(mask_row, m01, neg)
+        m10 = jnp.where(mask_row, m10, neg)
+        m11 = jnp.where(mask_row, m11, neg)
+        c0 = jnp.where(mask_row, c0, neg)
+
+        def mataff(left, right):
+            l00, l01, l10, l11, lc0, lc1 = left
+            r00, r01, r10, r11, rc0, rc1 = right
+            # compose: (M_r, c_r) after (M_l, c_l)
+            n00 = jnp.logaddexp(r00 + l00, r01 + l10)
+            n01 = jnp.logaddexp(r00 + l01, r01 + l11)
+            n10 = jnp.logaddexp(r10 + l00, r11 + l10)
+            n11 = jnp.logaddexp(r10 + l01, r11 + l11)
+            nc0 = lse(r00 + lc0, r01 + lc1, rc0)
+            nc1 = lse(r10 + lc0, r11 + lc1, rc1)
+            return n00, n01, n10, n11, nc0, nc1
+
+        _, _, _, _, idm, idi = jax.lax.associative_scan(
+            mataff, (m00, m01, m10, m11, c0, c1)
+        )
+        idm = jnp.where(mask_row, idm, neg)
+        idi = jnp.where(mask_row, idi, neg)
+
+        wxw = jnp.logaddexp(idi + tIDI_WXW, idm + tIDM_WXW)
+        www = jnp.where(is_first & (col == 0), tIMM_WWW, www)
+        wxw = jnp.where(mask_row, wxw, neg)
+        idd = lse(www + tWWW_IDD, wwx + tWWX_IDD, wxw + tWXW_IDD)
+        idd = jnp.where(mask_row, idd, neg)
+
+        row = {"IMM": imm, "IMD": imd, "IDM": idm, "IDD": idd, "WWW": www,
+               "WWX": wwx, "WXW": wxw, "IMI": imi, "IIW": iiw, "IDI": idi,
+               "IIX": iix}
+        return row, row
+
+    init = {k: neg_row for k in
+            ("IMM", "IMD", "IDM", "IDD", "WWW", "WWX", "WXW", "IMI", "IIW", "IDI", "IIX")}
+    final, rows = jax.lax.scan(row_step, init, jnp.arange(X1))
+
+    order = ("IMM", "IMD", "IDM", "IDD", "WWW", "WWX", "WXW", "IMI", "IIW", "IDI", "IIX")
+    cells = jnp.stack([rows[k] for k in order], axis=-1)  # [X1, Y1, 11]
+    lp_end = lse(
+        final["IDD"][Y1 - 1] + tIDD_EEE, final["WWW"][Y1 - 1] + tWWW_EEE,
+        final["WWX"][Y1 - 1] + tWWX_EEE, final["WXW"][Y1 - 1] + tWXW_EEE,
+    )
+    return cells, lp_end

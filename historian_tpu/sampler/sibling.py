@@ -16,6 +16,7 @@ tensors are precomputed einsums.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 from scipy.special import logsumexp as logsumexp_nd
@@ -179,6 +180,36 @@ class SiblingMatrix:
 
     # ------------------------------------------------------------------- fill
     def _fill(self) -> None:
+        if os.environ.get("HISTORIAN_DEVICE_SIBLING", "0") == "1" and self._fill_device():
+            return
+        self._fill_host()
+
+    def _fill_device(self) -> bool:
+        """Run the fill through the ops/siblingdp device kernel.
+
+        Opt-in (HISTORIAN_DEVICE_SIBLING=1): agrees with the host fill to
+        f64 round-off, which is enough for scoring/batching but not for
+        reproducing the reference's exact MH accept/reject float
+        sequence -- the host fill stays the default."""
+        try:
+            from historian_tpu.ops.siblingdp import pack_sibling_transitions, sibling_forward
+
+            match_emit = np.where(np.isfinite(self.match_emit), self.match_emit, -1e30)
+            cells, lp_end = sibling_forward(
+                np.ascontiguousarray(self.l_emit, np.float64),
+                np.ascontiguousarray(self.r_emit, np.float64),
+                np.ascontiguousarray(match_emit, np.float64),
+                np.ascontiguousarray(self.mask),
+                pack_sibling_transitions(self),
+            )
+        except Exception:
+            return False
+        cells = np.asarray(cells).astype(np.float64)
+        self.cells = np.where(cells < -1e29, NEG, cells)
+        self.lp_end = float(lp_end)
+        return True
+
+    def _fill_host(self) -> None:
         t = self.t
         sx, sy = self.x_size, self.y_size
         cells = np.full((sx, sy, N_STATES), NEG)

@@ -146,3 +146,45 @@ def test_mcmc_fix_tree(ref_data):
     for _ in range(20):
         sampler.sample(rng)
     assert sampler.current_history.tree.to_string() == t0  # tree untouched
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("band", [-1, 1])
+def test_sibling_device_kernel_matches_host(ref_data, band):
+    """ops/siblingdp device fill == host SiblingMatrix fill (all 11
+    states, every cell, and lp_end), full and banded envelopes."""
+    from historian_tpu.core.alignpath import Alignment
+    from historian_tpu.ops.siblingdp import pack_sibling_transitions, sibling_forward
+
+    model, tree, gapped = load(ref_data)
+    node = tree.find_node("parent23")
+    l_child, r_child = tree.children(node)
+    exclude = {l_child: node, r_child: node}
+    pwms = get_conditional_pwms(model, tree, gapped, exclude)
+    if band > 0:
+        rows = {r: np.array([ch != "-" for ch in gapped[r].seq], bool) for r in (l_child, r_child)}
+        env = GuideAlignmentEnvelope(rows, l_child, r_child, band)
+    else:
+        env = GuideAlignmentEnvelope()
+    sib = SiblingMatrix(
+        model, pwms[l_child], pwms[r_child],
+        tree.branch_length(l_child), tree.branch_length(r_child),
+        env,
+        np.arange(len(pwms[l_child]) + 1), np.arange(len(pwms[r_child]) + 1),
+        l_child, r_child, node,
+    )
+    trans = pack_sibling_transitions(sib)
+    match_emit = np.where(np.isfinite(sib.match_emit), sib.match_emit, -1e30)
+    cells, lp_end = sibling_forward(
+        np.asarray(sib.l_emit, np.float64), np.asarray(sib.r_emit, np.float64),
+        np.asarray(match_emit, np.float64), np.asarray(sib.mask), trans,
+    )
+    cells = np.asarray(cells)
+    host = np.where(np.isfinite(sib.cells), sib.cells, -1e30)
+    finite = host > -1e29
+    np.testing.assert_allclose(cells[finite], host[finite], atol=1e-9, rtol=1e-9)
+    # device treats -1e30 as -inf; host -inf cells must stay huge-negative
+    assert np.all(cells[~finite] < -1e28)
+    assert abs(float(lp_end) - sib.lp_end) < 1e-9
