@@ -36,6 +36,75 @@ Run '{PROG} help' for details.
 """
 
 
+HELP = f"""{PROG}: reconstruction of evolutionary histories by transducer composition
+
+Usage: {PROG} <command> [options] [files]
+
+Commands (single-letter abbreviations work):
+  recon (r)     reconstruct ancestral sequence histories [default command]
+  count (c)     compute expected event counts on a reconstruction
+  fit (f)       fit model parameters by EM from counts
+  mcmc (m)      sample trees and alignments by MCMC
+  sum (s)       sum event-count JSON files (the MapReduce reducer)
+  generate (g)  simulate alignments down a tree
+  help, version
+
+Input (repeatable; bare filenames are auto-detected by content):
+  -seqs <file>       unaligned FASTA sequences
+  -guide <file>      gapped FASTA used as a guide alignment
+  -nexus <file>      Nexus alignment + tree
+  -stockholm <file>  Stockholm alignment (tree via #=GF NH)
+  -tree <file>       Newick tree
+  -reroot <node>     re-root a loaded tree above this node
+  -codon             tokenize sequences as codons (61-char alphabet)
+
+Model:
+  -model <file>      rate-model JSON
+  -preset <name>     jc jcrna dayhoff jtt wag lg ECMrest ECMunrest
+  -normalize         normalize substitution rate to one expected event/unit time
+  -insrate/-delrate/-insextprob/-delextprob/-gaprate/-gapextprob <x>
+  -inslen/-dellen/-gaplen <L>         expected gap lengths
+  -subscale/-indelscale/-scale <x>    rate rescaling
+  -gamma <n> -shape <a>  discretized-gamma rate mixture
+  -savemodel <file>
+
+Reconstruction:
+  -band <n>          alignment-envelope width around the guide (-noband: off)
+  -profsamples <n>   sampled-path profile states   -profminpost <p>  posterior cutoff
+  -profmaxstates <n> -profminlen <n> -profmaxlen <n> -profmaxmem <pct>
+  -keepgapsopen      keep gap structure open during progressive merge
+  -nobest            drop the best trace from sampled profiles
+  -ancseq            predict ancestral residues    -ancprob  with posteriors
+  -noancs            write leaves only
+  -refine / -norefine   iterative branch realignment
+  -output fasta|nexus|stockholm|json
+  -savedot <file> [-dotpost [p]] [-dotsubpost [p]] [-dotgapsopen]
+  -saveguide <file>
+
+Guide alignment & tree estimation:
+  -allspan / -rndspan    all-vs-all or sparse random guide graph
+  -upgma / -nj           tree construction        -jc  Jukes-Cantor distances
+  -kmatch <k> -kmatchn <n> -kmatchband <b> -kmatchmb <mb> -kmatchmax -kmatchoff
+
+MCMC (mcmc command or -mcmc):
+  -samples <n>    samples per sequence    -trace <file>  log-likelihood trace
+  -fixtree / -fixalign / -fixguide
+
+Counts / EM:
+  -counts <file>  prior pseudocounts      -nolaplace  no +1 pseudocounts
+  -fixsubrates / -fixgaprates             -mininc <x> -maxiter <n>  EM stopping
+
+Misc:
+  -seed <n>       mt19937 seed            -platform cpu|tpu  JAX backend
+  -v .. -v9, -log <tag>, -nocolor         logging
+  -abort          raw tracebacks on errors
+
+Aliases: -careful (= -allspan -kmatchoff -band 40 -profminpost .001
+-profmaxmem 5 -refine)  -fast (= -rndspan -kmatchn 3 -band 10
+-profmaxstates 1 -jc -norefine)
+"""
+
+
 def _parse_common(recon: Reconstructor, argvec: deque) -> bool:
     """Consume one model/recon/profile/count arg; return True if consumed."""
     if not argvec:
@@ -294,7 +363,7 @@ def main(argv: list[str] | None = None) -> int:
     out = sys.stdout
 
     if command == "help":
-        sys.stderr.write(BRIEF)
+        sys.stderr.write(HELP)
         return 0
     if command == "version":
         print(f"{PROG} {__version__}")

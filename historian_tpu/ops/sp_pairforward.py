@@ -117,6 +117,42 @@ def sp_pair_forward(absorb, rootsub_x, rootsub_y, ins_x, ins_y, mask, trans,
     return fn(absorb, rootsub_x, rootsub_y, ins_x, ins_y, mask, trans)
 
 
+def sp_pair_forward_batch(absorb, rootsub_x, rootsub_y, ins_x, ins_y, mask, trans,
+                          mesh: Mesh, dp_axis: str = "dp", sp_axis: str = "sp"):
+    """dp x sp composition: the batch shards over `dp_axis` while each
+    pair's columns shard over `sp_axis` (2-D mesh).  Batched args as
+    pallas_pair_forward_lp; mask/trans shared.  Returns lp_end [B]."""
+    B, X1, Y1 = absorb.shape
+    n_sp = mesh.shape[sp_axis]
+    pad = (-Y1) % n_sp
+    if pad:
+        dtype = absorb.dtype
+        absorb = jnp.concatenate([absorb, jnp.full((B, X1, pad), NEG, dtype)], axis=2)
+        rootsub_y = jnp.concatenate([rootsub_y, jnp.full((B, pad), NEG, dtype)], axis=1)
+        ins_y = jnp.concatenate([ins_y, jnp.full((B, pad), NEG, dtype)], axis=1)
+        mask = jnp.concatenate([mask, jnp.zeros((X1, pad), bool)], axis=1)
+    y_loc = (Y1 + pad) // n_sp
+
+    kern = partial(_sp_kernel, axis_name=sp_axis, n_dev=n_sp, X1=X1, Y1=Y1, y_loc=y_loc)
+
+    def shard_fn(absorb_s, rsx_s, rsy_s, ix_s, iy_s, mask_s, trans_s):
+        # lax.map keeps the per-pair collectives legal inside shard_map
+        return jax.lax.map(
+            lambda a: kern(a[0], a[1], a[2], a[3], a[4], mask_s, trans_s),
+            (absorb_s, rsx_s, rsy_s, ix_s, iy_s),
+        )
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(dp_axis, None, sp_axis), P(dp_axis), P(dp_axis, sp_axis),
+                  P(dp_axis), P(dp_axis, sp_axis), P(None, sp_axis), P(None)),
+        out_specs=P(dp_axis),
+        check_rep=False,
+    )
+    return fn(absorb, rootsub_x, rootsub_y, ins_x, ins_y, mask, trans)
+
+
 def _sp_kernel(absorb, rootsub_x, rootsub_y, ins_x, ins_y, mask, trans,
                *, axis_name, n_dev, X1, Y1, y_loc):
     (imm_imm, imm_imd, imm_idm, imm_imi, imm_iiw, imm_eee,

@@ -152,3 +152,31 @@ def test_pp_pipeline_matches_single_chip(ref_data, n_pp):
     mesh = Mesh(np.array(jax.devices()[:n_pp]), ("pp",))
     lp_pp = np.asarray(pp_pair_forward_lp(absorb, rsx, rsy, ix, iy, trans, mesh=mesh))
     np.testing.assert_allclose(lp_pp, lps, atol=1e-9)
+
+
+def test_dp_sp_mesh_composition(ref_data):
+    """2-D mesh: batch over dp while each pair's columns shard over sp."""
+    import jax
+    from jax.sharding import Mesh
+
+    from historian_tpu.ops.pairforward import chain_pair_forward_arrays, pair_forward
+    from historian_tpu.ops.sp_pairforward import sp_pair_forward_batch
+
+    model = RateModel.from_file(os.path.join(ref_data, "testamino.json"))
+    seqs = read_fasta(os.path.join(ref_data, "PF16593.pair.fa"))
+    x, y = seqs[0].seq, seqs[1].seq
+    pairs = [((x * 5)[:60], (y * 5)[:50]), ((y * 5)[:60], (x * 5)[:50])]
+    argsets = [chain_pair_forward_arrays(model, a, b, 1.0, 0.5, dtype=np.float64)[0]
+               for a, b in pairs]
+    lps = [float(pair_forward(*a)[1]) for a in argsets]
+    absorb = np.stack([np.asarray(a[0]) for a in argsets])
+    rsx = np.stack([np.asarray(a[1]) for a in argsets])
+    rsy = np.stack([np.asarray(a[2]) for a in argsets])
+    ix = np.stack([np.asarray(a[3]) for a in argsets])
+    iy = np.stack([np.asarray(a[4]) for a in argsets])
+    mask = np.asarray(argsets[0][5])
+    trans = np.asarray(argsets[0][6])
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "sp"))
+    lp = np.asarray(sp_pair_forward_batch(absorb, rsx, rsy, ix, iy, mask, trans, mesh=mesh))
+    np.testing.assert_allclose(lp, lps, atol=1e-9)
