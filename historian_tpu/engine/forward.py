@@ -1005,6 +1005,7 @@ class BackwardMatrix(DPMatrix):
     def __init__(self, fwd: ForwardMatrix):
         super().__init__(fwd.x, fwd.y, fwd.hmm, fwd.env)
         self.fwd = fwd
+        self._best_dest_cache: dict = {}
         self._fill()
         # forward/backward agreement check (forward.cpp:1091-1096)
         back_ll = self.lp_start
@@ -1333,12 +1334,23 @@ class BackwardMatrix(DPMatrix):
             out[c] = lp
         return out
 
+    def _best_dest(self, src):
+        """Cached best_cell(dest_cells(src)): the cells array is fixed
+        after the fill, and postProbProfile's many per-seed traceforwards
+        overlap heavily.  Same sort order and comparison as best_cell, so
+        paths are identical to the uncached walk."""
+        cache = self._best_dest_cache
+        best = cache.get(src)
+        if best is None:
+            best = self.best_cell(self.dest_cells(src))
+            cache[src] = best
+        return best
+
     def best_trace(self, trace_start) -> list:
         path = []
         current = trace_start
         while current[0] < self.x_size - 1 and current[1] < self.y_size - 1:
-            clp = self.dest_cells(current)
-            current = self.best_cell(clp)
+            current = self._best_dest(current)
             path.append(current)
         path.append(self.fwd.end_cell)
         return path
@@ -1355,9 +1367,16 @@ class BackwardMatrix(DPMatrix):
         with np.errstate(invalid="ignore"):
             sel = (lpp >= lpp_threshold) & self.env_mask[: self.x_size - 1, : self.y_size - 1, None]
         ii, jj, ss = np.nonzero(sel)
-        out = [(float(lpp[i, j, s]), (int(i), int(j), int(s))) for i, j, s in zip(ii, jj, ss)]
-        out.sort(key=lambda t: (-t[0], t[1]))
-        return out
+        vals = lpp[ii, jj, ss]
+        # same order as sorting (-lpp, (i, j, s)) tuples, without building
+        # and comparing millions of python tuples
+        order = np.lexsort((ss, jj, ii, -vals))
+        return [
+            (v, (i, j, s))
+            for v, i, j, s in zip(
+                vals[order].tolist(), ii[order].tolist(), jj[order].tolist(), ss[order].tolist()
+            )
+        ]
 
     def add_cells(self, cells: set, max_cells: int, fwd_trace: list, back_trace: list, keep_gaps_open: bool) -> bool:
         new_cells = []
