@@ -114,3 +114,27 @@ def test_zerolen(ref_data, case):
 def test_version():
     out = run_cli(["version"])
     assert "historian-tpu" in out
+
+
+def test_codon_generate_then_recon(tmp_path):
+    """-codon end-to-end: simulate DNA under ECMunrest, reconstruct it."""
+    tree = tmp_path / "t.nh"
+    tree.write_text("((a:0.2,b:0.3)ab:0.1,(c:0.25,d:0.15)cd:0.2)root;\n")
+    sim = run_cli(["generate", "-codon", "-preset", "ECMunrest", "-seed", "11", str(tree)])
+    assert sim.startswith("# STOCKHOLM")
+    stock = tmp_path / "sim.stock"
+    stock.write_text(sim)
+    out = run_cli(["recon", "-codon", "-preset", "ECMunrest", "-norefine",
+                   "-output", "fasta", "-stockholm", str(stock)])
+    rows: dict = {}
+    name = None
+    for ln in out.splitlines():
+        if ln.startswith(">"):
+            name = ln[1:]
+            rows[name] = ""
+        elif name:
+            rows[name] += ln
+    assert set("abcd") <= set(rows)
+    for name, seq in rows.items():
+        assert len(seq.replace("-", "")) % 3 == 0
+        assert set(seq.lower()) <= set("acgt-*x")  # x = reference wildcard codon (ctok.cpp:179)
