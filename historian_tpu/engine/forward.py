@@ -1359,15 +1359,28 @@ class BackwardMatrix(DPMatrix):
         """[(lpp, cell)] sorted descending (reference priority queue),
         selected with one vectorized pass over the cell tensor."""
         lpp_threshold = np.log(min_post_prob)
-        lpp = (
-            self.cells[: self.x_size - 1, : self.y_size - 1]
-            + self.fwd.cells[: self.x_size - 1, : self.y_size - 1]
-            - self.fwd.lp_end
-        )
-        with np.errstate(invalid="ignore"):
-            sel = (lpp >= lpp_threshold) & self.env_mask[: self.x_size - 1, : self.y_size - 1, None]
-        ii, jj, ss = np.nonzero(sel)
-        vals = lpp[ii, jj, ss]
+        # row-chunked pass: the cell tensors can be multi-GB, so avoid
+        # materializing full-size temporaries
+        chunk = max(1, (1 << 27) // max(1, self.y_size * 5 * 8))
+        parts_i, parts_j, parts_s, parts_v = [], [], [], []
+        for lo in range(0, self.x_size - 1, chunk):
+            hi = min(lo + chunk, self.x_size - 1)
+            lpp_c = (
+                self.cells[lo:hi, : self.y_size - 1]
+                + self.fwd.cells[lo:hi, : self.y_size - 1]
+                - self.fwd.lp_end
+            )
+            with np.errstate(invalid="ignore"):
+                sel_c = (lpp_c >= lpp_threshold) & self.env_mask[lo:hi, : self.y_size - 1, None]
+            ic, jc, sc = np.nonzero(sel_c)
+            parts_i.append(ic + lo)
+            parts_j.append(jc)
+            parts_s.append(sc)
+            parts_v.append(lpp_c[ic, jc, sc])
+        ii = np.concatenate(parts_i) if parts_i else np.array([], dtype=np.int64)
+        jj = np.concatenate(parts_j) if parts_j else np.array([], dtype=np.int64)
+        ss = np.concatenate(parts_s) if parts_s else np.array([], dtype=np.int64)
+        vals = np.concatenate(parts_v) if parts_v else np.array([], dtype=np.float64)
         # same order as sorting (-lpp, (i, j, s)) tuples, without building
         # and comparing millions of python tuples
         order = np.lexsort((ss, jj, ii, -vals))
