@@ -96,9 +96,20 @@ class BranchMatrix:
 
         trans = np.array([self.mm, self.mi, self.md, self.im, self.ii, self.id, self.dm, self.dd])
         fill = branch_viterbi if viterbi else branch_forward
+        # bucket shapes to 128-multiples so MCMC/refiner fills share jit
+        # compilations (mask is False outside the real region, which the
+        # fill pins to -inf; results are sliced back, unchanged)
+        px = -(-match_emit.shape[0] // 128) * 128
+        py = -(-match_emit.shape[1] // 128) * 128
+        emit_p = np.full((px, py), NEG)
+        emit_p[: match_emit.shape[0], : match_emit.shape[1]] = match_emit
+        ins_p = np.full(py, NEG)
+        ins_p[: len(ins_emit)] = ins_emit
+        mask_p = np.zeros((px, py), dtype=bool)
+        mask_p[: mask.shape[0], : mask.shape[1]] = mask
         self.cells = np.asarray(
-            fill(jnp.asarray(match_emit), jnp.asarray(ins_emit), jnp.asarray(mask), jnp.asarray(trans))
-        )
+            fill(jnp.asarray(emit_p), jnp.asarray(ins_p), jnp.asarray(mask_p), jnp.asarray(trans))
+        )[: match_emit.shape[0], : match_emit.shape[1]]
         end = self.cells[self.x_size - 1, self.y_size - 1]
         reduce3 = max if viterbi else lambda *v: logsumexp(list(v))
         self.lp_end = float(

@@ -84,9 +84,20 @@ class SumProductEngine:
         arr = self.arrays
         n = arr.n_nodes
         a = self.model.alphabet_size
-        obs = observation_tensor(tokens, a, dtype=self.dtype)  # [N, L, A]
+        # bucket the column count to a multiple of 64 with all-gap columns
+        # (independent under vmap; results sliced off) so realignments
+        # during MCMC/refinement reuse jit compilations
+        L = tokens.shape[1]
+        pad = (-L) % 64 if L > 1 else 0
+        if pad:
+            tokens_p = np.concatenate(
+                [tokens, np.full((tokens.shape[0], pad), GAP_TOK, tokens.dtype)], axis=1
+            )
+        else:
+            tokens_p = tokens
+        obs = observation_tensor(tokens_p, a, dtype=self.dtype)  # [N, L, A]
         obs = jnp.swapaxes(obs, 0, 1)  # [L, N, A]
-        is_gap = jnp.asarray((tokens == GAP_TOK).T)  # [L, N]
+        is_gap = jnp.asarray((tokens_p == GAP_TOK).T)  # [L, N]
         sub = jnp.asarray(self.branch_sub, dtype=self.dtype)
         ins = jnp.asarray(self.ins_prob, dtype=self.dtype)
         lw = jnp.asarray(self.log_cpt_weight, dtype=self.dtype)
@@ -97,6 +108,9 @@ class SumProductEngine:
         G, logG = _fill_down_batch(
             E, logE, is_gap, jnp.asarray(arr.parent), jnp.asarray(arr.sibling), sub, ins, n
         )
+        if pad:
+            F, logF, E, logE, G, logG = (v[:L] for v in (F, logF, E, logE, G, logG))
+            cpt_ll, col_ll = cpt_ll[:L], col_ll[:L]
         return SumProductFill(self, tokens, F, logF, E, logE, G, logG, cpt_ll, col_ll)
 
     def fill_column(self, col: dict[int, str]) -> "SumProductFill":

@@ -60,6 +60,13 @@ def get_native():
             _f64(2), _u8(2), _f64(),  # absorb, env_mask, trans18
             _f64(3),  # cells
         ]
+        lib.sibling_fill.restype = None
+        lib.sibling_fill.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            _f64(), _f64(), _f64(2), _u8(2),  # l_emit, r_emit, match_emit, mask
+            _f64(2),  # t[12, 12]
+            _f64(3), _f64(),  # cells, lp_end[1]
+        ]
         lib.backward_fill.restype = None
         lib.backward_fill.argtypes = [
             ctypes.c_int64, ctypes.c_int64,

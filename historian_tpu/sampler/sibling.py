@@ -100,6 +100,7 @@ class SiblingMatrix:
             combined = self.log_root[None, None, :, :] + self.l_sub[:, None] + self.r_sub[None, :]
             self.match_emit[1:, 1:] = logsumexp_nd(combined, axis=(2, 3))
 
+        self._t_raw: dict | None = None
         self._init_transitions()
         self._fill()
 
@@ -108,7 +109,12 @@ class SiblingMatrix:
         return root_ext_prob(self.model) * self.l_prob.del_ext * self.r_prob.del_ext
 
     def lp_trans(self, src: int, dest: int) -> float:
-        """Raw 35-transition table (sampler.cpp:1460-1577)."""
+        """Raw 35-transition table (sampler.cpp:1460-1577), built once."""
+        if self._t_raw is None:
+            self._t_raw = self._build_raw_table()
+        return self._t_raw.get((src, dest), NEG)
+
+    def _build_raw_table(self) -> dict:
         l, r = self.l_prob, self.r_prob
         re = root_ext_prob(self.model)
         t = {
@@ -149,7 +155,7 @@ class SiblingMatrix:
             (IIX, WWX): _lg(1 - l.ins_ext),
             (IIX, IIX): _lg(l.ins_ext),
         }
-        return t.get((src, dest), NEG)
+        return t
 
     def lp_trans_elim_idd(self, src: int, dest: int) -> float:
         if src == IDD:
@@ -182,7 +188,37 @@ class SiblingMatrix:
     def _fill(self) -> None:
         if os.environ.get("HISTORIAN_DEVICE_SIBLING", "0") == "1" and self._fill_device():
             return
+        if self._fill_native():
+            return
         self._fill_host()
+
+    def _fill_native(self) -> bool:
+        """Native host-runtime fill (native/fill.cpp sibling_fill):
+        bit-identical to _fill_host -- same lse formulation, operation
+        order, and libm -- so it is the default when the library builds.
+        HISTORIAN_NATIVE=0 forces the python fill."""
+        from historian_tpu.native import get_native
+
+        lib = get_native()
+        if lib is None or not hasattr(lib, "sibling_fill"):
+            return False
+        sx, sy = self.x_size, self.y_size
+        tmat = np.full((12, 12), NEG)
+        for (s, d), lp in self.t.items():
+            tmat[s, d] = lp
+        cells = np.full((sx, sy, N_STATES), NEG)
+        lp_end = np.zeros(1)
+        lib.sibling_fill(
+            sx, sy,
+            np.ascontiguousarray(self.l_emit, np.float64),
+            np.ascontiguousarray(self.r_emit, np.float64),
+            np.ascontiguousarray(self.match_emit, np.float64),
+            np.ascontiguousarray(self.mask.astype(np.uint8)),
+            tmat, cells, lp_end,
+        )
+        self.cells = cells
+        self.lp_end = float(lp_end[0])
+        return True
 
     def _fill_device(self) -> bool:
         """Run the fill through the ops/siblingdp device kernel.

@@ -264,3 +264,103 @@ extern "C" void backward_fill(
   }
   #undef CELL
 }
+
+// ---------------------------------------------------------------------------
+// 11-state sibling transducer fill (sampler/sibling.py::_fill_host).
+// Bit-exact with the python fill: the scalar log-sum-exp uses the same
+// max-shift formulation with left-to-right summation and libm exp/log
+// (python's math.exp/math.log wrap the same libm), and two-term adds use
+// the numpy-compatible lse2 above.
+
+namespace sib {
+enum { IMM, IMD, IDM, IDD, WWW, WWX, WXW, IMI, IIW, IDI, IIX, EEE, NST = 11 };
+
+static inline double lse_list(const double* v, int n) {
+  double m = v[0];
+  for (int k = 1; k < n; ++k) if (v[k] > m) m = v[k];
+  if (m == -INFINITY) return -INFINITY;
+  // CPython >= 3.12's builtin sum() uses Neumaier compensated summation;
+  // replicate it so results stay bit-identical with the python fill
+  double s = 0.0, c = 0.0;
+  for (int k = 0; k < n; ++k) {
+    const double x = exp(v[k] - m);
+    const double t = s + x;
+    if (fabs(s) >= fabs(x)) c += (s - t) + x; else c += (x - t) + s;
+    s = t;
+  }
+  return m + log(s + c);
+}
+}  // namespace sib
+
+extern "C" void sibling_fill(
+    int64_t sx, int64_t sy,
+    const double* l_emit,      // [sx-1]
+    const double* r_emit,      // [sy-1]
+    const double* match_emit,  // [sx * sy]
+    const uint8_t* mask,       // [sx * sy]
+    const double* t,           // [12 * 12]: t[src * 12 + dest]
+    double* cells,             // [sx * sy * 11], pre-filled with -inf
+    double* lp_end_out) {
+  #define T(s, d) t[(s) * 12 + (d)]
+  #define C(x, y) (&cells[(((x) * sy) + (y)) * sib::NST])
+  C(0, 0)[sib::IMM] = 0.0;
+  C(0, 0)[sib::WWW] = T(sib::IMM, sib::WWW);
+  for (int64_t x = 0; x < sx; ++x) {
+    for (int64_t y = 0; y < sy; ++y) {
+      if (!mask[x * sy + y]) continue;
+      double* dest = C(x, y);
+      if (x > 0 && mask[(x - 1) * sy + y]) {
+        const double* l_src = C(x - 1, y);
+        const double le = l_emit[x - 1];
+        {
+          const double v[3] = {l_src[sib::IMM] + T(sib::IMM, sib::IIW), l_src[sib::IMI] + T(sib::IMI, sib::IIW),
+                               l_src[sib::IIW] + T(sib::IIW, sib::IIW)};
+          dest[sib::IIW] = le + sib::lse_list(v, 3);
+        }
+        dest[sib::IIX] = le + lse2(l_src[sib::IMD] + T(sib::IMD, sib::IIX), l_src[sib::IIX] + T(sib::IIX, sib::IIX));
+        {
+          const double v[4] = {l_src[sib::WWW] + T(sib::WWW, sib::IMD), l_src[sib::WWX] + T(sib::WWX, sib::IMD),
+                               l_src[sib::WXW] + T(sib::WXW, sib::IMD), l_src[sib::IDD] + T(sib::IDD, sib::IMD)};
+          dest[sib::IMD] = le + sib::lse_list(v, 4);
+        }
+        dest[sib::WWW] = dest[sib::IIW] + T(sib::IIW, sib::WWW);
+        dest[sib::WWX] = lse2(dest[sib::IIX] + T(sib::IIX, sib::WWX), dest[sib::IMD] + T(sib::IMD, sib::WWX));
+      }
+      if (y > 0 && mask[x * sy + y - 1]) {
+        const double* r_src = C(x, y - 1);
+        const double ren = r_emit[y - 1];
+        dest[sib::IMI] = ren + lse2(r_src[sib::IMM] + T(sib::IMM, sib::IMI), r_src[sib::IMI] + T(sib::IMI, sib::IMI));
+        dest[sib::IDI] = ren + lse2(r_src[sib::IDM] + T(sib::IDM, sib::IDI), r_src[sib::IDI] + T(sib::IDI, sib::IDI));
+        {
+          const double v[4] = {r_src[sib::WWW] + T(sib::WWW, sib::IDM), r_src[sib::WWX] + T(sib::WWX, sib::IDM),
+                               r_src[sib::WXW] + T(sib::WXW, sib::IDM), r_src[sib::IDD] + T(sib::IDD, sib::IDM)};
+          dest[sib::IDM] = ren + sib::lse_list(v, 4);
+        }
+        dest[sib::WWW] = lse2(dest[sib::WWW], dest[sib::IMI] + T(sib::IMI, sib::WWW));
+        dest[sib::WXW] = lse2(dest[sib::IDI] + T(sib::IDI, sib::WXW), dest[sib::IDM] + T(sib::IDM, sib::WXW));
+      }
+      if (x > 0 && y > 0 && mask[(x - 1) * sy + y - 1]) {
+        const double* lr = C(x - 1, y - 1);
+        const double v[4] = {lr[sib::WWW] + T(sib::WWW, sib::IMM), lr[sib::WWX] + T(sib::WWX, sib::IMM),
+                             lr[sib::WXW] + T(sib::WXW, sib::IMM), lr[sib::IDD] + T(sib::IDD, sib::IMM)};
+        dest[sib::IMM] = match_emit[x * sy + y] + sib::lse_list(v, 4);
+        dest[sib::WWW] = lse2(dest[sib::WWW], dest[sib::IMM] + T(sib::IMM, sib::WWW));
+      }
+      if (x == 0 && y == 0) {
+        dest[sib::IMM] = 0.0;
+        dest[sib::WWW] = T(sib::IMM, sib::WWW);
+      }
+      {
+        const double v[3] = {dest[sib::WWW] + T(sib::WWW, sib::IDD), dest[sib::WWX] + T(sib::WWX, sib::IDD),
+                             dest[sib::WXW] + T(sib::WXW, sib::IDD)};
+        dest[sib::IDD] = sib::lse_list(v, 3);
+      }
+    }
+  }
+  const double* end = C(sx - 1, sy - 1);
+  const double v[4] = {end[sib::IDD] + T(sib::IDD, sib::EEE), end[sib::WWW] + T(sib::WWW, sib::EEE),
+                       end[sib::WWX] + T(sib::WWX, sib::EEE), end[sib::WXW] + T(sib::WXW, sib::EEE)};
+  *lp_end_out = sib::lse_list(v, 4);
+  #undef T
+  #undef C
+}
