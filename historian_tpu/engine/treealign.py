@@ -164,14 +164,38 @@ def get_conditional_pwms(model: RateModel, tree: Tree, gapped: list[FastSeq], ex
     """
     engine = get_engine(model, tree)
     fill = engine.fill([s.seq for s in gapped])
-    pwms: dict[int, list[np.ndarray]] = {n: [] for n in exclude}
-    n_cols = fill.n_columns
+    arr = engine.arrays
+    c_, a_ = model.components, model.alphabet_size
+    out: dict[int, np.ndarray] = {}
     for node, excl in exclude.items():
         row = gapped[node].seq
-        for col in range(n_cols):
-            if row[col] not in "-.":
-                pwms[node].append(fill.log_node_excluded_post_prob(col, node, excl, normalize))
-    return {n: np.array(v).reshape(len(v), model.components, model.alphabet_size) for n, v in pwms.items()}
+        cols = np.array([c for c in range(fill.n_columns) if row[c] not in "-."], dtype=np.int64)
+        if len(cols) == 0:
+            out[node] = np.zeros((0, c_, a_))
+            continue
+        # batched log_node_excluded_post_prob over this node's columns,
+        # term order identical to the per-column version
+        toks = fill.tokens[node, cols]
+        init = np.where(
+            (toks >= 0)[:, None],
+            np.where(np.arange(a_)[None, :] == toks[:, None], 0.0, -np.inf),
+            0.0,
+        )
+        lpp = np.tile(init[:, None, :], (1, c_, 1))
+        lpp += engine.log_cpt_weight[None, :, None]
+        with np.errstate(divide="ignore"):
+            for child in (arr.left[node], arr.right[node]):
+                if child >= 0 and child != excl:
+                    lpp += np.log(fill.E[cols, child]) + fill.logE[cols, child][:, :, None]
+            p = arr.parent[node]
+            if p != excl and p >= 0:
+                lpp += np.log(fill.G[cols, node]) + fill.logG[cols, node][:, :, None]
+        if normalize:
+            from scipy.special import logsumexp
+
+            lpp -= logsumexp(lpp, axis=(1, 2), keepdims=True)
+        out[node] = lpp
+    return out
 
 
 def pre_multiply(child_pwm: np.ndarray, log_sub_prob: np.ndarray) -> np.ndarray:
