@@ -282,3 +282,62 @@ def test_ml_distance_identical_and_saturated():
     # saturated pair: distance pinned at upper scan bound
     d_far = jc.ml_distance("AAAA", "CCCC")
     assert d_far > 1.0
+
+
+def test_numsubcount_ecmunrest_codon_scale():
+    """Eigen count integral on the 61-codon ECMunrest model vs numerical
+    integration (the reference's testnumsubcount at codon scale)."""
+    from historian_tpu.models.presets import named_model
+
+    model = named_model("ECMunrest")
+    eigen = EigenModel(model)
+    T = 0.4
+    sub = eigen.sub_prob_matrix(T)
+    esub = eigen.eigen_sub_count(T)
+    rng = np.random.RandomState(0)
+    toks = rng.randint(0, model.alphabet_size, size=6)
+    n_steps = 400
+    ts = np.arange(n_steps) * (T / n_steps)
+    sub_grid = [eigen.sub_prob_matrix(t)[0] for t in ts]
+    sub_grid_rev = [eigen.sub_prob_matrix(T - t - T / n_steps)[0] for t in ts]
+    for (a, b, i, j) in [
+        (toks[0], toks[1], toks[2], toks[3]),
+        (toks[4], toks[5], toks[4], toks[5]),
+        (toks[0], toks[0], toks[1], toks[2]),
+    ]:
+        if i == j:
+            continue
+        count = eigen.sub_count_matrix(0, a, b, sub[0], esub[0])[i, j]
+        assert np.isfinite(count) and count >= -1e-9
+        num = sum(sg[a, i] * sr[j, b] for sg, sr in zip(sub_grid, sub_grid_rev))
+        num *= model.sub_rate[0, i, j] * (T / n_steps) / sub[0, a, b]
+        assert abs(count - num) < 5e-3 * max(1.0, abs(count))
+
+
+def test_numsubcount_complex_spectrum_cyclic():
+    """Closed-form count integral with genuinely complex eigenvalues
+    (cyclic non-reversible rate matrix) vs numerical integration."""
+    alph = Alphabet("ACGT")
+    rate = np.array([[0.0, 1.0, 0.05, 0.05],
+                     [0.05, 0.0, 1.0, 0.05],
+                     [0.05, 0.05, 0.0, 1.0],
+                     [1.0, 0.05, 0.05, 0.0]])
+    np.fill_diagonal(rate, -rate.sum(1))
+    model = RateModel(alph, ins_rate=0.01, del_rate=0.01, ins_ext_prob=0.5,
+                      del_ext_prob=0.5, sub_rate=rate[None],
+                      cpt_weight=np.ones(1), ins_prob=np.full((1, 4), 0.25))
+    eigen = EigenModel(model)
+    assert np.abs(eigen.eval.imag).max() > 0.1  # complex spectrum
+    T = 0.7
+    sub = eigen.sub_prob_matrix(T)
+    esub = eigen.eigen_sub_count(T)
+    n_steps = 1000
+    ts = np.arange(n_steps) * (T / n_steps)
+    sub_grid = [eigen.sub_prob_matrix(t)[0] for t in ts]
+    sub_grid_rev = [eigen.sub_prob_matrix(T - t - T / n_steps)[0] for t in ts]
+    for (a, b, i, j) in [(0, 3, 0, 1), (1, 1, 2, 3), (2, 0, 3, 0)]:
+        count = eigen.sub_count_matrix(0, a, b, sub[0], esub[0])[i, j]
+        assert np.isfinite(count) and count >= -1e-9
+        num = sum(sg[a, i] * sr[j, b] for sg, sr in zip(sub_grid, sub_grid_rev))
+        num *= model.sub_rate[0, i, j] * (T / n_steps) / sub[0, a, b]
+        assert abs(count - num) < 5e-3 * max(1.0, abs(count))
