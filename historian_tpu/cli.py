@@ -96,6 +96,7 @@ Counts / EM:
 
 Misc:
   -seed <n>       mt19937 seed            -platform cpu|tpu  JAX backend
+  -profile <dir>  write a jax.profiler trace of the run
   -v .. -v9, -log <tag>, -nocolor         logging
   -abort          raw tracebacks on errors
 
@@ -371,6 +372,18 @@ def main(argv: list[str] | None = None) -> int:
 
     argvec = deque(rest)
 
+    if "-profile" in argvec:
+        # TPU observability: wrap the whole command in a jax.profiler trace
+        # (view with tensorboard or xprof); SURVEY.md 5: the reference has
+        # leveled logging only, the TPU build adds profiler traces
+        i = list(argvec).index("-profile")
+        trace_dir = list(argvec)[i + 1]
+        for _ in range(2):
+            del argvec[i]
+        import jax
+
+        with jax.profiler.trace(trace_dir):
+            return _dispatch(command, recon, argvec, out)
     if "-abort" in argvec:  # debugging aid: raw tracebacks (reference optparser.cpp:35)
         argvec.remove("-abort")
         return _dispatch(command, recon, argvec, out)

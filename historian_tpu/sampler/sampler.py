@@ -571,6 +571,17 @@ class Sampler:
             progress.update(n / max(1, n_samples - 1), f"step {n + 1}/{n_samples}")
             idx = random_index(nodes, rng)
             samplers[idx].sample(rng)
+        # per-move acceptance + timing summary (sampler.cpp:1736-1746)
+        for s in samplers:
+            for m in range(5):
+                if s.moves_proposed[m]:
+                    log_this_at(
+                        2,
+                        f"{s.name} {MOVE_NAMES[m]}: {s.moves_accepted[m]}/"
+                        f"{s.moves_proposed[m]} accepted "
+                        f"({100.0 * s.moves_accepted[m] / s.moves_proposed[m]:.1f}%), "
+                        f"{s.move_seconds[m]:.3f}s total",
+                    )
 
 
 def _paths_equal(a, b) -> bool:
