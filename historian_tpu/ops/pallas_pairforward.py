@@ -187,3 +187,184 @@ def pallas_pair_forward_lp(absorb, rsx, rsy, ix, iy, trans):
         trans.reshape(1, 23),
     )
     return out.reshape(NG * G)[:B]
+
+
+def _tiled_kernel(absorb_ref, rsx_ref, rsy_ref, ix_ref, iy_ref,
+                  isstart_ref, islast_ref, trans_ref, out_ref,
+                  imm_s, imd_s, idm_s, imi_s, iiw_s, lp_s, onehot_s):
+    """X-tiled variant: the row loop runs over this tile's rows with the
+    5-state row vectors carried in VMEM scratch across sequential grid
+    steps, so absorb streams tile by tile instead of residing whole.
+    Global row 0 (the start row) and the final row are signalled by the
+    per-row isstart/islast inputs, extracted with the same rolled
+    one-hot used for the emission scalars -- no loop-index branches."""
+    (imm_imm, imm_imd, imm_idm, imm_imi, imm_iiw, imm_eee,
+     imd_imm, imd_imd, imd_idm, imd_eee,
+     idm_imm, idm_imd, idm_idm, idm_eee,
+     imi_imm, imi_imd, imi_imi, imi_iiw, imi_eee,
+     iiw_imm, iiw_idm, iiw_iiw, iiw_eee) = (trans_ref[0, k] for k in range(23))
+
+    xt = absorb_ref.shape[1]
+    G = absorb_ref.shape[2]
+    Y1 = absorb_ref.shape[3]
+    tx = pl.program_id(1)
+    rsx_rows = rsx_ref[0]   # [G, xt]
+    ix_rows = ix_ref[0]
+    isstart_row = isstart_ref[0]  # [1, xt]
+    islast_row = islast_ref[0]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, xt), 1)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (G, Y1), 1)
+    neg_row = jnp.full((G, Y1), F32_NEG, dtype=absorb_ref.dtype)
+    rsy = rsy_ref[0]
+    iy = iy_ref[0]
+    y_ready = col_idx < Y1 - 1
+
+    @pl.when(tx == 0)
+    def _init():
+        imm_s[...] = neg_row
+        imd_s[...] = neg_row
+        idm_s[...] = neg_row
+        imi_s[...] = neg_row
+        iiw_s[...] = neg_row
+        lp_s[...] = jnp.full((G, 1), F32_NEG, dtype=absorb_ref.dtype)
+
+    onehot_s[...] = (row_iota == 0).astype(absorb_ref.dtype)
+
+    def shift1(v):
+        s = pltpu.roll(v, np.int32(1), axis=1)
+        return jnp.where(col_idx >= 1, s, F32_NEG)
+
+    def body(r, _):
+        imm_p = imm_s[...]
+        imd_p = imd_s[...]
+        idm_p = idm_s[...]
+        imi_p = imi_s[...]
+        iiw_p = iiw_s[...]
+        onehot = onehot_s[...]
+        sel = onehot > 0.5
+        rsx_i = jnp.sum(jnp.where(sel, jnp.maximum(rsx_rows, F32_NEG), F32_ZERO),
+                        axis=1, keepdims=True)
+        ix_i = jnp.sum(jnp.where(sel, jnp.maximum(ix_rows, F32_NEG), F32_ZERO),
+                       axis=1, keepdims=True)
+        s_start = jnp.sum(jnp.where(sel, isstart_row, F32_ZERO))
+        s_last = jnp.sum(jnp.where(sel, islast_row, F32_ZERO))
+
+        imd = jnp.logaddexp(
+            jnp.logaddexp(imm_p + imm_imd, imd_p + imd_imd),
+            jnp.logaddexp(idm_p + idm_imd, imi_p + imi_imd),
+        ) + rsx_i
+        iiw = jnp.logaddexp(
+            jnp.logaddexp(imm_p + imm_iiw, imi_p + imi_iiw), iiw_p + iiw_iiw
+        ) + ix_i
+        imd = jnp.where(y_ready, imd, F32_NEG)
+        iiw = jnp.where(y_ready, iiw, F32_NEG)
+
+        imm_src = jnp.logaddexp(
+            jnp.logaddexp(
+                jnp.logaddexp(imm_p + imm_imm, imd_p + imd_imm),
+                jnp.logaddexp(idm_p + idm_imm, imi_p + imi_imm),
+            ),
+            iiw_p + iiw_imm,
+        )
+        imm = shift1(imm_src) + absorb_ref[0, r]
+        # global row 0: the start cell (0, 0) carries probability 1
+        start_bonus = jnp.where(
+            (col_idx == 0) & (s_start + jnp.zeros_like(imm) > 0.5), F32_ZERO, F32_NEG
+        )
+        imm = jnp.maximum(imm, start_bonus)
+
+        idm_other = jnp.logaddexp(
+            jnp.logaddexp(imm + imm_idm, imd + imd_idm), iiw + iiw_idm
+        )
+        idm = _affine_scan_row(shift1(idm_other) + rsy, idm_idm + rsy, Y1)
+        imi = _affine_scan_row(shift1(imm + imm_imi) + iy, imi_imi + iy, Y1)
+
+        imm_s[...] = imm
+        imd_s[...] = imd
+        idm_s[...] = idm
+        imi_s[...] = imi
+        iiw_s[...] = iiw
+        onehot_s[...] = pltpu.roll(onehot, np.int32(1), axis=1)
+
+        # capture lp_end on the real final row (y-absorbers blocked there)
+        lp_row = jnp.logaddexp(
+            jnp.logaddexp(
+                imm[:, Y1 - 1:Y1] + imm_eee, imd[:, Y1 - 1:Y1] + imd_eee
+            ),
+            iiw[:, Y1 - 1:Y1] + iiw_eee,
+        )
+        take = s_last + jnp.zeros_like(lp_row) > 0.5
+        lp_s[...] = jnp.where(take, lp_row, lp_s[...])
+        return 0
+
+    jax.lax.fori_loop(0, xt, body, 0)
+    out_ref[0] = lp_s[...]
+
+
+def pallas_pair_forward_lp_tiled(absorb, rsx, rsy, ix, iy, trans,
+                                 x_tile: int = 512):
+    """Batched end log-likelihoods with X streamed in tiles of x_tile
+    rows: VMEM holds one absorb tile plus the carried row state, so X is
+    unbounded (Y+1 must still fit a row vector; same uniform-shape
+    batching contract as pallas_pair_forward_lp)."""
+    B = absorb.shape[0]
+    x1, y1 = absorb.shape[1], absorb.shape[2]
+    G = GROUP
+    x_tile = -(-x_tile // 128) * 128  # Mosaic: lane-dim block sizes are 128-multiples
+    NG = (B + G - 1) // G
+    padb = NG * G - B
+    if padb:
+        absorb = jnp.concatenate([absorb, jnp.broadcast_to(absorb[:1], (padb, x1, y1))])
+        rsx = jnp.concatenate([rsx, jnp.broadcast_to(rsx[:1], (padb, x1))])
+        rsy = jnp.concatenate([rsy, jnp.broadcast_to(rsy[:1], (padb, y1))])
+        ix = jnp.concatenate([ix, jnp.broadcast_to(ix[:1], (padb, x1))])
+        iy = jnp.concatenate([iy, jnp.broadcast_to(iy[:1], (padb, y1))])
+    XT = (x1 + x_tile - 1) // x_tile
+    padx = XT * x_tile - x1
+    if padx:
+        # padded rows carry -inf emissions; harmless, lp is captured at
+        # the real final row before they run
+        absorb = jnp.pad(absorb, ((0, 0), (0, padx), (0, 0)), constant_values=NEG)
+        rsx = jnp.pad(rsx, ((0, 0), (0, padx)), constant_values=NEG)
+        ix = jnp.pad(ix, ((0, 0), (0, padx)), constant_values=NEG)
+    Xp = x1 + padx
+    is_start = np.zeros((1, Xp), np.float32)
+    is_start[0, 0] = 1.0
+    is_last = np.zeros((1, Xp), np.float32)
+    is_last[0, x1 - 1] = 1.0
+
+    absorb_t = absorb.reshape(NG, G, Xp, y1).transpose(0, 2, 1, 3)
+    dtype = absorb.dtype
+    Z = np.int32(0)
+    out = pl.pallas_call(
+        _tiled_kernel,
+        grid=(NG, XT),
+        in_specs=[
+            pl.BlockSpec((1, x_tile, G, y1), lambda b, t: (b, t, Z, Z), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, x_tile), lambda b, t: (b, Z, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, y1), lambda b, t: (b, Z, Z), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, x_tile), lambda b, t: (b, Z, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, y1), lambda b, t: (b, Z, Z), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, x_tile), lambda b, t: (Z, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, x_tile), lambda b, t: (Z, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 23), lambda b, t: (Z, Z), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, G, 1), lambda b, t: (b, Z, Z), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NG, G, 1), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((G, y1), dtype), pltpu.VMEM((G, y1), dtype),
+            pltpu.VMEM((G, y1), dtype), pltpu.VMEM((G, y1), dtype),
+            pltpu.VMEM((G, y1), dtype), pltpu.VMEM((G, 1), dtype),
+            pltpu.VMEM((1, x_tile), dtype),
+        ],
+    )(
+        absorb_t,
+        rsx.reshape(NG, G, Xp),
+        rsy.reshape(NG, G, y1),
+        ix.reshape(NG, G, Xp),
+        iy.reshape(NG, G, y1),
+        jnp.asarray(is_start, dtype),
+        jnp.asarray(is_last, dtype),
+        trans.reshape(1, 23),
+    )
+    return out.reshape(NG * G)[:B]
