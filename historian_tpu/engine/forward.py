@@ -148,7 +148,10 @@ class DPMatrix:
             self.y_near_end[y.trans[t].src] = True
 
         self.env_mask = self._envelope_mask()  # [Sx, Sy]
-        self.cells = np.full((self.x_size, self.y_size, 5), NEG_INF)
+        # allocated by the fill paths: the native forward fill writes every
+        # cell itself, so it takes uninitialized storage; all other paths
+        # start from a -inf-filled tensor
+        self.cells: np.ndarray | None = None
         self.lp_end = NEG_INF
         self._trace_cache: dict = {}  # dest -> (cells, weights, ptot, best)
 
@@ -286,6 +289,7 @@ class ForwardMatrix(DPMatrix):
         lib = get_native()
         if lib is None:
             return False
+        self.cells = np.empty((self.x_size, self.y_size, 5))
         x_ptr, x_src, x_lp = csr_in_edges(self.x)
         y_ptr, y_src, y_lp = csr_in_edges(self.y)
         lib.forward_fill(
@@ -333,6 +337,7 @@ class ForwardMatrix(DPMatrix):
     def _fill(self) -> None:
         if self._fill_native():
             return
+        self.cells = np.full((self.x_size, self.y_size, 5), NEG_INF)
         hmm = self.hmm
         x, y = self.x, self.y
         sx, sy = self.x_size, self.y_size
@@ -1051,6 +1056,7 @@ class BackwardMatrix(DPMatrix):
         return True
 
     def _fill(self) -> None:
+        self.cells = np.full((self.x_size, self.y_size, 5), NEG_INF)
         hmm = self.hmm
         x, y = self.x, self.y
         sx, sy = self.x_size, self.y_size

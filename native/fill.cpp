@@ -57,6 +57,12 @@ extern "C" void forward_fill(
   #define CELL(i, j, s) cells[(((i) * sy) + (j)) * 5 + (s)]
   CELL(0, 0, IMM) = 0.0;  // start
 
+  // the caller may hand us uninitialized storage: every cell is either
+  // filled by the DP below or pinned to -inf here (masked + edge cells)
+  for (int64_t i = 0; i < sx; ++i)
+    for (int64_t j = 0; j < sy; ++j)
+      if (i == sx - 1 || j == sy - 1 || !env_mask[i * sy + j])
+        for (int s = 0; s < 5; ++s) CELL(i, j, s) = NEG_INF;
   for (int64_t i = 0; i < sx - 1; ++i) {
     const bool xnull = x_null[i];
     const bool x_ready_or_empty = x_ready[i] || x_empty;
