@@ -40,6 +40,9 @@ def main() -> None:
     results = []
     for ref_path in paths:
         ref = read_alignment(ref_path)
+        if len({len(v) for v in ref.values()}) != 1:
+            print(f"{ref_path}\tFAILED\nreference rows have unequal lengths -- not an alignment")
+            continue
         with tempfile.TemporaryDirectory() as tmp:
             seq_path = os.path.join(tmp, "in.fa")
             with open(seq_path, "w") as f:
@@ -59,7 +62,11 @@ def main() -> None:
             test_path = os.path.join(tmp, "out.fa")
             with open(test_path, "w") as f:
                 f.write(proc.stdout)
-            sps, tcs = score(read_alignment(test_path), ref)
+            try:
+                sps, tcs = score(read_alignment(test_path), ref)
+            except ValueError as e:
+                print(f"{ref_path}\tFAILED\n{e}")
+                continue
         results.append((ref_path, sps, tcs))
         print(f"{ref_path}\tSPS {sps:.4f}\tTCS {tcs:.4f}")
 

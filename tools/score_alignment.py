@@ -44,6 +44,9 @@ def score(test: dict[str, str], ref: dict[str, str]) -> tuple[float, float]:
     names = [n for n in ref if n in test]
     if len(names) < 2:
         raise ValueError("need at least two shared sequences")
+    lens = {len(ref[n]) for n in names}
+    if len(lens) != 1:
+        raise ValueError("reference rows have unequal lengths -- not an alignment")
     test_cols = {n: residue_columns(test[n]) for n in names}
     ref_cols = {n: residue_columns(ref[n]) for n in names}
     for n in names:
