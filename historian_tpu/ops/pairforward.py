@@ -28,26 +28,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from historian_tpu.ops.semiring import affine_scan as _affine_scan, lse as _lse
+
 NEG = -1e30
-
-
-def _lse(*xs):
-    out = xs[0]
-    for x in xs[1:]:
-        out = jnp.logaddexp(out, x)
-    return out
-
-
-def _affine_scan(a, b):
-    """u[j] = logaddexp(a[j], u[j-1] + b[j]), u[-1] = -inf, via associative scan."""
-
-    def combine(left, right):
-        al, bl = left
-        ar, br = right
-        return jnp.logaddexp(ar, al + br), bl + br
-
-    u, _ = jax.lax.associative_scan(combine, (a, b))
-    return u
 
 
 def emission_tensors(x_onehot, y_onehot, sub_l, sub_r, log_root, log_cpt_weight, log_ins_l, log_ins_r):

@@ -21,27 +21,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from historian_tpu.ops.semiring import affine_scan as _affine_scan, lse as _lse
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 NEG = -1e30
-
-
-def _lse(*xs):
-    out = xs[0]
-    for x in xs[1:]:
-        out = jnp.logaddexp(out, x)
-    return out
-
-
-def _affine_scan(a, b):
-    def combine(left, right):
-        al, bl = left
-        ar, br = right
-        return jnp.logaddexp(ar, al + br), bl + br
-
-    u, _ = jax.lax.associative_scan(combine, (a, b))
-    return u
 
 
 def pp_pair_forward_lp(absorb, rootsub_x, rootsub_y, ins_x, ins_y, trans,

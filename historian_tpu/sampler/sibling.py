@@ -8,8 +8,9 @@ during traceback) and whose wait states are eliminated for path scoring.
 Samples a parent alignment of two sibling profiles and produces the
 parent's position-weight matrix.
 
-Fill is host numpy with the x-direction contributions vectorized per row
-(the within-row W-state coupling walks y sequentially); the emission
+The fill runs in native C++ by default (native/fill.cpp sibling_fill,
+bit-identical to the python fallback), or on device as a lax.scan
+kernel (ops/siblingdp, HISTORIAN_DEVICE_SIBLING=1); the emission
 tensors are precomputed einsums.
 """
 
