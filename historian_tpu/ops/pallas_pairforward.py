@@ -191,7 +191,7 @@ def pallas_pair_forward_lp(absorb, rsx, rsy, ix, iy, trans):
 
 def _tiled_kernel(absorb_ref, rsx_ref, rsy_ref, ix_ref, iy_ref,
                   isstart_ref, islast_ref, trans_ref, out_ref,
-                  imm_s, imd_s, idm_s, imi_s, iiw_s, lp_s, onehot_s):
+                  imm_s, imd_s, idm_s, imi_s, iiw_s, lp_s):
     """X-tiled variant: the row loop runs over this tile's rows with the
     5-state row vectors carried in VMEM scratch across sequential grid
     steps, so absorb streams tile by tile instead of residing whole.
@@ -228,19 +228,14 @@ def _tiled_kernel(absorb_ref, rsx_ref, rsy_ref, ix_ref, iy_ref,
         iiw_s[...] = neg_row
         lp_s[...] = jnp.full((G, 1), F32_NEG, dtype=absorb_ref.dtype)
 
-    onehot_s[...] = (row_iota == 0).astype(absorb_ref.dtype)
-
     def shift1(v):
         s = pltpu.roll(v, np.int32(1), axis=1)
         return jnp.where(col_idx >= 1, s, F32_NEG)
 
-    def body(r, _):
-        imm_p = imm_s[...]
-        imd_p = imd_s[...]
-        idm_p = idm_s[...]
-        imi_p = imi_s[...]
-        iiw_p = iiw_s[...]
-        onehot = onehot_s[...]
+    def body(r, carry):
+        # row state rides the loop carry; scratch is only touched at
+        # tile boundaries (per-row VMEM round-trips stall the pipeline)
+        imm_p, imd_p, idm_p, imi_p, iiw_p, onehot, lp_c = carry
         sel = onehot > 0.5
         rsx_i = jnp.sum(jnp.where(sel, jnp.maximum(rsx_rows, F32_NEG), F32_ZERO),
                         axis=1, keepdims=True)
@@ -279,13 +274,6 @@ def _tiled_kernel(absorb_ref, rsx_ref, rsy_ref, ix_ref, iy_ref,
         idm = _affine_scan_row(shift1(idm_other) + rsy, idm_idm + rsy, Y1)
         imi = _affine_scan_row(shift1(imm + imm_imi) + iy, imi_imi + iy, Y1)
 
-        imm_s[...] = imm
-        imd_s[...] = imd
-        idm_s[...] = idm
-        imi_s[...] = imi
-        iiw_s[...] = iiw
-        onehot_s[...] = pltpu.roll(onehot, np.int32(1), axis=1)
-
         # capture lp_end on the real final row (y-absorbers blocked there)
         lp_row = jnp.logaddexp(
             jnp.logaddexp(
@@ -294,11 +282,20 @@ def _tiled_kernel(absorb_ref, rsx_ref, rsy_ref, ix_ref, iy_ref,
             iiw[:, Y1 - 1:Y1] + iiw_eee,
         )
         take = s_last + jnp.zeros_like(lp_row) > 0.5
-        lp_s[...] = jnp.where(take, lp_row, lp_s[...])
-        return 0
+        lp_c = jnp.where(take, lp_row, lp_c)
+        return (imm, imd, idm, imi, iiw,
+                pltpu.roll(onehot, np.int32(1), axis=1), lp_c)
 
-    jax.lax.fori_loop(0, xt, body, 0)
-    out_ref[0] = lp_s[...]
+    init = (imm_s[...], imd_s[...], idm_s[...], imi_s[...], iiw_s[...],
+            (row_iota == 0).astype(absorb_ref.dtype), lp_s[...])
+    imm, imd, idm, imi, iiw, _, lp_c = jax.lax.fori_loop(0, xt, body, init)
+    imm_s[...] = imm
+    imd_s[...] = imd
+    idm_s[...] = idm
+    imi_s[...] = imi
+    iiw_s[...] = iiw
+    lp_s[...] = lp_c
+    out_ref[0] = lp_c
 
 
 def pallas_pair_forward_lp_tiled(absorb, rsx, rsy, ix, iy, trans,
@@ -355,7 +352,6 @@ def pallas_pair_forward_lp_tiled(absorb, rsx, rsy, ix, iy, trans,
             pltpu.VMEM((G, y1), dtype), pltpu.VMEM((G, y1), dtype),
             pltpu.VMEM((G, y1), dtype), pltpu.VMEM((G, y1), dtype),
             pltpu.VMEM((G, y1), dtype), pltpu.VMEM((G, 1), dtype),
-            pltpu.VMEM((1, x_tile), dtype),
         ],
     )(
         absorb_t,
