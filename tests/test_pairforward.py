@@ -54,3 +54,91 @@ def test_dryrun_multichip_8():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_forward_matches_exhaustive_path_enumeration(ref_data):
+    """Independent oracle: enumerate every state path of the composed
+    transducer for tiny sequences by DFS, with emissions computed
+    directly from the model matrices, and compare the total path
+    probability against the device kernel and the host fill.
+
+    The 5 live states absorb/emit as (reference pairhmm.h:14-18):
+    IMM both tokens (root insert + two substitutions), IMD x with y
+    deleted, IDM y with x deleted, IMI y inserted on the right branch,
+    IIW x inserted on the left branch; y-absorbing states are only
+    reachable while x is in its Wait state (canonical gap order), which
+    the transition table already encodes.
+    """
+    from historian_tpu.engine.pairhmm import EEE, IMD, IDM, IMI, IIW, IMM, PairHMM
+    from historian_tpu.models.ratemodel import ProbModel
+
+    model = RateModel.from_file(f"{ref_data}/testforward.jukescantor.json")
+    xp = ProbModel(model, 1.0)
+    yp = ProbModel(model, 0.5)
+    hmm = PairHMM(xp, yp, model.ins_prob)
+
+    tok = model.alphabet.tokenize_or_die
+    w = model.cpt_weight
+    root = model.ins_prob  # [C, A]
+    subx = xp.sub_mat  # [C, A, A]
+    suby = yp.sub_mat
+    insx = xp.ins_vec if hasattr(xp, "ins_vec") else model.ins_prob
+    insy = yp.ins_vec if hasattr(yp, "ins_vec") else model.ins_prob
+
+    def emit(state, xi, yj):
+        if state == IMM:
+            return float(sum(w[c] * sum(root[c, a] * subx[c, a, xi] * suby[c, a, yj]
+                                        for a in range(model.alphabet_size))
+                             for c in range(model.components)))
+        if state == IMD:
+            return float(sum(w[c] * sum(root[c, a] * subx[c, a, xi]
+                                        for a in range(model.alphabet_size))
+                             for c in range(model.components)))
+        if state == IDM:
+            return float(sum(w[c] * sum(root[c, a] * suby[c, a, yj]
+                                        for a in range(model.alphabet_size))
+                             for c in range(model.components)))
+        if state == IIW:
+            return float(sum(w[c] * insx[c, xi] for c in range(model.components)))
+        if state == IMI:
+            return float(sum(w[c] * insy[c, yj] for c in range(model.components)))
+        raise AssertionError(state)
+
+    import math as _math
+
+    for x_seq, y_seq in [("AG", "AT"), ("A", "CGT"), ("ACG", ""), ("AC", "AC")]:
+        xt = [tok(ch) for ch in x_seq]
+        yt = [tok(ch) for ch in y_seq]
+        X, Y = len(xt), len(yt)
+
+        total = [0.0]
+
+        def dfs(i, j, state, prob):
+            # transition into EEE ends the path; only legal with all
+            # tokens absorbed
+            if i == X and j == Y:
+                lp = hmm.lp_trans(state, EEE)
+                if lp > -1e29:
+                    total[0] += prob * _math.exp(lp)
+            for nxt in (IMM, IMD, IDM, IMI, IIW):
+                lp = hmm.lp_trans(state, nxt)
+                if lp <= -1e29:
+                    continue
+                # canonical gap ordering (reference forward.cpp:95-162):
+                # x-absorbing states are blocked once y is exhausted and
+                # y-absorbing states once x is exhausted -- equivalent gap
+                # arrangements are counted exactly once
+                if nxt == IMM and i < X and j < Y:
+                    dfs(i + 1, j + 1, nxt, prob * _math.exp(lp) * emit(nxt, xt[i], yt[j]))
+                elif nxt in (IMD, IIW) and i < X and (j < Y or Y == 0):
+                    dfs(i + 1, j, nxt, prob * _math.exp(lp) * emit(nxt, xt[i], 0))
+                elif nxt in (IDM, IMI) and j < Y and (i < X or X == 0):
+                    dfs(i, j + 1, nxt, prob * _math.exp(lp) * emit(nxt, 0, yt[j]))
+
+        # start state is IMM at (0, 0) with probability 1
+        dfs(0, 0, IMM, 1.0)
+        lp_brute = _math.log(total[0])
+
+        args, _ = chain_pair_forward_arrays(model, x_seq, y_seq, 1.0, 0.5, dtype=np.float64)
+        _, lp_kernel = pair_forward(*args)
+        assert abs(float(lp_kernel) - lp_brute) < 1e-9, (x_seq, y_seq, float(lp_kernel), lp_brute)
