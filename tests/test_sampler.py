@@ -188,3 +188,61 @@ def test_sibling_device_kernel_matches_host(ref_data, band):
     # device treats -1e30 as -inf; host -inf cells must stay huge-negative
     assert np.all(cells[~finite] < -1e28)
     assert abs(float(lp_end) - sib.lp_end) < 1e-9
+
+
+def test_sibling_fill_matches_exhaustive_enumeration(ref_data):
+    """Independent oracle for the sibling DP: DFS over every raw state
+    path (explicit IDD self-loops, truncated; the fill uses the
+    analytically eliminated table) on 2-residue PWMs."""
+    import math
+
+    model, tree, gapped = load(ref_data)
+    node = tree.find_node("parent23")
+    l_child, r_child = tree.children(node)
+    exclude = {l_child: node, r_child: node}
+    pwms = get_conditional_pwms(model, tree, gapped, exclude)
+    sib = SiblingMatrix(
+        model, pwms[l_child][:2], pwms[r_child][:2],
+        tree.branch_length(l_child), tree.branch_length(r_child),
+        GuideAlignmentEnvelope(),
+        np.arange(3), np.arange(3), l_child, r_child, node,
+    )
+    from historian_tpu.sampler.sibling import (
+        EEE, IDD, IDI, IDM, IIW, IIX, IMD, IMI, IMM, N_STATES, WWW, WWX, WXW,
+    )
+
+    X = Y = 2
+    consume_x = {IMM: 1, IMD: 1, IIW: 1, IIX: 1}
+    consume_y = {IMM: 1, IDM: 1, IMI: 1, IDI: 1}
+    total = [0.0]
+    max_depth = 26  # covers all consuming paths + null runs + IDD loops
+
+    def emit(state, x, y):
+        if state == IMM:
+            return math.exp(sib.match_emit[x, y])
+        if state in (IMD, IIW, IIX):
+            return math.exp(sib.l_emit[x - 1])
+        if state in (IDM, IMI, IDI):
+            return math.exp(sib.r_emit[y - 1])
+        return 1.0  # W states and IDD emit nothing in (l, r) coordinates
+
+    def dfs(x, y, state, prob, depth):
+        if prob == 0.0 or depth > max_depth:
+            return
+        if x == X and y == Y:
+            lp = sib.lp_trans(state, EEE)
+            if lp > -1e29:
+                total[0] += prob * math.exp(lp)
+        for nxt in range(N_STATES):
+            lp = sib.lp_trans(state, nxt)
+            if lp <= -1e29:
+                continue
+            nx = x + consume_x.get(nxt, 0)
+            ny = y + consume_y.get(nxt, 0)
+            if nx > X or ny > Y:
+                continue
+            dfs(nx, ny, nxt, prob * math.exp(lp) * emit(nxt, nx, ny), depth + 1)
+
+    dfs(0, 0, IMM, 1.0, 0)
+    lp_brute = math.log(total[0])
+    assert abs(sib.lp_end - lp_brute) < 1e-9, (sib.lp_end, lp_brute)
