@@ -141,3 +141,55 @@ def test_ancestral_reconstruction(ref_data):
     assert recon[root_idx] == "t" or recon[root_idx] == "T"
     pp = fill.ancestral_post_probs(rows)
     assert abs(pp[root_idx][0]["T"] - 0.98531) < 1e-4
+
+
+def test_column_likelihood_matches_exhaustive_marginalization(ref_data):
+    """Independent oracle: sum over every ancestral state assignment of
+    root_prob * product of branch substitution probabilities equals the
+    message-passing column likelihood."""
+    import itertools
+    import os
+
+    from historian_tpu.core.seqs import read_fasta
+    from historian_tpu.core.tree import Tree
+    from historian_tpu.engine.sumprod import get_engine
+    from historian_tpu.models.ratemodel import ProbModel, RateModel
+
+    model = RateModel.from_file(os.path.join(ref_data, "testcount.jukescantor.json"))
+    tree = Tree(open(os.path.join(ref_data, "testcount.nh")).read())
+    gapped = read_fasta(os.path.join(ref_data, "testcount.historian.fa"))
+    gapped = tree.reorder_seqs(gapped)
+    rows = [s.seq for s in gapped]
+    engine = get_engine(model, tree)
+    col_ll = engine.column_log_likelihoods(rows)
+
+    n = tree.n_nodes()
+    A = model.alphabet_size
+    sub = {
+        node: ProbModel(model, max(1e-9, tree.branch_length(node))).sub_mat[0]
+        for node in range(n - 1)
+    }
+    root_prob = model.ins_prob[0]
+    w = model.cpt_weight
+
+    for col in range(len(rows[0])):
+        chars = [rows[node][col] for node in range(n)]
+        if any(ch in "-." for ch in chars):
+            continue  # the oracle below assumes an ungapped column
+        fixed = {
+            node: model.alphabet.tokenize_or_die(chars[node])
+            for node in range(n)
+            if model.alphabet.tokenize_char(chars[node]) >= 0
+        }
+        internal = [node for node in range(n) if node not in fixed]  # incl. wildcards
+        total = 0.0
+        for assign in itertools.product(range(A), repeat=len(internal)):
+            states = dict(fixed)
+            for node, a in zip(internal, assign):
+                states[node] = a
+            p = root_prob[states[n - 1]]
+            for node in range(n - 1):
+                p *= sub[node][states[tree.parent(node)], states[node]]
+            total += p
+        # single component model: weight is 1
+        assert abs(float(col_ll[col]) - np.log(total * w[0])) < 1e-9, col
