@@ -141,10 +141,13 @@ class DiagonalEnvelope:
     def mask(self) -> np.ndarray:
         """[X+1, Y+1] bool: True where cell (i, j) is in the envelope
         (row/col 0 excluded -- DP boundary)."""
-        out = np.zeros((self.x_len + 1, self.y_len + 1), dtype=bool)
+        # diagonal membership via a lookup table over i-j offsets
+        # (np.isin hashes every cell; the LUT is one indexed gather)
+        lut = np.zeros(self.x_len + self.y_len + 1, dtype=bool)
+        lut[np.asarray(self.diagonals, dtype=np.int64) + self.y_len] = True
         ii = np.arange(self.x_len + 1)[:, None]
         jj = np.arange(self.y_len + 1)[None, :]
-        d = ii - jj
-        member = np.isin(d, self.diagonals)
-        out[1:, 1:] = member[1:, 1:]
+        out = lut[(ii - jj) + self.y_len]
+        out[0, :] = False
+        out[:, 0] = False
         return out

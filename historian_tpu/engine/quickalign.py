@@ -13,6 +13,7 @@ Delete, Start -- quickalign.cpp:147-207).
 from __future__ import annotations
 
 import math
+import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -180,11 +181,74 @@ class QuickAlignResult:
             self._run_fill()
 
     def _run_fill(self) -> None:
+        if os.environ.get("HISTORIAN_DIAG_FILL", "0") == "1" and self._run_fill_diag():
+            return
         mats, inss, dels = banded_viterbi_fill(
             jnp.asarray(self._emit_p), jnp.asarray(self._mask_p),
             jnp.asarray(self._start_p), jnp.asarray(self._trans),
         )
         self._finish(np.asarray(mats), np.asarray(inss), np.asarray(dels))
+
+    def _run_fill_diag(self) -> bool:
+        """Sparse envelopes: fill in diagonal-band coordinates, O(B*Y)
+        instead of O(X*Y), then scatter back to the dense accessors.
+
+        Opt-in (HISTORIAN_DIAG_FILL=1): values agree with the dense fill
+        to f64 round-off but not bitwise (XLA may contract the delete
+        chain's multiply-add differently between the two formulations),
+        so the dense fill stays the default for strict reproducibility.
+        Worthwhile when envelopes are narrow (band << X), e.g. long
+        near-homologous sequences with -kmatchband."""
+        from historian_tpu.ops.pairdp import banded_viterbi_fill_diag
+
+        env = self.envelope
+        diags = np.sort(np.asarray(getattr(env, "diagonals", []), dtype=np.int64))
+        X, Y = self.x_len, self.y_len
+        if len(diags) == 0 or 2 * len(diags) >= X + 1:
+            return False  # dense is as cheap (or envelope is full)
+        B = len(diags)
+        # pad the band/columns so repeated fills share compilations
+        Bp = -(-B // 8) * 8
+        Yp = -(-(Y + 1) // 128) * 128
+        jj = np.arange(Y + 1)[None, :]
+        dd = diags[:, None]
+        ii = jj + dd  # [B, Y+1]
+        in_range = (ii >= 1) & (ii <= X) & (jj >= 1)
+        ii_c = np.clip(ii, 0, X)
+        emit_b = np.zeros((Bp, Yp))
+        start_b = np.full((Bp, Yp), NEG_INF)
+        valid_b = np.zeros((Bp, Yp), dtype=bool)
+        emit_b[:B, : Y + 1] = np.where(in_range, self.emit[ii_c, jj], 0.0)
+        sg = self.aligner._gap_score_vec(np.arange(X + 1, dtype=float))
+        sgj = self.aligner._gap_score_vec(np.arange(Y + 1, dtype=float))
+        start_b[:B, : Y + 1] = np.where(in_range, sg[ii_c] + sgj[jj], NEG_INF)
+        valid_b[:B, : Y + 1] = in_range
+        up_idx = np.full(Bp, -1, dtype=np.int32)
+        pos = {int(d): k for k, d in enumerate(diags)}
+        for k, d in enumerate(diags):
+            up_idx[k] = pos.get(int(d) + 1, -1)
+        down_ok = np.zeros(Bp, dtype=bool)
+        down_ok[1:B] = np.diff(diags) == 1
+
+        dvec = np.zeros(Bp)
+        dvec[:B] = diags
+        mats_b, inss_b, dels_b = banded_viterbi_fill_diag(
+            jnp.asarray(emit_b), jnp.asarray(start_b), jnp.asarray(valid_b),
+            jnp.asarray(up_idx), jnp.asarray(down_ok), jnp.asarray(dvec),
+            jnp.asarray(self._trans),
+        )
+        mats_b = np.asarray(mats_b)[:B, : Y + 1]
+        inss_b = np.asarray(inss_b)[:B, : Y + 1]
+        dels_b = np.asarray(dels_b)[:B, : Y + 1]
+        # scatter back into dense [Y+1, X+1] (the dense kernel's layout
+        # that _finish transposes)
+        dense = [np.full((Y + 1, X + 1), NEG_INF) for _ in range(3)]
+        sel = in_range
+        jjb = np.broadcast_to(jj, ii.shape)
+        for out, band in zip(dense, (mats_b, inss_b, dels_b)):
+            out[jjb[sel], ii[sel]] = band[sel]
+        self._finish(*dense)
+        return True
 
     def _finish(self, mats: np.ndarray, inss: np.ndarray, dels: np.ndarray) -> None:
         x_len, y_len = self.x_len, self.y_len

@@ -138,3 +138,38 @@ def test_guide_alignment_dense(ref_data):
     align = Alignment.from_gapped(gapped)
     for orig, ug in zip(seqs, align.ungapped):
         assert ug.seq.upper() == orig.seq.upper()
+
+
+def test_diag_band_fill_matches_dense(ref_data):
+    """The opt-in diagonal-band Viterbi fill agrees with the dense fill
+    to f64 round-off on a sparse envelope (bitwise parity is not
+    guaranteed: XLA may contract the delete chain differently)."""
+    import jax.numpy as jnp
+
+    from historian_tpu.engine.diagenv import DiagEnvParams, DiagonalEnvelope
+    from historian_tpu.engine.quickalign import QuickAligner, QuickAlignResult
+    from historian_tpu.models.ratemodel import RateModel
+    from historian_tpu.ops.pairdp import banded_viterbi_fill
+
+    model = RateModel.from_file(f"{ref_data}/testamino.json")
+    seqs = read_fasta(f"{ref_data}/PF16593.pair.fa")
+    x, y = seqs[0], seqs[1]
+    aligner = QuickAligner(model, 1.0)
+    env = DiagonalEnvelope(len(x.seq), len(y.seq))
+    env.init_sparse(
+        model.alphabet.tokenize(x.seq), model.alphabet.tokenize(y.seq),
+        model.alphabet_size, DiagEnvParams(kmer_threshold=1, sparse=True),
+    )
+    r1 = QuickAlignResult(aligner, x, y, env, defer_fill=True)
+    assert r1._run_fill_diag(), "diag path should engage for a sparse envelope"
+    r2 = QuickAlignResult(aligner, x, y, env, defer_fill=True)
+    mats, inss, dels = banded_viterbi_fill(
+        jnp.asarray(r2._emit_p), jnp.asarray(r2._mask_p),
+        jnp.asarray(r2._start_p), jnp.asarray(r2._trans),
+    )
+    r2._finish(np.asarray(mats), np.asarray(inss), np.asarray(dels))
+    for a, b in ((r1.mat, r2.mat), (r1.ins, r2.ins), (r1.del_, r2.del_)):
+        fin = (a > -1e29) & (b > -1e29)
+        np.testing.assert_allclose(a[fin], b[fin], rtol=1e-12, atol=1e-12)
+        assert np.array_equal(a > -1e29, b > -1e29)
+    assert abs(r1.end - r2.end) < 1e-9
