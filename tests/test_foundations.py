@@ -216,3 +216,68 @@ def test_mt19937_uniform_range():
     xs = [g.uniform(0, 10) for _ in range(1000)]
     assert all(0 <= x < 10 for x in xs)
     assert 4 < sum(xs) / len(xs) < 6
+
+
+def test_fuzz_alignpath_merge_roundtrip(ref_data):
+    """Seeded fuzz: splitting a random multi-row alignment into
+    overlapping pairwise projections and re-merging reproduces it."""
+    from historian_tpu.core.alignpath import (
+        align_path_merge, align_path_remove_empty_columns,
+    )
+
+    rng = np.random.RandomState(11)
+    for case in range(10):
+        n_rows = rng.randint(3, 7)
+        n_cols = rng.randint(4, 14)
+        while True:
+            # each column's rows form a contiguous run, so the chain of
+            # adjacent-row projections links every column transitively
+            # (columns with disconnected row sets legitimately split)
+            cols = []
+            for _ in range(n_cols):
+                lo = rng.randint(0, n_rows)
+                hi = rng.randint(lo, n_rows)
+                col = np.zeros(n_rows, dtype=bool)
+                col[lo : hi + 1] = True
+                cols.append(col)
+            grid = np.stack(cols, axis=1)  # [rows, cols]
+            path = {r: grid[r] for r in range(n_rows)}
+            if all(p.any() for p in path.values()):
+                break
+        # overlapping chain of pairwise projections covers all rows
+        parts = []
+        for r in range(n_rows - 1):
+            sub = {r: path[r], r + 1: path[r + 1]}
+            keep = np.array([sub[r][c] or sub[r + 1][c] for c in range(n_cols)])
+            parts.append({k: v[keep] for k, v in sub.items()})
+        merged = align_path_merge(parts)
+        clean = align_path_remove_empty_columns(path)
+        assert set(merged) == set(clean)
+        for r in merged:
+            assert int(np.sum(merged[r])) == int(np.sum(clean[r]))
+        # the merge guarantees (a) each INPUT pairwise alignment is
+        # reproduced and (b) residue co-occupancy (which residues share a
+        # column) is transitively preserved; unconstrained gap-only
+        # column interleavings may permute
+        def projection(p, a, b):
+            return [
+                (bool(p[a][c]), bool(p[b][c]))
+                for c in range(len(p[a]))
+                if p[a][c] or p[b][c]
+            ]
+
+        for a in range(n_rows - 1):
+            assert projection(merged, a, a + 1) == projection(clean, a, a + 1), (case, a)
+
+        def pairings(p, a, b):
+            out = set()
+            pa = np.cumsum(np.asarray(p[a])) - 1
+            pb = np.cumsum(np.asarray(p[b])) - 1
+            for c in range(len(p[a])):
+                if p[a][c] and p[b][c]:
+                    out.add((int(pa[c]), int(pb[c])))
+            return out
+
+        for a in range(n_rows):
+            for b in range(a + 1, n_rows):
+                assert pairings(merged, a, b) == pairings(clean, a, b), (case, a, b)

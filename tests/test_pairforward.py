@@ -142,3 +142,34 @@ def test_forward_matches_exhaustive_path_enumeration(ref_data):
         args, _ = chain_pair_forward_arrays(model, x_seq, y_seq, 1.0, 0.5, dtype=np.float64)
         _, lp_kernel = pair_forward(*args)
         assert abs(float(lp_kernel) - lp_brute) < 1e-9, (x_seq, y_seq, float(lp_kernel), lp_brute)
+
+
+def test_fuzz_random_models_kernel_vs_host(ref_data):
+    """Seeded fuzz: random reversible-ish rate models and random sequence
+    pairs; the device chain kernel and the host DAG fill must agree."""
+    from historian_tpu.core.alphabet import Alphabet
+    from historian_tpu.core.seqs import FastSeq
+
+    rng = np.random.RandomState(7)
+    alph = Alphabet("ACGT")
+    for case in range(8):
+        rate = rng.uniform(0.1, 1.5, (4, 4))
+        np.fill_diagonal(rate, 0.0)
+        np.fill_diagonal(rate, -rate.sum(1))
+        ins_p = rng.dirichlet(np.ones(4))
+        model = RateModel(
+            alph,
+            ins_rate=rng.uniform(0.005, 0.1), del_rate=rng.uniform(0.005, 0.1),
+            ins_ext_prob=rng.uniform(0.1, 0.8), del_ext_prob=rng.uniform(0.1, 0.8),
+            sub_rate=rate[None], cpt_weight=np.ones(1), ins_prob=ins_p[None],
+        )
+        n1, n2 = rng.randint(1, 9, size=2)
+        x = "".join(rng.choice(list("ACGT"), n1))
+        y = "".join(rng.choice(list("ACGT"), n2))
+        tx, ty = rng.uniform(0.05, 1.5, size=2)
+        args, hmm = chain_pair_forward_arrays(model, x, y, tx, ty, dtype=np.float64)
+        _, lp_kernel = pair_forward(*args)
+        xprof = Profile.from_sequence(1, alph, FastSeq(name="x", seq=x), 1)
+        yprof = Profile.from_sequence(1, alph, FastSeq(name="y", seq=y), 2)
+        fwd = ForwardMatrix(xprof, yprof, hmm, 0, GuideAlignmentEnvelope())
+        assert abs(float(lp_kernel) - fwd.lp_end) < 1e-9, (case, x, y, float(lp_kernel), fwd.lp_end)
