@@ -246,3 +246,35 @@ def test_sibling_fill_matches_exhaustive_enumeration(ref_data):
     dfs(0, 0, IMM, 1.0, 0)
     lp_brute = math.log(total[0])
     assert abs(sib.lp_end - lp_brute) < 1e-9, (sib.lp_end, lp_brute)
+
+
+def test_simulator_substitutions_match_expm():
+    """Statistical check: simulating one long branch reproduces the
+    matrix-exponential substitution probabilities."""
+    from historian_tpu.core.alphabet import Alphabet
+    from historian_tpu.core.tree import Tree
+    from historian_tpu.models.ratemodel import ProbModel, RateModel
+    from historian_tpu.sampler.simulator import simulate_tree
+    from historian_tpu.utils.rng import MT19937
+
+    alph = Alphabet("ACGT")
+    rate = np.array([[0.0, 0.6, 0.2, 0.2],
+                     [0.3, 0.0, 0.3, 0.4],
+                     [0.2, 0.5, 0.0, 0.3],
+                     [0.4, 0.2, 0.4, 0.0]])
+    np.fill_diagonal(rate, -rate.sum(1))
+    model = RateModel(alph, ins_rate=0.0, del_rate=0.0, ins_ext_prob=0.5,
+                      del_ext_prob=0.5, sub_rate=rate[None],
+                      cpt_weight=np.ones(1), ins_prob=np.full((1, 4), 0.25))
+    t = 0.8
+    tree = Tree(f"(leaf:{t})root;")
+    stock = simulate_tree(MT19937(123), model, tree, 20000)
+    rows = {s.name: s.seq for s in stock.gapped}
+    counts = np.zeros((4, 4))
+    for pa, ch in zip(rows["root"], rows["leaf"]):
+        if pa not in "-." and ch not in "-.":
+            counts[alph.tokenize_or_die(pa.upper()), alph.tokenize_or_die(ch.upper())] += 1
+    emp = counts / counts.sum(axis=1, keepdims=True)
+    expected = ProbModel(model, t).sub_mat[0]
+    # 20k draws: per-row frequencies within ~3 sigma of the expm row
+    assert np.abs(emp - expected).max() < 0.02, np.abs(emp - expected).max()
