@@ -278,3 +278,50 @@ def test_simulator_substitutions_match_expm():
     expected = ProbModel(model, t).sub_mat[0]
     # 20k draws: per-row frequencies within ~3 sigma of the expm row
     assert np.abs(emp - expected).max() < 0.02, np.abs(emp - expected).max()
+
+
+def test_mcmc_samples_node_height_posterior():
+    """Statistical MH correctness: with the alignment fixed on a 2-leaf
+    ultrametric tree, NodeHeight/Rescale moves must sample the root
+    height from the posterior the sampler's own likelihood defines
+    (catches Hastings/Jacobian errors that leave the chain running but
+    targeting the wrong distribution)."""
+    import math
+
+    from historian_tpu.core.seqs import FastSeq
+    from historian_tpu.core.tree import Tree
+    from historian_tpu.models.presets import named_model
+    from historian_tpu.sampler.sampler import History, Sampler, SimpleTreePrior
+
+    model = named_model("jc")
+    gapped = [FastSeq(name="a", seq="ACGTACGTAA"), FastSeq(name="b", seq="ACCTACGAAA")]
+    sampler = Sampler(model, SimpleTreePrior(), gapped, name="post")
+    tree0 = Tree("(a:0.5,b:0.5)root;")
+    hist = History(gapped=gapped + [FastSeq(name="root", seq="**********")], tree=tree0)
+    # rows must cover the tree's nodes in its order
+    hist = History(gapped=[hist.gapped[n] for n in (0, 1, 2)], tree=tree0)
+    sampler.initialize(hist, "post")
+    sampler.fix_alignment()
+
+    rng = MT19937(2024)
+    heights = []
+    for k in range(4000):
+        sampler.sample(rng)
+        heights.append(sampler.current_history.tree.branch_length(0))
+    heights = np.array(heights[500:])  # burn-in
+
+    # numeric posterior over the same likelihood
+    hs = np.linspace(1e-3, 3.0, 600)
+    lps = []
+    for h in hs:
+        t = Tree(f"(a:{h:.6f},b:{h:.6f})root;")
+        lps.append(sampler.log_likelihood(History(gapped=hist.gapped, tree=t)))
+    lps = np.array(lps)
+    w = np.exp(lps - lps.max())
+    w /= w.sum()
+    mean_ref = float((hs * w).sum())
+    sd_ref = float(np.sqrt(((hs - mean_ref) ** 2 * w).sum()))
+    mean_mc = float(heights.mean())
+    # MCMC autocorrelation makes the s.e. larger than iid; allow ~0.5 sd
+    assert abs(mean_mc - mean_ref) < 0.5 * sd_ref, (mean_mc, mean_ref, sd_ref)
+    assert abs(float(heights.std()) - sd_ref) < 0.25 * sd_ref
