@@ -138,3 +138,23 @@ def test_codon_generate_then_recon(tmp_path):
     for name, seq in rows.items():
         assert len(seq.replace("-", "")) % 3 == 0
         assert set(seq.lower()) <= set("acgt-*x")  # x = reference wildcard codon (ctok.cpp:179)
+
+
+def test_fit_em_loglik_monotone(ref_data):
+    """EM property: the per-iteration log-likelihood never decreases."""
+    import re
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "historian_tpu", "fit", "-platform", "cpu", "-v2",
+         "-model", d(ref_data, "testcount.jukescantor.json"),
+         "-recon", d(ref_data, "testcount.historian.fa"),
+         "-tree", d(ref_data, "testcount.nh")],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 0, proc.stderr[-300:]
+    lls = [float(m) for m in re.findall(r"EM iteration #\d+: log-likelihood = (\S+)", proc.stderr)]
+    assert len(lls) >= 3
+    for a, b in zip(lls, lls[1:]):
+        assert b >= a - 1e-9, (a, b)
