@@ -158,3 +158,47 @@ def test_fit_em_loglik_monotone(ref_data):
     assert len(lls) >= 3
     for a, b in zip(lls, lls[1:]):
         assert b >= a - 1e-9, (a, b)
+
+
+def test_every_documented_flag_is_handled(ref_data):
+    """CLI robustness: every flag named in the help text parses without a
+    traceback (clean run or clean one-line error, never a crash)."""
+    import re
+    import subprocess
+    import sys
+
+    help_text = subprocess.run(
+        [sys.executable, "-m", "historian_tpu", "help"],
+        capture_output=True, text=True,
+    ).stderr
+    flags = sorted(set(re.findall(r"(?<![\w/])-[a-z]+", help_text)))
+    needs_value = {
+        "-seqs": d(ref_data, "testcount.fa"), "-guide": d(ref_data, "testcount.fa"),
+        "-nexus": d(ref_data, "testnexus.nex"), "-stockholm": d(ref_data, "cbs.stock"),
+        "-tree": d(ref_data, "testcount.nh"), "-reroot": "root", "-model": d(ref_data, "testcount.jukescantor.json"),
+        "-preset": "jc", "-insrate": "0.01", "-delrate": "0.01", "-insextprob": "0.5",
+        "-delextprob": "0.5", "-gaprate": "0.02", "-gapextprob": "0.5", "-inslen": "2",
+        "-dellen": "2", "-gaplen": "2", "-subscale": "1", "-indelscale": "1", "-scale": "1",
+        "-gamma": "2", "-shape": "1.0", "-savemodel": "/dev/null", "-band": "10",
+        "-profsamples": "2", "-profminpost": "0.1", "-profmaxstates": "50",
+        "-profminlen": "1", "-profmaxlen": "100", "-profmaxmem": "1",
+        "-savedot": "/dev/null", "-saveguide": "/dev/null", "-output": "fasta",
+        "-samples": "1", "-trace": "/dev/null", "-kmatch": "6", "-kmatchn": "2",
+        "-kmatchband": "32", "-kmatchmb": "16", "-seed": "1", "-log": "x",
+        "-platform": "cpu", "-counts": d(ref_data, "testcount.count.json"),
+        "-mininc": "0.01", "-maxiter": "2", "-rootlen": "10", "-root": "root",
+        "-profile": "/tmp/_cli_flag_profile", "-v": None,
+    }
+    skip = {"-fast", "-careful", "-mcmc", "-v"}  # aliases/slow paths covered elsewhere
+    base = ["recon", "-platform", "cpu", "-norefine", "-output", "fasta",
+            "-model", d(ref_data, "testcount.jukescantor.json"),
+            "-guide", d(ref_data, "testcount.fa"), "-tree", d(ref_data, "testcount.nh")]
+    for flag in flags:
+        if flag in skip or flag in ("-platform", "-model", "-guide", "-tree", "-output", "-norefine"):
+            continue
+        extra = [flag] + ([needs_value[flag]] if needs_value.get(flag) else [])
+        proc = subprocess.run(
+            [sys.executable, "-m", "historian_tpu"] + base + extra,
+            capture_output=True, text=True, timeout=300,
+        )
+        assert "Traceback" not in proc.stderr, (flag, proc.stderr[-400:])
