@@ -173,3 +173,25 @@ def test_diag_band_fill_matches_dense(ref_data):
         np.testing.assert_allclose(a[fin], b[fin], rtol=1e-12, atol=1e-12)
         assert np.array_equal(a > -1e29, b > -1e29)
     assert abs(r1.end - r2.end) < 1e-9
+
+
+def test_align_batch_matches_sequential(ref_data):
+    """The vmapped per-bucket batch fill produces the same alignments and
+    scores as per-pair fills."""
+    from historian_tpu.core.seqs import FastSeq
+    from historian_tpu.engine.quickalign import QuickAligner
+    from historian_tpu.models.ratemodel import RateModel
+
+    model = RateModel.from_file(f"{ref_data}/testamino.json")
+    seqs = read_fasta(f"{ref_data}/PF16593.fa")
+    for s in seqs:
+        s.seq = s.seq.replace("-", "").replace(".", "").upper()
+    aligner = QuickAligner(model, 1.0)
+    jobs = [(seqs[i], seqs[i + 1], None) for i in range(6)]
+    batched = aligner.align_batch(jobs, force_batch=True)
+    for (x, y, env), rb in zip(jobs, batched):
+        rs = aligner.align(x, y, env)
+        assert rb.end == rs.end and rb.x_end == rs.x_end and rb.y_end == rs.y_end
+        pb, ps = rb.align_path(), rs.align_path()
+        for k in pb:
+            np.testing.assert_array_equal(np.asarray(pb[k]), np.asarray(ps[k]))
