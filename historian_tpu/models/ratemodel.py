@@ -158,7 +158,11 @@ class RateModel:
     @classmethod
     def from_file(cls, path: str) -> "RateModel":
         with open(path) as f:
-            return cls.from_json(json.load(f))
+            try:
+                data = json.load(f)
+            except json.JSONDecodeError as e:
+                raise ValueError(f"can't parse model file {path!r} as JSON: {e}") from e
+        return cls.from_json(data)
 
     def _write_component(self, cpt: int, out: list[str]) -> None:
         ind = "   " if self.components > 1 else " "
