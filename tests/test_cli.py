@@ -193,12 +193,18 @@ def test_every_documented_flag_is_handled(ref_data):
     base = ["recon", "-platform", "cpu", "-norefine", "-output", "fasta",
             "-model", d(ref_data, "testcount.jukescantor.json"),
             "-guide", d(ref_data, "testcount.fa"), "-tree", d(ref_data, "testcount.nh")]
-    for flag in flags:
-        if flag in skip or flag in ("-platform", "-model", "-guide", "-tree", "-output", "-norefine"):
-            continue
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run_flag(flag):
         extra = [flag] + ([needs_value[flag]] if needs_value.get(flag) else [])
         proc = subprocess.run(
             [sys.executable, "-m", "historian_tpu"] + base + extra,
             capture_output=True, text=True, timeout=300,
         )
-        assert "Traceback" not in proc.stderr, (flag, proc.stderr[-400:])
+        return flag, proc.stderr
+
+    todo = [f for f in flags
+            if f not in skip and f not in ("-platform", "-model", "-guide", "-tree", "-output", "-norefine")]
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        for flag, err in pool.map(run_flag, todo):
+            assert "Traceback" not in err, (flag, err[-400:])

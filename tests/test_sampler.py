@@ -325,3 +325,52 @@ def test_mcmc_samples_node_height_posterior():
     # MCMC autocorrelation makes the s.e. larger than iid; allow ~0.5 sd
     assert abs(mean_mc - mean_ref) < 0.5 * sd_ref, (mean_mc, mean_ref, sd_ref)
     assert abs(float(heights.std()) - sd_ref) < 0.25 * sd_ref
+
+
+def test_branch_matrix_matches_exhaustive_enumeration(ref_data):
+    """Independent oracle for the 3-state branch DP: DFS over every
+    Match/Insert/Delete path on 2x2 PWMs equals the Forward lp_end."""
+    import math
+
+    from historian_tpu.engine.branchmatrix import BranchMatrix
+    from historian_tpu.engine.branchmatrix import DELETE, INSERT, MATCH
+
+    model, tree, gapped = load(ref_data)
+    node = tree.find_node("parent23")
+    l_child, _ = tree.children(node)
+    pwms = get_conditional_pwms(model, tree, gapped, {l_child: node, node: l_child})
+    x_pwm = pwms[node][:2]
+    y_pwm = pwms[l_child][:2]
+    bm = BranchMatrix(
+        model, x_pwm, y_pwm, tree.branch_length(l_child),
+        GuideAlignmentEnvelope(), np.arange(3), np.arange(3), node, l_child,
+    )
+    X = Y = 2
+    consume = {MATCH: (1, 1), INSERT: (0, 1), DELETE: (1, 0)}
+
+    def emit(state, i, j):
+        if state == MATCH:
+            return math.exp(bm.match_emit[i, j])
+        if state == INSERT:
+            return math.exp(bm.y_emit[j - 1])
+        return 1.0
+
+    total = [0.0]
+
+    def dfs(i, j, state, prob):
+        if i == X and j == Y:
+            lp = bm.lp_trans(state, 3)  # END
+            if np.isfinite(lp):
+                total[0] += prob * math.exp(lp)
+        for nxt in (MATCH, INSERT, DELETE):
+            lp = bm.lp_trans(state, nxt)
+            if not np.isfinite(lp):
+                continue
+            di, dj = consume[nxt]
+            ni, nj = i + di, j + dj
+            if ni > X or nj > Y:
+                continue
+            dfs(ni, nj, nxt, prob * math.exp(lp) * emit(nxt, ni, nj))
+
+    dfs(0, 0, MATCH, 1.0)  # Start aliases Match
+    assert abs(bm.lp_end - math.log(total[0])) < 1e-9, (bm.lp_end, math.log(total[0]))
