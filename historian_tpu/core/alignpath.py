@@ -204,7 +204,8 @@ class Alignment:
         ungapped = []
         path: AlignPath = {}
         for row, s in enumerate(gapped):
-            mask = np.array([not is_gap(c) for c in s.seq], dtype=bool)
+            codes = np.frombuffer(s.seq.encode("latin-1"), dtype=np.uint8)
+            mask = (codes != ord("-")) & (codes != ord("."))
             path[row] = mask
             ungapped.append(s.ungapped())
         return cls(ungapped, path)

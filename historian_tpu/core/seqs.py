@@ -37,15 +37,13 @@ class FastSeq:
         return len(self.qual) == len(self.seq) and len(self.seq) > 0
 
     def ungapped(self) -> "FastSeq":
-        from historian_tpu.core.alphabet import is_gap
-
-        keep = [i for i, c in enumerate(self.seq) if not is_gap(c)]
-        return FastSeq(
-            name=self.name,
-            comment=self.comment,
-            seq="".join(self.seq[i] for i in keep),
-            qual="".join(self.qual[i] for i in keep) if self.has_qual() else "",
-        )
+        seq = self.seq.replace("-", "").replace(".", "")
+        if self.has_qual():
+            keep = [i for i, c in enumerate(self.seq) if c not in "-."]
+            qual = "".join(self.qual[i] for i in keep)
+        else:
+            qual = ""
+        return FastSeq(name=self.name, comment=self.comment, seq=seq, qual=qual)
 
 
 def _open_maybe_gzip(path: str) -> io.TextIOBase:

@@ -36,52 +36,57 @@ def root_ext_prob(model: RateModel) -> float:
 
 def pair_path(path: AlignPath, node1: int, node2: int) -> AlignPath:
     """Canonical-order 2-row subpath: deletions deferred past inserts
-    (sampler.cpp:150-189)."""
-    cols = align_path_columns(path)
+    (sampler.cpp:150-189).
+
+    Vectorized: within each inter-match segment the canonical order is
+    inserts (in input order), then deferred deletions, then the closing
+    match -- a stable sort by (segment, kind)."""
     row1 = np.asarray(path[node1], dtype=bool)
     row2 = np.asarray(path[node2], dtype=bool)
-    r1: list[bool] = []
-    r2: list[bool] = []
-    n_del = 0
-    for col in range(cols):
-        c1, c2 = bool(row1[col]), bool(row2[col])
-        if not (c1 or c2):
-            continue
-        state = ProbModel.get_state(c1, c2)
-        if state == ProbModel.MATCH:
-            while n_del > 0:
-                r1.append(True)
-                r2.append(False)
-                n_del -= 1
-            r1.append(c1)
-            r2.append(c2)
-        elif state == ProbModel.INSERT:
-            r1.append(c1)
-            r2.append(c2)
-        elif state == ProbModel.DELETE:
-            n_del += 1
-    while n_del > 0:
-        r1.append(True)
-        r2.append(False)
-        n_del -= 1
-    return {node1: np.array(r1, dtype=bool), node2: np.array(r2, dtype=bool)}
+    keep = row1 | row2
+    c1 = row1[keep]
+    c2 = row2[keep]
+    is_match = c1 & c2
+    is_del = c1 & ~c2
+    # segment = number of matches strictly before this column
+    seg = np.cumsum(is_match) - is_match
+    kind = np.where(is_match, 2, np.where(is_del, 1, 0))
+    order = np.lexsort((np.arange(len(c1)), kind, seg))
+    return {node1: c1[order], node2: c2[order]}
 
 
 def log_branch_path_likelihood(prob_model: ProbModel, path: AlignPath, parent: int, child: int) -> float:
-    """Transition-probability walk over a 2-row path (sampler.cpp:439-450)."""
-    cols = align_path_columns(path)
-    state = ProbModel.MATCH  # Start aliases Match
-    lp = 0.0
+    """Transition-probability walk over a 2-row path (sampler.cpp:439-450).
+
+    Vectorized with the float semantics of the sequential walk: log
+    table entries come from math.log and the left-fold accumulation
+    order is preserved via cumsum."""
     prow = np.asarray(path[parent], dtype=bool)
     crow = np.asarray(path[child], dtype=bool)
-    for col in range(cols):
-        next_state = ProbModel.get_state(bool(prow[col]), bool(crow[col]))
-        p = prob_model.trans_prob(state, next_state)
-        lp += math.log(p) if p > 0 else -math.inf
-        state = next_state
-    p = prob_model.trans_prob(state, ProbModel.END)
-    lp += math.log(p) if p > 0 else -math.inf
-    return lp
+    keep = prow | crow
+    c1 = prow[keep]
+    c2 = crow[keep]
+    log_t = _log_trans_table(prob_model)
+    states = np.where(c1 & c2, ProbModel.MATCH, np.where(c1, ProbModel.DELETE, ProbModel.INSERT))
+    src_states = np.concatenate([[ProbModel.MATCH], states])
+    dst_states = np.concatenate([states, [ProbModel.END]])
+    terms = log_t[src_states, dst_states]
+    if len(terms) == 0:
+        return 0.0
+    return float(np.cumsum(terms)[-1])
+
+
+def _log_trans_table(prob_model: ProbModel) -> np.ndarray:
+    table = getattr(prob_model, "_log_trans_table", None)
+    if table is None:
+        n = max(ProbModel.MATCH, ProbModel.INSERT, ProbModel.DELETE, ProbModel.END) + 1
+        table = np.full((n, n), -np.inf)
+        for s in (ProbModel.MATCH, ProbModel.INSERT, ProbModel.DELETE):
+            for d in (ProbModel.MATCH, ProbModel.INSERT, ProbModel.DELETE, ProbModel.END):
+                p = prob_model.trans_prob(s, d)
+                table[s, d] = math.log(p) if p > 0 else -np.inf
+        prob_model._log_trans_table = table
+    return table
 
 
 def root_log_likelihood(model: RateModel, history: History) -> float:
