@@ -134,19 +134,30 @@ class SumProductEngine:
 
 
 class SumProductFill:
-    """All messages for all columns; posterior / count extraction."""
+    """All messages for all columns; posterior / count extraction.
+
+    The message tensors are materialized to numpy lazily: likelihood-only
+    consumers (every MCMC proposal) read just col_ll, so the multi-MB
+    F/E/G readbacks happen only when posterior or count extraction
+    actually touches them."""
+
+    _LAZY = ("F", "logF", "E", "logE", "G", "logG", "cpt_ll", "col_ll")
 
     def __init__(self, engine, tokens, F, logF, E, logE, G, logG, cpt_ll, col_ll):
         self.engine = engine
         self.tokens = tokens  # [N, L]
-        self.F = np.asarray(F)  # [L, N, C, A]
-        self.logF = np.asarray(logF)  # [L, N, C]
-        self.E = np.asarray(E)
-        self.logE = np.asarray(logE)
-        self.G = np.asarray(G)
-        self.logG = np.asarray(logG)
-        self.cpt_ll = np.asarray(cpt_ll)  # [L, C]
-        self.col_ll = np.asarray(col_ll)  # [L]
+        self._device = {
+            "F": F, "logF": logF, "E": E, "logE": logE,
+            "G": G, "logG": logG, "cpt_ll": cpt_ll, "col_ll": col_ll,
+        }  # F: [L, N, C, A]; logF: [L, N, C]; cpt_ll: [L, C]; col_ll: [L]
+
+    def __getattr__(self, name):
+        dev = self.__dict__.get("_device")
+        if dev is not None and name in dev:
+            arr = np.asarray(dev[name])
+            setattr(self, name, arr)
+            return arr
+        raise AttributeError(name)
 
     @property
     def n_columns(self) -> int:
