@@ -121,11 +121,12 @@ def align_path_merge(alignments: list[AlignPath]) -> AlignPath:
     for n, a in enumerate(alignments):
         per_col: list[list[tuple[int, int]]] = [[] for _ in range(align_cols[n])]
         for row, rp in a.items():
-            rp = np.asarray(rp, dtype=bool)
-            cols_with_residue = np.nonzero(rp)[0]
+            # .tolist() gives plain ints (no per-element numpy boxing in
+            # the tight append loop below)
+            cols_with_residue = np.nonzero(np.asarray(rp, dtype=bool))[0].tolist()
             for pos, col in enumerate(cols_with_residue):
-                per_col[int(col)].append((row, pos))
-                anchor_cols.setdefault((row, pos), []).append((n, int(col)))
+                per_col[col].append((row, pos))
+                anchor_cols.setdefault((row, pos), []).append((n, col))
         for col, anchors in enumerate(per_col):
             if not anchors:
                 raise ValueError(f"column {col} of alignment {n} is empty")
