@@ -73,16 +73,19 @@ class QuickAligner:
     def align(self, x: FastSeq, y: FastSeq, envelope: DiagonalEnvelope | None = None):
         return QuickAlignResult(self, x, y, envelope)
 
-    def align_batch(self, jobs: "list[tuple[FastSeq, FastSeq, DiagonalEnvelope | None]]", force_batch: bool = False):
+    def align_batch(self, jobs: "list[tuple[FastSeq, FastSeq, DiagonalEnvelope | None]]", force_batch: bool = False, progress=None):
         """Align many pairs, batching same-bucket DP fills into one vmapped
         device call each (the guide-graph hot path: one dispatch per shape
-        bucket instead of one per pair)."""
+        bucket instead of one per pair).  `progress(done, total)` is
+        called as fills complete."""
         import jax
 
         results = [QuickAlignResult(self, x, y, env, defer_fill=True) for x, y, env in jobs]
         if jax.default_backend() == "cpu" and not force_batch:
             # serial backend: batching only adds vmap-compile cost
-            for r in results:
+            for k, r in enumerate(results):
+                if progress is not None:
+                    progress(k, len(results))
                 if not r.trivial:
                     r._run_fill()
             return results

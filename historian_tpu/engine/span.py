@@ -107,10 +107,13 @@ class AlignGraph:
             else:
                 env.init_full()
             jobs.append((x, y, env))
-        # all same-bucket DP fills run as one vmapped device call each
-        results = aligner.align_batch(jobs)
+        # all same-bucket DP fills run as one vmapped device call each;
+        # the heartbeat ticks during the fills (where the time goes)
+        results = aligner.align_batch(
+            jobs,
+            progress=lambda k, total: progress.update(k / max(1, total), f"pair {k + 1}/{total}"),
+        )
         for n, ((src, dest), result) in enumerate(zip(trial_edges, results)):
-            progress.update(n / max(1, len(trial_edges)), f"pair {n + 1}/{len(trial_edges)}")
             self.edge_path[(src, dest)] = result.align_path(src, dest)
             # negative lp: python heapq is a min-heap, reference uses max-heap
             heapq.heappush(self.edges[src], (-result.end, src, dest))
