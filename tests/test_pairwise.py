@@ -195,3 +195,54 @@ def test_align_batch_matches_sequential(ref_data):
         pb, ps = rb.align_path(), rs.align_path()
         for k in pb:
             np.testing.assert_array_equal(np.asarray(pb[k]), np.asarray(ps[k]))
+
+
+def test_quickalign_matches_exhaustive_max_path(ref_data):
+    """Independent oracle for the guide Viterbi: enumerate every start
+    cell, M/I/D path, and end cell with free end gaps; the best total
+    must equal the DP's end score."""
+    from historian_tpu.core.seqs import FastSeq
+    from historian_tpu.engine.quickalign import QuickAligner
+    from historian_tpu.models.ratemodel import RateModel
+
+    model = RateModel.from_file(f"{ref_data}/testamino.json")
+    aligner = QuickAligner(model, 1.0)
+    rng = np.random.RandomState(5)
+    alpha = model.alphabet.symbols
+    for case in range(6):
+        nx, ny = rng.randint(1, 5, size=2)
+        x = "".join(rng.choice(list(alpha[:20]), nx))
+        y = "".join(rng.choice(list(alpha[:20]), ny))
+        r = aligner.align(FastSeq(name="x", seq=x), FastSeq(name="y", seq=y))
+        al = aligner
+        X, Y = nx, ny
+        sg = lambda p: al.no_gap if p == 1 else al.gap_open + (p - 2) * al.gap_extend
+        eg_i = lambda i: al.no_gap if i == X else al.gap_open + (X - i - 2) * al.gap_extend
+        eg_j = lambda j: al.no_gap if j == Y else al.gap_open + (Y - j - 2) * al.gap_extend
+        emit = r.emit  # [X+1, Y+1]
+        M, I, D = 0, 1, 2
+        trans = {
+            (M, M): al.m2m, (M, I): al.m2i, (M, D): al.m2d,
+            (I, I): al.i2i, (I, M): al.i2m, (I, D): al.i2d,
+            (D, D): al.d2d, (D, M): al.d2m,
+        }
+        best = [-np.inf]
+
+        def dfs(i, j, state, score):
+            if state == M:
+                best[0] = max(best[0], score + eg_i(i) + eg_j(j))
+            for nxt in (M, I, D):
+                lp = trans.get((state, nxt))
+                if lp is None:
+                    continue
+                if nxt == M and i < X and j < Y:
+                    dfs(i + 1, j + 1, nxt, score + lp + emit[i + 1, j + 1])
+                elif nxt == I and j < Y:
+                    dfs(i, j + 1, nxt, score + lp)
+                elif nxt == D and i < X:
+                    dfs(i + 1, j, nxt, score + lp)
+
+        for i0 in range(1, X + 1):
+            for j0 in range(1, Y + 1):
+                dfs(i0, j0, M, sg(i0) + sg(j0) + emit[i0, j0])
+        assert abs(r.end - best[0]) < 1e-9, (case, x, y, r.end, best[0])
