@@ -35,6 +35,7 @@ from historian_tpu.core.alignpath import (
     ensure_align_path_has_row,
 )
 from historian_tpu.core.tree import Tree
+from historian_tpu.engine import bufpool
 from historian_tpu.engine.pairhmm import EEE, IDM, IIW, IMD, IMI, IMM, PairHMM, state_name
 from historian_tpu.engine.profile import ProfState, ProfTrans, Profile, assert_seq_coords_consistent
 from historian_tpu.models.counts import EigenCounts
@@ -80,7 +81,11 @@ def _affine_chain(u_prev: float, a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 class DPMatrix:
-    def __init__(self, x: Profile, y: Profile, hmm: PairHMM, env: GuideAlignmentEnvelope | None = None):
+    #: bufpool role for the cell tensor; distinct per subclass so a
+    #: forward and a backward matrix can be alive at the same time
+    _pool_role = "dp-cells"
+
+    def __init__(self, x: Profile, y: Profile, hmm: PairHMM, env: GuideAlignmentEnvelope | None = None, share_from: "DPMatrix | None" = None):
         self.x = x
         self.y = y
         self.hmm = hmm
@@ -90,6 +95,22 @@ class DPMatrix:
         self.y_size = y.size
         self.x_empty = x.is_empty()
         self.y_empty = y.is_empty()
+
+        if share_from is not None:
+            # reuse the sibling matrix's precomputed emission/envelope
+            # tensors (identical inputs -> identical values); only the
+            # cell storage below is per-matrix
+            for attr in (
+                "subx", "suby", "x_null", "y_null", "x_ready", "y_ready",
+                "x_emit_or_start", "insx", "rootsubx", "insy", "rootsuby",
+                "absorb", "x_closest_pos", "y_closest_pos", "x_near_start",
+                "y_near_end", "env_mask",
+            ):
+                setattr(self, attr, getattr(share_from, attr))
+            self.cells = None
+            self.lp_end = NEG_INF
+            self._trace_cache = {}
+            return
 
         # precomputed emission tensors
         sub_l = hmm.l.sub_mat  # [C, A, A]
@@ -264,6 +285,8 @@ class DPMatrix:
 
 
 class ForwardMatrix(DPMatrix):
+    _pool_role = "fwd-cells"
+
     def __init__(self, x, y, hmm, parent_row: int, env=None, sumprod=None):
         super().__init__(x, y, hmm, env)
         self.parent_row = parent_row
@@ -289,7 +312,7 @@ class ForwardMatrix(DPMatrix):
         lib = get_native()
         if lib is None:
             return False
-        self.cells = np.empty((self.x_size, self.y_size, 5))
+        self.cells = bufpool.get(self._pool_role, (self.x_size, self.y_size, 5), self)
         x_ptr, x_src, x_lp = csr_in_edges(self.x)
         y_ptr, y_src, y_lp = csr_in_edges(self.y)
         lib.forward_fill(
@@ -337,7 +360,8 @@ class ForwardMatrix(DPMatrix):
     def _fill(self) -> None:
         if self._fill_native():
             return
-        self.cells = np.full((self.x_size, self.y_size, 5), NEG_INF)
+        self.cells = bufpool.get(self._pool_role, (self.x_size, self.y_size, 5), self)
+        self.cells.fill(NEG_INF)
         hmm = self.hmm
         x, y = self.x, self.y
         sx, sy = self.x_size, self.y_size
@@ -1007,8 +1031,10 @@ class _EffectiveTransition:
 
 
 class BackwardMatrix(DPMatrix):
+    _pool_role = "bwd-cells"
+
     def __init__(self, fwd: ForwardMatrix):
-        super().__init__(fwd.x, fwd.y, fwd.hmm, fwd.env)
+        super().__init__(fwd.x, fwd.y, fwd.hmm, fwd.env, share_from=fwd)
         self.fwd = fwd
         self._best_dest_cache: dict = {}
         self._fill()
@@ -1056,7 +1082,8 @@ class BackwardMatrix(DPMatrix):
         return True
 
     def _fill(self) -> None:
-        self.cells = np.full((self.x_size, self.y_size, 5), NEG_INF)
+        self.cells = bufpool.get(self._pool_role, (self.x_size, self.y_size, 5), self)
+        self.cells.fill(NEG_INF)
         hmm = self.hmm
         x, y = self.x, self.y
         sx, sy = self.x_size, self.y_size
