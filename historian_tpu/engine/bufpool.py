@@ -25,12 +25,28 @@ so results are bit-identical to unpooled allocation.
 
 from __future__ import annotations
 
+import mmap
 import weakref
 
 import numpy as np
 
 _arenas: dict[str, np.ndarray] = {}
 _owners: dict[str, "weakref.ref | None"] = {}
+
+
+def _alloc_arena(n: int) -> np.ndarray:
+    """Anonymous mmap arena, huge-page hinted: on hosts with slow fault
+    paths (observed up to ~175 us/page under neighbor load) 2MB THP
+    faults cut the first-touch count 512x."""
+    try:
+        mm = mmap.mmap(-1, n)
+        try:
+            mm.madvise(mmap.MADV_HUGEPAGE)
+        except (AttributeError, OSError):
+            pass
+        return np.frombuffer(mm, dtype=np.uint8)
+    except (OSError, ValueError):
+        return np.empty(n, dtype=np.uint8)
 
 
 def get(role: str, shape: tuple[int, ...], owner, dtype=np.float64) -> np.ndarray:
@@ -41,7 +57,7 @@ def get(role: str, shape: tuple[int, ...], owner, dtype=np.float64) -> np.ndarra
         return np.empty(shape, dtype=dtype)  # previous borrower still alive
     arena = _arenas.get(role)
     if arena is None or arena.nbytes < n:
-        arena = np.empty(n, dtype=np.uint8)
+        arena = _alloc_arena(n)
         _arenas[role] = arena
     _owners[role] = weakref.ref(owner)
     return arena[:n].view(dtype).reshape(shape)

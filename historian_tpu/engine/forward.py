@@ -192,8 +192,15 @@ class DPMatrix:
         my_s = np.where(np.isfinite(my), my, 0.0)
         ex = np.exp(lx - mx_s).reshape(self.x_size, -1)
         ey = np.exp(sy - my_s).reshape(self.y_size, -1)
+        # pooled output + in-place left-fold: same operation order as
+        # log(ex@ey.T) + mx + my, so bitwise-identical results
+        out = bufpool.get("absorb", (self.x_size, self.y_size), self)
+        np.matmul(ex, ey.T, out=out)
         with np.errstate(divide="ignore"):
-            return np.log(ex @ ey.T) + mx_s[:, 0, 0][:, None] + my_s[:, 0, 0][None, :]
+            np.log(out, out=out)
+        out += mx_s[:, 0, 0][:, None]
+        out += my_s[:, 0, 0][None, :]
+        return out
 
     def _envelope_mask(self) -> np.ndarray:
         at_edge = self.x_near_start[:, None] | self.y_near_end[None, :]

@@ -13,6 +13,7 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC -o libhistfill.so fill.cpp
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 
@@ -55,14 +56,11 @@ extern "C" void forward_fill(
 ) {
   const Trans* t = reinterpret_cast<const Trans*>(trans18);
   #define CELL(i, j, s) cells[(((i) * sy) + (j)) * 5 + (s)]
-  CELL(0, 0, IMM) = 0.0;  // start
 
-  // the caller may hand us uninitialized storage: every cell is either
-  // filled by the DP below or pinned to -inf here (masked + edge cells)
-  for (int64_t i = 0; i < sx; ++i)
-    for (int64_t j = 0; j < sy; ++j)
-      if (i == sx - 1 || j == sy - 1 || !env_mask[i * sy + j])
-        for (int s = 0; s < 5; ++s) CELL(i, j, s) = NEG_INF;
+  // the caller may hand us uninitialized storage: pin everything to
+  // -inf at stream speed; the DP below overwrites in-envelope cells
+  std::fill(cells, cells + sx * sy * 5, NEG_INF);
+  CELL(0, 0, IMM) = 0.0;  // start
   for (int64_t i = 0; i < sx - 1; ++i) {
     const bool xnull = x_null[i];
     const bool x_ready_or_empty = x_ready[i] || x_empty;
