@@ -1399,6 +1399,9 @@ class BackwardMatrix(DPMatrix):
         """[(lpp, cell)] sorted descending (reference priority queue),
         selected with one vectorized pass over the cell tensor."""
         lpp_threshold = np.log(min_post_prob)
+        native = self._postprob_select_native(lpp_threshold)
+        if native is not None:
+            return native
         # row-chunked pass: the cell tensors can be multi-GB, so avoid
         # materializing full-size temporaries
         chunk = max(1, (1 << 27) // max(1, self.y_size * 5 * 8))
@@ -1428,6 +1431,35 @@ class BackwardMatrix(DPMatrix):
             (v, (i, j, s))
             for v, i, j, s in zip(
                 vals[order].tolist(), ii[order].tolist(), jj[order].tolist(), ss[order].tolist()
+            )
+        ]
+
+    def _postprob_select_native(self, lpp_threshold: float) -> list | None:
+        """Fused native pass over both cell tensors (fill.cpp
+        postprob_select); same values and ordering as the numpy path."""
+        from historian_tpu.native import get_native
+
+        lib = get_native()
+        if lib is None:
+            return None
+        env_mask_u8 = np.ascontiguousarray(self.env_mask.astype(np.uint8))
+        cap = 1 << 20
+        while True:
+            out_ijs = np.empty((cap, 3), dtype=np.int64)
+            out_lpp = np.empty(cap, dtype=np.float64)
+            n = lib.postprob_select(
+                self.x_size, self.y_size,
+                self.cells, self.fwd.cells, env_mask_u8,
+                float(self.fwd.lp_end), float(lpp_threshold),
+                cap, out_ijs, out_lpp,
+            )
+            if n <= cap:
+                break
+            cap = int(n)
+        return [
+            (v, (i, j, s))
+            for v, (i, j, s) in zip(
+                out_lpp[:n].tolist(), out_ijs[:n].tolist()
             )
         ]
 

@@ -67,6 +67,15 @@ def get_native():
             _f64(2),  # t[12, 12]
             _f64(3), _f64(),  # cells, lp_end[1]
         ]
+        lib.postprob_select.restype = ctypes.c_int64
+        lib.postprob_select.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            _f64(3), _f64(3), _u8(2),  # bwd cells, fwd cells, env_mask
+            ctypes.c_double, ctypes.c_double,  # lp_end, lpp_threshold
+            ctypes.c_int64,  # cap
+            ndpointer(dtype=np.int64, ndim=2, flags="C_CONTIGUOUS"),  # out_ijs
+            _f64(),  # out_lpp
+        ]
         lib.backward_fill.restype = None
         lib.backward_fill.argtypes = [
             ctypes.c_int64, ctypes.c_int64,

@@ -270,6 +270,66 @@ extern "C" void backward_fill(
 }
 
 // ---------------------------------------------------------------------------
+// Posterior cell selection for BackwardMatrix::postProbProfile
+// (reference forward.cpp:1302-1341).  One fused pass over the forward
+// and backward cell tensors: lpp = (bwd + fwd) - lp_end, keep in-band
+// cells with lpp >= threshold, sort by (lpp desc, i, j, s) -- the same
+// order as the python np.lexsort((s, j, i, -lpp)).  Returns the total
+// above-threshold count; writes at most `cap` sorted entries (the
+// caller re-invokes with a larger cap in the rare overflow case).
+
+#include <vector>
+
+namespace {
+struct PostCell {
+  double lpp;
+  int64_t i, j, s;
+};
+}  // namespace
+
+extern "C" int64_t postprob_select(
+    int64_t sx, int64_t sy,
+    const double* bwd,       // [sx * sy * 5]
+    const double* fwd,       // [sx * sy * 5]
+    const uint8_t* env_mask, // [sx * sy]
+    double lp_end, double lpp_threshold,
+    int64_t cap,
+    int64_t* out_ijs,        // [cap * 3]
+    double* out_lpp          // [cap]
+) {
+  std::vector<PostCell> hits;
+  for (int64_t i = 0; i < sx - 1; ++i) {
+    const double* brow = bwd + i * sy * 5;
+    const double* frow = fwd + i * sy * 5;
+    const uint8_t* mrow = env_mask + i * sy;
+    for (int64_t j = 0; j < sy - 1; ++j) {
+      if (!mrow[j]) continue;
+      const double* b = brow + j * 5;
+      const double* f = frow + j * 5;
+      for (int64_t s = 0; s < 5; ++s) {
+        const double lpp = (b[s] + f[s]) - lp_end;
+        if (lpp >= lpp_threshold) hits.push_back({lpp, i, j, s});
+      }
+    }
+  }
+  std::sort(hits.begin(), hits.end(), [](const PostCell& a, const PostCell& b) {
+    if (a.lpp != b.lpp) return a.lpp > b.lpp;
+    if (a.i != b.i) return a.i < b.i;
+    if (a.j != b.j) return a.j < b.j;
+    return a.s < b.s;
+  });
+  const int64_t n = static_cast<int64_t>(hits.size());
+  const int64_t m = n < cap ? n : cap;
+  for (int64_t k = 0; k < m; ++k) {
+    out_ijs[k * 3] = hits[k].i;
+    out_ijs[k * 3 + 1] = hits[k].j;
+    out_ijs[k * 3 + 2] = hits[k].s;
+    out_lpp[k] = hits[k].lpp;
+  }
+  return n;
+}
+
+// ---------------------------------------------------------------------------
 // 11-state sibling transducer fill (sampler/sibling.py::_fill_host).
 // Bit-exact with the python fill: the scalar log-sum-exp uses the same
 // max-shift formulation with left-to-right summation and libm exp/log
