@@ -26,27 +26,43 @@ so results are bit-identical to unpooled allocation.
 from __future__ import annotations
 
 import mmap
+import os
+import sys
+import time
 import weakref
 
 import numpy as np
 
 _arenas: dict[str, np.ndarray] = {}
 _owners: dict[str, "weakref.ref | None"] = {}
+_DIAG = bool(os.environ.get("HISTFILL_DIAG"))
 
 
 def _alloc_arena(n: int) -> np.ndarray:
-    """Anonymous mmap arena, huge-page hinted: on hosts with slow fault
-    paths (observed up to ~175 us/page under neighbor load) 2MB THP
-    faults cut the first-touch count 512x."""
+    """Anonymous mmap arena, bulk-prefaulted.
+
+    This host's first-touch page faults run through a virtualized
+    demand-paging path that is slow and erratically VERY slow (measured
+    0.02-1.6 GB/s); populating the whole arena once at allocation with
+    the native threaded MADV_POPULATE_WRITE helper (native/fill.cpp
+    prefault) moves that cost off the fill/matmul passes, which then run
+    at warm-page speed.  (MADV_HUGEPAGE was tried and made things worse:
+    with defrag=madvise each huge-page fault may do synchronous
+    compaction.)"""
     try:
         mm = mmap.mmap(-1, n)
-        try:
-            mm.madvise(mmap.MADV_HUGEPAGE)
-        except (AttributeError, OSError):
-            pass
-        return np.frombuffer(mm, dtype=np.uint8)
+        arr = np.frombuffer(mm, dtype=np.uint8)
     except (OSError, ValueError):
         return np.empty(n, dtype=np.uint8)
+    try:
+        from historian_tpu.native import get_native
+
+        lib = get_native()
+        if lib is not None:
+            lib.prefault(arr.ctypes.data, n)
+    except Exception:
+        pass
+    return arr
 
 
 def get(role: str, shape: tuple[int, ...], owner, dtype=np.float64) -> np.ndarray:
@@ -54,11 +70,22 @@ def get(role: str, shape: tuple[int, ...], owner, dtype=np.float64) -> np.ndarra
     n = int(np.prod(shape)) * np.dtype(dtype).itemsize
     prev = _owners.get(role)
     if prev is not None and prev() is not None and prev() is not owner:
+        if _DIAG:
+            print(f"[bufpool] {role} {n>>20}MB fresh-unpooled (owner alive)",
+                  file=sys.stderr, flush=True)
         return np.empty(shape, dtype=dtype)  # previous borrower still alive
     arena = _arenas.get(role)
     if arena is None or arena.nbytes < n:
+        t0 = time.perf_counter()
         arena = _alloc_arena(n)
         _arenas[role] = arena
+        if _DIAG:
+            print(f"[bufpool] {role} {n>>20}MB grow alloc+prefault "
+                  f"{time.perf_counter()-t0:.3f}s",
+                  file=sys.stderr, flush=True)
+    elif _DIAG:
+        print(f"[bufpool] {role} {n>>20}MB reuse",
+              file=sys.stderr, flush=True)
     _owners[role] = weakref.ref(owner)
     return arena[:n].view(dtype).reshape(shape)
 

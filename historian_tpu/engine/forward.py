@@ -680,18 +680,28 @@ class ForwardMatrix(DPMatrix):
                 break
         return path
 
-    def best_trace(self, end=None) -> list:
+    def best_trace(self, end=None, stop_at=None) -> list:
+        """Best path from the start cell to `end`, in start->end order.
+
+        `stop_at`: optional set of cells at which to truncate the walk.
+        add_cells discards everything before the first already-retained
+        cell anyway, so stopping there is exactly equivalent and skips
+        re-walking shared trace prefixes (the postProbProfile hot path).
+        """
         if end is None:
             assert self.lp_end > NEG_INF, "Forward likelihood is zero; traceback fail"
             end = self.end_cell
         path = [end]
-        if end[0] > 0 or end[1] > 0:
+        if (end[0] > 0 or end[1] > 0) and not (stop_at and end in stop_at):
             current = end
             while True:
                 current = self._trace_entry(current)[3]
-                path.insert(0, current)
+                path.append(current)
                 if current[0] == 0 and current[1] == 0:
                     break
+                if stop_at is not None and current in stop_at:
+                    break
+        path.reverse()
         return path
 
     def best_align_path(self) -> AlignPath:
@@ -1386,12 +1396,17 @@ class BackwardMatrix(DPMatrix):
             cache[src] = best
         return best
 
-    def best_trace(self, trace_start) -> list:
+    def best_trace(self, trace_start, stop_at=None) -> list:
+        """Best path forward from `trace_start` to the end cell, in walk
+        order.  `stop_at` truncates at the first already-retained cell
+        (equivalent: add_cells breaks there and ignores the rest)."""
         path = []
         current = trace_start
         while current[0] < self.x_size - 1 and current[1] < self.y_size - 1:
             current = self._best_dest(current)
             path.append(current)
+            if stop_at is not None and current in stop_at:
+                return path
         path.append(self.fwd.end_cell)
         return path
 
@@ -1488,8 +1503,8 @@ class BackwardMatrix(DPMatrix):
         return True
 
     def add_trace(self, cell, cells: set, max_cells: int, keep_gaps_open: bool) -> bool:
-        fwd_trace = self.fwd.best_trace(cell)
-        back_trace = self.best_trace(cell)
+        fwd_trace = self.fwd.best_trace(cell, stop_at=cells)
+        back_trace = self.best_trace(cell, stop_at=cells)
         return self.add_cells(cells, max_cells, fwd_trace, back_trace, keep_gaps_open)
 
     def post_prob_profile(self, min_post_prob: float, max_cells: int = 0, strategy: int = COLLAPSE_CHAINS) -> Profile:

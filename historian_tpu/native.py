@@ -67,6 +67,8 @@ def get_native():
             _f64(2),  # t[12, 12]
             _f64(3), _f64(),  # cells, lp_end[1]
         ]
+        lib.prefault.restype = None
+        lib.prefault.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.postprob_select.restype = ctypes.c_int64
         lib.postprob_select.argtypes = [
             ctypes.c_int64, ctypes.c_int64,

@@ -496,6 +496,7 @@ class Reconstructor:
         path: AlignPath = {}
         prof: dict[int, Profile] = {}
         lp_final_fwd = -np.inf
+        backward = None
         for node in range(tree.n_nodes()):
             if tree.is_leaf(node):
                 prof[node] = Profile.from_sequence(
@@ -512,7 +513,11 @@ class Reconstructor:
             log_this_at(2, f"Aligning node #{l_child} ({l_prof.size} states) and node #{r_child} ({r_prof.size} states) to build profile for node #{node}")
 
             max_dist = self.max_distance_from_guide
+            # Drop the previous merge's matrices BEFORE building the next
+            # ForwardMatrix: backward holds forward, and a live previous
+            # owner makes bufpool fall back to fresh (cold-page) storage.
             forward = None
+            backward = None
             while True:
                 env = (
                     GuideAlignmentEnvelope()

@@ -16,6 +16,47 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <sys/mman.h>
+#include <thread>
+#include <vector>
+
+#ifndef MADV_POPULATE_WRITE
+#define MADV_POPULATE_WRITE 23
+#endif
+
+// Prefault an anonymous mapping with parallel MADV_POPULATE_WRITE.
+// This host's first-touch faults are serviced by a slow (and erratically
+// very slow) virtualized demand-paging path; bulk-populating with several
+// threads measures ~3x a single-thread touch, and populating once at
+// arena allocation means every later pass (std::fill pins, matmul
+// outputs) runs at warm-page speed.
+extern "C" void prefault(void* p, int64_t n) {
+  const int hw = static_cast<int>(std::thread::hardware_concurrency());
+  const int T = std::max(1, std::min(hw, 8));
+  const int64_t page = 4096;
+  const int64_t chunk = ((n / T + page - 1) / page) * page;
+  if (T == 1 || chunk <= 0) {
+    if (madvise(p, n, MADV_POPULATE_WRITE) != 0) {
+      volatile char* c = static_cast<volatile char*>(p);
+      for (int64_t off = 0; off < n; off += page) c[off] = 0;
+    }
+    return;
+  }
+  std::vector<std::thread> ts;
+  for (int t = 0; t < T; ++t) {
+    const int64_t lo = t * chunk;
+    if (lo >= n) break;
+    const int64_t len = std::min(chunk, n - lo);
+    ts.emplace_back([p, lo, len, page] {
+      char* base = static_cast<char*>(p) + lo;
+      if (madvise(base, len, MADV_POPULATE_WRITE) != 0) {
+        volatile char* c = base;
+        for (int64_t off = 0; off < len; off += page) c[off] = 0;
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+}
 
 static const double NEG_INF = -INFINITY;
 static const double LOG2 = 0.693147180559945309417232121458176568;
