@@ -875,6 +875,29 @@ class ForwardMatrix(DPMatrix):
         return self.cell_eigen_counts(c)
 
     # ------------------------------------------------------ profile builders
+    def _materialize_best_chain(self, src, chain, cap_cache: dict) -> AlignPath:
+        """Align path of a best chain src -> c1 -> ... -> dest: the flat
+        concat tap(src,c1)+cap(c1)+tap(c1,c2)+...+tap(ck,dest), identical
+        (incl. row insertion order) to the old incremental right fold."""
+        if chain is None:
+            return {}
+        parts = []
+        cur = src
+        while chain is not None:
+            cell, rest = chain
+            parts.append(self.transition_align_path(cur, cell))
+            if rest is not None:
+                cap = cap_cache.get(cell)
+                if cap is None:
+                    cap = self.cell_align_path(cell)
+                    cap_cache[cell] = cap
+                parts.append(cap)
+            cur = cell
+            chain = rest
+        if len(parts) == 1:
+            return parts[0]
+        return align_path_concat(*parts)
+
     def make_profile(self, cells: set, strategy: int = COLLAPSE_CHAINS) -> Profile:
         """Select retained cells, sum out the rest into effective
         transitions (forward.cpp:686-843)."""
@@ -887,9 +910,14 @@ class ForwardMatrix(DPMatrix):
         assert self.end_cell in cells, "missing EEE"
 
         sorted_cells = sorted(cells)
+        # raw source-transition dicts, computed once and reused by the
+        # elimination loop below (keys match source_transitions; the
+        # emit/absorb term is irrelevant for out-degree counting)
+        slp_cache: dict = {}
         out_count: dict = {}
         for dest in sorted_cells:
-            for src in self.source_transitions(dest):
+            slp_cache[dest] = slp = self.source_transitions_without_emit_or_absorb(dest)
+            for src in slp:
                 out_count[src] = out_count.get(src, 0) + 1
 
         prof_state_index: dict = {}
@@ -937,7 +965,7 @@ class ForwardMatrix(DPMatrix):
         # effective transitions: effTrans[srcCell][destStateIdx]
         eff_trans: dict = {}
         for iter_cell in reversed(sorted_cells):
-            slp = self.source_transitions_without_emit_or_absorb(iter_cell)
+            slp = slp_cache[iter_cell]
             cell_lp_insert = self.eliminated_lp_insert(iter_cell)
             if iter_cell in prof_state_index:
                 cell_idx = prof_state_index[iter_cell]
@@ -946,12 +974,11 @@ class ForwardMatrix(DPMatrix):
                         cell_idx, _EffectiveTransition()
                     )
                     eff.lp_path = eff.lp_best = lp_trans + cell_lp_insert
-                    eff.best_align_path = self.transition_align_path(src, iter_cell)
+                    eff.best_chain = (iter_cell, None)
                     if want_counts:
                         eff.counts = self.transition_eigen_counts(src, iter_cell)
             else:
                 cell_eff = eff_trans.get(iter_cell, {})
-                cap = self.cell_align_path(iter_cell)
                 cell_counts = None
                 if (strategy & COUNT_SUBST_EVENTS) and self.sumprod is not None:
                     cell_counts = self.cached_cell_eigen_counts(iter_cell)
@@ -980,18 +1007,18 @@ class ForwardMatrix(DPMatrix):
                         lp_best = lp_trans + cell_lp_insert + cell_dest_eff.lp_best
                         if lp_best > sd.lp_best:
                             sd.lp_best = lp_best
-                            tap = self.transition_align_path(src, iter_cell)
-                            sd.best_align_path = align_path_concat(
-                                tap, cap, cell_dest_eff.best_align_path
-                            )
+                            # cons-chain: align path materialized only for
+                            # transitions that survive into the profile
+                            sd.best_chain = (iter_cell, cell_dest_eff.best_chain)
 
         # populate transitions (reference iterates profStateIndex in
         # CellCoords order and effTrans in dest-index order)
+        cap_cache: dict = {}
         for c, src_idx in prof_state_index.items():
             for dest_idx, eff in sorted(eff_trans.get(c, {}).items()):
                 trans_idx = len(prof.trans)
                 t = ProfTrans(src=src_idx, dest=dest_idx, lp=eff.lp_path)
-                t.align_path = eff.best_align_path
+                t.align_path = self._materialize_best_chain(c, eff.best_chain, cap_cache)
                 if want_counts and eff.counts is not None:
                     t.counts = eff.counts
                 prof.trans.append(t)
@@ -1038,12 +1065,14 @@ class ForwardMatrix(DPMatrix):
 
 
 class _EffectiveTransition:
-    __slots__ = ("lp_path", "lp_best", "best_align_path", "counts")
+    __slots__ = ("lp_path", "lp_best", "best_chain", "counts")
 
     def __init__(self):
         self.lp_path = NEG_INF
         self.lp_best = NEG_INF
-        self.best_align_path: AlignPath = {}
+        # cons list (cell, rest) of the best path's cells after the source;
+        # terminal element has rest=None and is the retained dest cell
+        self.best_chain = None
         self.counts = None
 
 
