@@ -104,7 +104,7 @@ class DPMatrix:
                 "subx", "suby", "x_null", "y_null", "x_ready", "y_ready",
                 "x_emit_or_start", "insx", "rootsubx", "insy", "rootsuby",
                 "absorb", "x_closest_pos", "y_closest_pos", "x_near_start",
-                "y_near_end", "env_mask",
+                "y_near_end", "env_mask", "env_mask_u8",
             ):
                 setattr(self, attr, getattr(share_from, attr))
             self.cells = None
@@ -168,7 +168,8 @@ class DPMatrix:
         for t in y.end.in_trans:
             self.y_near_end[y.trans[t].src] = True
 
-        self.env_mask = self._envelope_mask()  # [Sx, Sy]
+        self.env_mask_u8 = self._envelope_mask()  # [Sx, Sy] uint8, pooled
+        self.env_mask = self.env_mask_u8.view(bool)
         # allocated by the fill paths: the native forward fill writes every
         # cell itself, so it takes uninitialized storage; all other paths
         # start from a -inf-filled tensor
@@ -203,13 +204,39 @@ class DPMatrix:
         return out
 
     def _envelope_mask(self) -> np.ndarray:
-        at_edge = self.x_near_start[:, None] | self.y_near_end[None, :]
+        """Envelope mask as a pooled uint8 [Sx, Sy] tensor.
+
+        The native path writes it in one fused parallel pass; the numpy
+        broadcast path allocates several grid-size temporaries, which is
+        expensive on hosts with slow first-touch page faults."""
+        out = bufpool.get("env-mask", (self.x_size, self.y_size), self, dtype=np.uint8)
         if not self.env.initialized:
-            return np.ones((self.x_size, self.y_size), dtype=bool)
-        m1 = self.env.cumulative_matches[self.env.row1_pos_to_col[self.x_closest_pos]]
-        m2 = self.env.cumulative_matches[self.env.row2_pos_to_col[self.y_closest_pos]]
+            out.fill(1)
+            return out
+        m1 = np.ascontiguousarray(
+            self.env.cumulative_matches[self.env.row1_pos_to_col[self.x_closest_pos]],
+            dtype=np.int64,
+        )
+        m2 = np.ascontiguousarray(
+            self.env.cumulative_matches[self.env.row2_pos_to_col[self.y_closest_pos]],
+            dtype=np.int64,
+        )
+        from historian_tpu.native import get_native
+
+        lib = get_native()
+        if lib is not None:
+            lib.envelope_mask(
+                self.x_size, self.y_size, m1, m2,
+                int(self.env.max_distance),
+                np.ascontiguousarray(self.x_near_start).view(np.uint8),
+                np.ascontiguousarray(self.y_near_end).view(np.uint8),
+                out,
+            )
+            return out
+        at_edge = self.x_near_start[:, None] | self.y_near_end[None, :]
         in_range = np.abs(m1[:, None] - m2[None, :]) <= self.env.max_distance
-        return at_edge | in_range
+        np.copyto(out, (at_edge | in_range).view(np.uint8))
+        return out
 
     # ----------------------------------------------------------------- helpers
     def in_envelope(self, i: int, j: int) -> bool:
@@ -330,7 +357,7 @@ class ForwardMatrix(DPMatrix):
             self.x_emit_or_start.astype(np.uint8),
             np.uint8(self.x_empty), np.uint8(self.y_empty),
             self.insx, self.rootsubx, self.insy, self.rootsuby,
-            np.ascontiguousarray(self.absorb), np.ascontiguousarray(self.env_mask.astype(np.uint8)),
+            np.ascontiguousarray(self.absorb), self.env_mask_u8,
             self._trans18(), self.cells,
         )
         self._finish_fill()
@@ -1122,7 +1149,7 @@ class BackwardMatrix(DPMatrix):
             np.uint8(self.x_empty), np.uint8(self.y_empty),
             self.insx, self.rootsubx, self.insy, self.rootsuby,
             np.ascontiguousarray(self.absorb),
-            np.ascontiguousarray(self.env_mask.astype(np.uint8)),
+            self.env_mask_u8,
             trans18, self.cells,
         )
         return True
@@ -1486,7 +1513,7 @@ class BackwardMatrix(DPMatrix):
         lib = get_native()
         if lib is None:
             return None
-        env_mask_u8 = np.ascontiguousarray(self.env_mask.astype(np.uint8))
+        env_mask_u8 = self.env_mask_u8
         cap = 1 << 20
         while True:
             out_ijs = np.empty((cap, 3), dtype=np.int64)

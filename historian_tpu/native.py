@@ -45,7 +45,7 @@ def get_native():
     try:
         if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _LIB, _SRC],
+                ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC", "-o", _LIB, _SRC],
                 check=True, capture_output=True, timeout=300,
             )
         lib = ctypes.CDLL(_LIB)
@@ -69,6 +69,12 @@ def get_native():
         ]
         lib.prefault.restype = None
         lib.prefault.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.envelope_mask.restype = None
+        lib.envelope_mask.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            _i64(), _i64(), ctypes.c_int64,
+            _u8(), _u8(), _u8(2),
+        ]
         lib.postprob_select.restype = ctypes.c_int64
         lib.postprob_select.argtypes = [
             ctypes.c_int64, ctypes.c_int64,

@@ -58,6 +58,30 @@ extern "C" void prefault(void* p, int64_t n) {
   for (auto& th : ts) th.join();
 }
 
+// Guide-envelope mask in one fused parallel pass (alignpath.h:56-61
+// inRange + near-start/end edge cells), replacing several grid-size
+// numpy broadcast temporaries.
+extern "C" void envelope_mask(
+    int64_t sx, int64_t sy,
+    const int64_t* m1,            // [sx] cumulative matches, x closest-leaf
+    const int64_t* m2,            // [sy]
+    int64_t max_distance,
+    const uint8_t* x_near_start,  // [sx]
+    const uint8_t* y_near_end,    // [sy]
+    uint8_t* out                  // [sx * sy]
+) {
+  #pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < sx; ++i) {
+    uint8_t* row = out + i * sy;
+    const int64_t a = m1[i];
+    const uint8_t xe = x_near_start[i];
+    for (int64_t j = 0; j < sy; ++j) {
+      const int64_t d = a - m2[j];
+      row[j] = (uint8_t)(xe | y_near_end[j] | ((d < 0 ? -d : d) <= max_distance));
+    }
+  }
+}
+
 static const double NEG_INF = -INFINITY;
 static const double LOG2 = 0.693147180559945309417232121458176568;
 
@@ -80,6 +104,226 @@ struct Trans {
   double iiw_imm, iiw_idm, iiw_iiw;
 };
 
+// ---------------------------------------------------------------------------
+// Wavefront decomposition.  Profile states are toposorted, so a DP level
+// per state (1 + max level over edge sources/dests) makes every cell
+// (i, j) depend only on cells with a strictly smaller level_x[i] +
+// level_y[j]; cells sharing that wavefront sum are independent and are
+// filled in parallel.  Per-cell arithmetic is untouched, so results are
+// bit-identical to the sequential fill.
+
+namespace {
+
+struct Levels {
+  std::vector<int32_t> lvl;                  // level per state
+  std::vector<std::vector<int32_t>> bucket;  // states per level (ascending)
+};
+
+// forward levels over in-edge CSR, for states [0, n)
+static Levels in_levels(int64_t n, const int64_t* ptr, const int64_t* src) {
+  Levels L;
+  L.lvl.assign(n, 0);
+  int32_t maxl = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t m = -1;
+    for (int64_t e = ptr[i]; e < ptr[i + 1]; ++e) {
+      const int64_t s = src[e];
+      if (s >= 0 && s < i && L.lvl[s] > m) m = L.lvl[s];
+    }
+    L.lvl[i] = m + 1;
+    if (L.lvl[i] > maxl) maxl = L.lvl[i];
+  }
+  L.bucket.assign(maxl + 1, {});
+  for (int64_t i = 0; i < n; ++i) L.bucket[L.lvl[i]].push_back((int32_t)i);
+  return L;
+}
+
+// reverse levels over two out-edge CSRs, for states [0, n); dests >= cap
+// impose no ordering (they index pre-seeded rows the fill never writes)
+static Levels out_levels(int64_t n, int64_t cap,
+                         const int64_t* ptr_a, const int64_t* dst_a,
+                         const int64_t* ptr_b, const int64_t* dst_b) {
+  Levels L;
+  L.lvl.assign(n, 0);
+  int32_t maxl = 0;
+  for (int64_t i = n - 1; i >= 0; --i) {
+    int32_t m = -1;
+    for (int64_t e = ptr_a[i]; e < ptr_a[i + 1]; ++e) {
+      const int64_t d = dst_a[e];
+      if (d > i && d < cap && L.lvl[d] > m) m = L.lvl[d];
+    }
+    for (int64_t e = ptr_b[i]; e < ptr_b[i + 1]; ++e) {
+      const int64_t d = dst_b[e];
+      if (d > i && d < cap && L.lvl[d] > m) m = L.lvl[d];
+    }
+    L.lvl[i] = m + 1;
+    if (L.lvl[i] > maxl) maxl = L.lvl[i];
+  }
+  L.bucket.assign(maxl + 1, {});
+  for (int64_t i = 0; i < n; ++i) L.bucket[L.lvl[i]].push_back((int32_t)i);
+  return L;
+}
+
+}  // namespace
+
+namespace {
+
+struct FwdArgs {
+  int64_t sx, sy;
+  const int64_t *x_in_ptr, *x_in_src;
+  const double* x_in_lp;
+  const int64_t *y_in_ptr, *y_in_src;
+  const double* y_in_lp;
+  const uint8_t *x_null, *y_null, *x_ready, *y_ready, *x_emit_or_start;
+  uint8_t x_empty, y_empty;
+  const double *insx, *rootsubx, *insy, *rootsuby, *absorb;
+  const Trans* t;
+  double* cells;
+};
+
+#define CELL(i, j, s) A.cells[(((i) * A.sy) + (j)) * 5 + (s)]
+
+static inline void fwd_cell(const FwdArgs& A, int64_t i, int64_t j) {
+  const Trans* t = A.t;
+  const bool xnull = A.x_null[i];
+  const bool x_ready_or_empty = A.x_ready[i] || A.x_empty;
+  const bool ynull = A.y_null[j];
+  const bool y_ready_or_empty = A.y_ready[j] || A.y_empty;
+  double imm = (i == 0 && j == 0) ? 0.0 : NEG_INF;
+  double imd = NEG_INF, idm = NEG_INF, imi = NEG_INF, iiw = NEG_INF;
+
+  if (!xnull) {
+    // x-absorbing transitions into IMD, IIW
+    if (y_ready_or_empty) {
+      for (int64_t e = A.x_in_ptr[i]; e < A.x_in_ptr[i + 1]; ++e) {
+        const int64_t src = A.x_in_src[e];
+        const double lp = A.x_in_lp[e];
+        const double* sc = &CELL(src, j, 0);
+        imd = lse2(imd, lse2(lse2(lse2(sc[IMM] + t->imm_imd, sc[IMD] + t->imd_imd),
+                                  sc[IDM] + t->idm_imd), sc[IMI] + t->imi_imd) + lp);
+        iiw = lse2(iiw, lse2(lse2(sc[IMM] + t->imm_iiw, sc[IMI] + t->imi_iiw),
+                             sc[IIW] + t->iiw_iiw) + lp);
+      }
+      imd += A.rootsubx[i];
+      iiw += A.insx[i];
+    }
+  } else {
+    // x-nonabsorbing transitions in IMD, IIW
+    if (y_ready_or_empty) {
+      for (int64_t e = A.x_in_ptr[i]; e < A.x_in_ptr[i + 1]; ++e) {
+        const double* sc = &CELL(A.x_in_src[e], j, 0);
+        imd = lse2(imd, sc[IMD] + A.x_in_lp[e]);
+        iiw = lse2(iiw, sc[IIW] + A.x_in_lp[e]);
+      }
+    }
+  }
+
+  if (!ynull) {
+    // y-absorbing transitions into IDM, IMI
+    if (x_ready_or_empty) {
+      for (int64_t e = A.y_in_ptr[j]; e < A.y_in_ptr[j + 1]; ++e) {
+        const int64_t src = A.y_in_src[e];
+        const double lp = A.y_in_lp[e];
+        const double* sc = &CELL(i, src, 0);
+        idm = lse2(idm, lse2(lse2(lse2(sc[IMM] + t->imm_idm, sc[IMD] + t->imd_idm),
+                                  sc[IDM] + t->idm_idm), sc[IIW] + t->iiw_idm) + lp);
+        imi = lse2(imi, lse2(sc[IMM] + t->imm_imi, sc[IMI] + t->imi_imi) + lp);
+      }
+      idm += A.rootsuby[j];
+      imi += A.insy[j];
+    }
+  } else {
+    // y-nonabsorbing transitions in IDM, IMI
+    for (int64_t e = A.y_in_ptr[j]; e < A.y_in_ptr[j + 1]; ++e) {
+      const double* sc = &CELL(i, A.y_in_src[e], 0);
+      idm = lse2(idm, sc[IDM] + A.y_in_lp[e]);
+      imi = lse2(imi, sc[IMI] + A.y_in_lp[e]);
+    }
+  }
+
+  if (!xnull && !ynull) {
+    // xy-absorbing transitions into IMM
+    for (int64_t ex = A.x_in_ptr[i]; ex < A.x_in_ptr[i + 1]; ++ex) {
+      const int64_t xsrc = A.x_in_src[ex];
+      const double xlp = A.x_in_lp[ex];
+      for (int64_t ey = A.y_in_ptr[j]; ey < A.y_in_ptr[j + 1]; ++ey) {
+        const double* sc = &CELL(xsrc, A.y_in_src[ey], 0);
+        imm = lse2(imm,
+                   lse2(lse2(lse2(lse2(sc[IMM] + t->imm_imm, sc[IMD] + t->imd_imm),
+                                  sc[IDM] + t->idm_imm), sc[IMI] + t->imi_imm),
+                        sc[IIW] + t->iiw_imm)
+                   + xlp + A.y_in_lp[ey]);
+      }
+    }
+    imm += A.absorb[i * A.sy + j];
+    if (i == 0 && j == 0) imm = 0.0;
+  } else if (ynull && A.x_emit_or_start[i]) {
+    // y-nonabsorbing transitions in IMM
+    for (int64_t e = A.y_in_ptr[j]; e < A.y_in_ptr[j + 1]; ++e)
+      imm = lse2(imm, CELL(i, A.y_in_src[e], IMM) + A.y_in_lp[e]);
+    if (i == 0 && j == 0) imm = 0.0;
+  } else if (xnull) {
+    // x-nonabsorbing transitions in IMM
+    if (y_ready_or_empty) {
+      double acc = NEG_INF;
+      for (int64_t e = A.x_in_ptr[i]; e < A.x_in_ptr[i + 1]; ++e)
+        acc = lse2(acc, CELL(A.x_in_src[e], j, IMM) + A.x_in_lp[e]);
+      imm = (i == 0 && j == 0) ? 0.0 : acc;
+    } else
+      imm = (i == 0 && j == 0) ? 0.0 : NEG_INF;
+  }
+
+  double* dst = &CELL(i, j, 0);
+  dst[IMM] = imm;
+  dst[IMD] = imd;
+  dst[IDM] = idm;
+  dst[IMI] = imi;
+  dst[IIW] = iiw;
+}
+
+#undef CELL
+
+// run `body(i, j)` over every in-envelope cell of [0,nx) x [0,ny),
+// wavefront-parallel when the grid is big enough to amortize barriers
+template <typename Body>
+static void wavefront_run(int64_t nx, int64_t ny, int64_t sy_stride,
+                          const uint8_t* env_mask,
+                          const Levels& LX, const Levels& LY,
+                          const Body& body) {
+  const int64_t wmax =
+      (int64_t)(LX.bucket.size() - 1) + (int64_t)(LY.bucket.size() - 1);
+  std::vector<int64_t> work;
+  for (int64_t w = 0; w <= wmax; ++w) {
+    const int64_t lx_lo = w >= (int64_t)LY.bucket.size()
+                              ? w - (int64_t)LY.bucket.size() + 1
+                              : 0;
+    const int64_t lx_hi = w < (int64_t)LX.bucket.size()
+                              ? w
+                              : (int64_t)LX.bucket.size() - 1;
+    work.clear();
+    for (int64_t lx = lx_lo; lx <= lx_hi; ++lx) {
+      const auto& rows = LX.bucket[lx];
+      const auto& cols = LY.bucket[w - lx];
+      for (const int32_t i : rows) {
+        if (i >= nx) continue;
+        const uint8_t* mrow = env_mask + (int64_t)i * sy_stride;
+        for (const int32_t j : cols)
+          if (j < ny && mrow[j]) work.push_back(((int64_t)i << 32) | (uint32_t)j);
+      }
+    }
+    if (work.empty()) continue;
+    const int64_t n = (int64_t)work.size();
+    #pragma omp parallel for schedule(static) if (n > 256)
+    for (int64_t k = 0; k < n; ++k) {
+      const int64_t i = work[k] >> 32;
+      const int64_t j = work[k] & 0xffffffff;
+      body(i, j);
+    }
+  }
+}
+
+}  // namespace
+
 extern "C" void forward_fill(
     int64_t sx, int64_t sy,
     const int64_t* x_in_ptr, const int64_t* x_in_src, const double* x_in_lp,
@@ -95,114 +339,141 @@ extern "C" void forward_fill(
     const double* trans18,       // 18 transition log-probs, Trans order
     double* cells                // [sx * sy * 5], pre-filled with -inf
 ) {
-  const Trans* t = reinterpret_cast<const Trans*>(trans18);
-  #define CELL(i, j, s) cells[(((i) * sy) + (j)) * 5 + (s)]
+  FwdArgs A{sx, sy, x_in_ptr, x_in_src, x_in_lp, y_in_ptr, y_in_src, y_in_lp,
+            x_null, y_null, x_ready, y_ready, x_emit_or_start,
+            x_empty, y_empty, insx, rootsubx, insy, rootsuby, absorb,
+            reinterpret_cast<const Trans*>(trans18), cells};
 
   // the caller may hand us uninitialized storage: pin everything to
   // -inf at stream speed; the DP below overwrites in-envelope cells
-  std::fill(cells, cells + sx * sy * 5, NEG_INF);
-  CELL(0, 0, IMM) = 0.0;  // start
-  for (int64_t i = 0; i < sx - 1; ++i) {
-    const bool xnull = x_null[i];
-    const bool x_ready_or_empty = x_ready[i] || x_empty;
-    for (int64_t j = 0; j < sy - 1; ++j) {
-      if (!env_mask[i * sy + j]) continue;
-      const bool ynull = y_null[j];
-      const bool y_ready_or_empty = y_ready[j] || y_empty;
-      double imm = (i == 0 && j == 0) ? 0.0 : NEG_INF;
-      double imd = NEG_INF, idm = NEG_INF, imi = NEG_INF, iiw = NEG_INF;
+  const int64_t total = sx * sy * 5;
+  #pragma omp parallel for schedule(static) if (total > (1 << 20))
+  for (int64_t b = 0; b < total; b += (1 << 20)) {
+    const int64_t e = b + (1 << 20) < total ? b + (1 << 20) : total;
+    std::fill(cells + b, cells + e, NEG_INF);
+  }
+  cells[IMM] = 0.0;  // start cell (0, 0)
 
-      if (!xnull) {
-        // x-absorbing transitions into IMD, IIW
-        if (y_ready_or_empty) {
-          for (int64_t e = x_in_ptr[i]; e < x_in_ptr[i + 1]; ++e) {
-            const int64_t src = x_in_src[e];
-            const double lp = x_in_lp[e];
-            const double* sc = &CELL(src, j, 0);
-            imd = lse2(imd, lse2(lse2(lse2(sc[IMM] + t->imm_imd, sc[IMD] + t->imd_imd),
-                                      sc[IDM] + t->idm_imd), sc[IMI] + t->imi_imd) + lp);
-            iiw = lse2(iiw, lse2(lse2(sc[IMM] + t->imm_iiw, sc[IMI] + t->imi_iiw),
-                                 sc[IIW] + t->iiw_iiw) + lp);
-          }
-          imd += rootsubx[i];
-          iiw += insx[i];
-        }
-      } else {
-        // x-nonabsorbing transitions in IMD, IIW
-        if (y_ready_or_empty) {
-          for (int64_t e = x_in_ptr[i]; e < x_in_ptr[i + 1]; ++e) {
-            const double* sc = &CELL(x_in_src[e], j, 0);
-            imd = lse2(imd, sc[IMD] + x_in_lp[e]);
-            iiw = lse2(iiw, sc[IIW] + x_in_lp[e]);
-          }
-        }
-      }
+  if ((sx - 1) * (sy - 1) >= (1 << 16)) {
+    const Levels LX = in_levels(sx, x_in_ptr, x_in_src);
+    const Levels LY = in_levels(sy, y_in_ptr, y_in_src);
+    wavefront_run(sx - 1, sy - 1, sy, env_mask, LX, LY,
+                  [&A](int64_t i, int64_t j) { fwd_cell(A, i, j); });
+    return;
+  }
+  for (int64_t i = 0; i < sx - 1; ++i)
+    for (int64_t j = 0; j < sy - 1; ++j)
+      if (env_mask[i * sy + j]) fwd_cell(A, i, j);
+}
 
-      if (!ynull) {
-        // y-absorbing transitions into IDM, IMI
-        if (x_ready_or_empty) {
-          for (int64_t e = y_in_ptr[j]; e < y_in_ptr[j + 1]; ++e) {
-            const int64_t src = y_in_src[e];
-            const double lp = y_in_lp[e];
-            const double* sc = &CELL(i, src, 0);
-            idm = lse2(idm, lse2(lse2(lse2(sc[IMM] + t->imm_idm, sc[IMD] + t->imd_idm),
-                                      sc[IDM] + t->idm_idm), sc[IIW] + t->iiw_idm) + lp);
-            imi = lse2(imi, lse2(sc[IMM] + t->imm_imi, sc[IMI] + t->imi_imi) + lp);
-          }
-          idm += rootsuby[j];
-          imi += insy[j];
-        }
-      } else {
-        // y-nonabsorbing transitions in IDM, IMI
-        for (int64_t e = y_in_ptr[j]; e < y_in_ptr[j + 1]; ++e) {
-          const double* sc = &CELL(i, y_in_src[e], 0);
-          idm = lse2(idm, sc[IDM] + y_in_lp[e]);
-          imi = lse2(imi, sc[IMI] + y_in_lp[e]);
-        }
-      }
+namespace {
 
-      if (!xnull && !ynull) {
-        // xy-absorbing transitions into IMM
-        for (int64_t ex = x_in_ptr[i]; ex < x_in_ptr[i + 1]; ++ex) {
-          const int64_t xsrc = x_in_src[ex];
-          const double xlp = x_in_lp[ex];
-          for (int64_t ey = y_in_ptr[j]; ey < y_in_ptr[j + 1]; ++ey) {
-            const double* sc = &CELL(xsrc, y_in_src[ey], 0);
-            imm = lse2(imm,
-                       lse2(lse2(lse2(lse2(sc[IMM] + t->imm_imm, sc[IMD] + t->imd_imm),
-                                      sc[IDM] + t->idm_imm), sc[IMI] + t->imi_imm),
-                            sc[IIW] + t->iiw_imm)
-                       + xlp + y_in_lp[ey]);
-          }
-        }
-        imm += absorb[i * sy + j];
-        if (i == 0 && j == 0) imm = 0.0;
-      } else if (ynull && x_emit_or_start[i]) {
-        // y-nonabsorbing transitions in IMM
-        for (int64_t e = y_in_ptr[j]; e < y_in_ptr[j + 1]; ++e)
-          imm = lse2(imm, CELL(i, y_in_src[e], IMM) + y_in_lp[e]);
-        if (i == 0 && j == 0) imm = 0.0;
-      } else if (xnull) {
-        // x-nonabsorbing transitions in IMM
-        if (y_ready_or_empty) {
-          double acc = NEG_INF;
-          for (int64_t e = x_in_ptr[i]; e < x_in_ptr[i + 1]; ++e)
-            acc = lse2(acc, CELL(x_in_src[e], j, IMM) + x_in_lp[e]);
-          imm = (i == 0 && j == 0) ? 0.0 : acc;
-        } else
-          imm = (i == 0 && j == 0) ? 0.0 : NEG_INF;
-      }
+struct BwdArgs {
+  int64_t sx, sy;
+  const int64_t *x_abs_ptr, *x_abs_dest;
+  const double* x_abs_lp;
+  const int64_t *x_nul_ptr, *x_nul_dest;
+  const double* x_nul_lp;
+  const int64_t *y_abs_ptr, *y_abs_dest;
+  const double* y_abs_lp;
+  const int64_t *y_nul_ptr, *y_nul_dest;
+  const double* y_nul_lp;
+  const uint8_t *x_ready, *y_ready, *x_emit_or_start;
+  uint8_t x_empty, y_empty;
+  const double *insx, *rootsubx, *insy, *rootsuby, *absorb;
+  const Trans* t;
+  double* cells;
+};
 
-      double* dst = &CELL(i, j, 0);
-      dst[IMM] = imm;
-      dst[IMD] = imd;
-      dst[IDM] = idm;
-      dst[IMI] = imi;
-      dst[IIW] = iiw;
+#define CELL(i, j, s) A.cells[(((i) * A.sy) + (j)) * 5 + (s)]
+
+static inline void bwd_cell(const BwdArgs& A, int64_t i, int64_t j) {
+  const Trans* t = A.t;
+  const bool x_ready_or_empty = A.x_ready[i] || A.x_empty;
+  const bool y_ready_or_empty = A.y_ready[j] || A.y_empty;
+  double* dst = &CELL(i, j, 0);
+  double imm = dst[IMM], imd = dst[IMD], idm = dst[IDM], imi = dst[IMI], iiw = dst[IIW];
+
+  // xy-absorbing transitions into IMM
+  for (int64_t ex = A.x_abs_ptr[i]; ex < A.x_abs_ptr[i + 1]; ++ex) {
+    const int64_t xd = A.x_abs_dest[ex];
+    const double xlp = A.x_abs_lp[ex];
+    for (int64_t ey = A.y_abs_ptr[j]; ey < A.y_abs_ptr[j + 1]; ++ey) {
+      const int64_t yd = A.y_abs_dest[ey];
+      const double dest_imm =
+          xlp + A.y_abs_lp[ey] + A.absorb[xd * A.sy + yd] + CELL(xd, yd, IMM);
+      imm = lse2(imm, t->imm_imm + dest_imm);
+      imd = lse2(imd, t->imd_imm + dest_imm);
+      idm = lse2(idm, t->idm_imm + dest_imm);
+      imi = lse2(imi, t->imi_imm + dest_imm);
+      iiw = lse2(iiw, t->iiw_imm + dest_imm);
     }
   }
-  #undef CELL
+
+  // x-absorbing transitions into IMD, IIW
+  if (y_ready_or_empty) {
+    for (int64_t ex = A.x_abs_ptr[i]; ex < A.x_abs_ptr[i + 1]; ++ex) {
+      const int64_t xd = A.x_abs_dest[ex];
+      const double dest_imd = A.x_abs_lp[ex] + A.rootsubx[xd] + CELL(xd, j, IMD);
+      const double dest_iiw = A.x_abs_lp[ex] + A.insx[xd] + CELL(xd, j, IIW);
+      imm = lse2(imm, t->imm_imd + dest_imd);
+      imd = lse2(imd, t->imd_imd + dest_imd);
+      idm = lse2(idm, t->idm_imd + dest_imd);
+      imi = lse2(imi, t->imi_imd + dest_imd);
+      imm = lse2(imm, t->imm_iiw + dest_iiw);
+      imi = lse2(imi, t->imi_iiw + dest_iiw);
+      iiw = lse2(iiw, t->iiw_iiw + dest_iiw);
+    }
+  }
+
+  // y-absorbing transitions into IDM, IMI
+  if (x_ready_or_empty) {
+    for (int64_t ey = A.y_abs_ptr[j]; ey < A.y_abs_ptr[j + 1]; ++ey) {
+      const int64_t yd = A.y_abs_dest[ey];
+      const double dest_idm = A.y_abs_lp[ey] + A.rootsuby[yd] + CELL(i, yd, IDM);
+      const double dest_imi = A.y_abs_lp[ey] + A.insy[yd] + CELL(i, yd, IMI);
+      imm = lse2(imm, t->imm_idm + dest_idm);
+      imd = lse2(imd, t->imd_idm + dest_idm);
+      idm = lse2(idm, t->idm_idm + dest_idm);
+      iiw = lse2(iiw, t->iiw_idm + dest_idm);
+      imm = lse2(imm, t->imm_imi + dest_imi);
+      imi = lse2(imi, t->imi_imi + dest_imi);
+    }
+  }
+
+  // x-nonabsorbing (null) transitions: IMD, IIW, IMM propagate
+  if (y_ready_or_empty) {
+    for (int64_t ex = A.x_nul_ptr[i]; ex < A.x_nul_ptr[i + 1]; ++ex) {
+      const int64_t xd = A.x_nul_dest[ex];
+      const double lp = A.x_nul_lp[ex];
+      if (xd >= A.sx) continue;
+      imd = lse2(imd, lp + CELL(xd, j, IMD));
+      iiw = lse2(iiw, lp + CELL(xd, j, IIW));
+      imm = lse2(imm, lp + CELL(xd, j, IMM));
+    }
+  }
+
+  // y-nonabsorbing (null) transitions: IDM, IMI, IMM propagate
+  for (int64_t ey = A.y_nul_ptr[j]; ey < A.y_nul_ptr[j + 1]; ++ey) {
+    const int64_t yd = A.y_nul_dest[ey];
+    const double lp = A.y_nul_lp[ey];
+    if (yd >= A.sy - 1) continue;
+    idm = lse2(idm, lp + CELL(i, yd, IDM));
+    imi = lse2(imi, lp + CELL(i, yd, IMI));
+    if (A.x_emit_or_start[i])
+      imm = lse2(imm, lp + CELL(i, yd, IMM));
+  }
+
+  dst[IMM] = imm;
+  dst[IMD] = imd;
+  dst[IDM] = idm;
+  dst[IMI] = imi;
+  dst[IIW] = iiw;
 }
+
+#undef CELL
+
+}  // namespace
 
 extern "C" void backward_fill(
     int64_t sx, int64_t sy,
@@ -220,94 +491,28 @@ extern "C" void backward_fill(
     const double* trans18,
     double* cells  // [sx * sy * 5], pre-seeded with end transitions by caller
 ) {
-  const Trans* t = reinterpret_cast<const Trans*>(trans18);
-  #define CELL(i, j, s) cells[(((i) * sy) + (j)) * 5 + (s)]
+  BwdArgs A{sx, sy,
+            x_abs_ptr, x_abs_dest, x_abs_lp, x_nul_ptr, x_nul_dest, x_nul_lp,
+            y_abs_ptr, y_abs_dest, y_abs_lp, y_nul_ptr, y_nul_dest, y_nul_lp,
+            x_ready, y_ready, x_emit_or_start, x_empty, y_empty,
+            insx, rootsubx, insy, rootsuby, absorb,
+            reinterpret_cast<const Trans*>(trans18), cells};
 
-  for (int64_t i = sx - 2; i >= 0; --i) {
-    const bool x_ready_or_empty = x_ready[i] || x_empty;
-    for (int64_t j = sy - 2; j >= 0; --j) {
-      if (!env_mask[i * sy + j]) continue;
-      const bool y_ready_or_empty = y_ready[j] || y_empty;
-      double* dst = &CELL(i, j, 0);
-      double imm = dst[IMM], imd = dst[IMD], idm = dst[IDM], imi = dst[IMI], iiw = dst[IIW];
-
-      // xy-absorbing transitions into IMM
-      for (int64_t ex = x_abs_ptr[i]; ex < x_abs_ptr[i + 1]; ++ex) {
-        const int64_t xd = x_abs_dest[ex];
-        const double xlp = x_abs_lp[ex];
-        for (int64_t ey = y_abs_ptr[j]; ey < y_abs_ptr[j + 1]; ++ey) {
-          const int64_t yd = y_abs_dest[ey];
-          const double dest_imm = xlp + y_abs_lp[ey] + absorb[xd * sy + yd] + CELL(xd, yd, IMM);
-          imm = lse2(imm, t->imm_imm + dest_imm);
-          imd = lse2(imd, t->imd_imm + dest_imm);
-          idm = lse2(idm, t->idm_imm + dest_imm);
-          imi = lse2(imi, t->imi_imm + dest_imm);
-          iiw = lse2(iiw, t->iiw_imm + dest_imm);
-        }
-      }
-
-      // x-absorbing transitions into IMD, IIW
-      if (y_ready_or_empty) {
-        for (int64_t ex = x_abs_ptr[i]; ex < x_abs_ptr[i + 1]; ++ex) {
-          const int64_t xd = x_abs_dest[ex];
-          const double dest_imd = x_abs_lp[ex] + rootsubx[xd] + CELL(xd, j, IMD);
-          const double dest_iiw = x_abs_lp[ex] + insx[xd] + CELL(xd, j, IIW);
-          imm = lse2(imm, t->imm_imd + dest_imd);
-          imd = lse2(imd, t->imd_imd + dest_imd);
-          idm = lse2(idm, t->idm_imd + dest_imd);
-          imi = lse2(imi, t->imi_imd + dest_imd);
-          imm = lse2(imm, t->imm_iiw + dest_iiw);
-          imi = lse2(imi, t->imi_iiw + dest_iiw);
-          iiw = lse2(iiw, t->iiw_iiw + dest_iiw);
-        }
-      }
-
-      // y-absorbing transitions into IDM, IMI
-      if (x_ready_or_empty) {
-        for (int64_t ey = y_abs_ptr[j]; ey < y_abs_ptr[j + 1]; ++ey) {
-          const int64_t yd = y_abs_dest[ey];
-          const double dest_idm = y_abs_lp[ey] + rootsuby[yd] + CELL(i, yd, IDM);
-          const double dest_imi = y_abs_lp[ey] + insy[yd] + CELL(i, yd, IMI);
-          imm = lse2(imm, t->imm_idm + dest_idm);
-          imd = lse2(imd, t->imd_idm + dest_idm);
-          idm = lse2(idm, t->idm_idm + dest_idm);
-          iiw = lse2(iiw, t->iiw_idm + dest_idm);
-          imm = lse2(imm, t->imm_imi + dest_imi);
-          imi = lse2(imi, t->imi_imi + dest_imi);
-        }
-      }
-
-      // x-nonabsorbing (null) transitions: IMD, IIW, IMM propagate
-      if (y_ready_or_empty) {
-        for (int64_t ex = x_nul_ptr[i]; ex < x_nul_ptr[i + 1]; ++ex) {
-          const int64_t xd = x_nul_dest[ex];
-          const double lp = x_nul_lp[ex];
-          if (xd >= sx) continue;
-          imd = lse2(imd, lp + CELL(xd, j, IMD));
-          iiw = lse2(iiw, lp + CELL(xd, j, IIW));
-          imm = lse2(imm, lp + CELL(xd, j, IMM));
-        }
-      }
-
-      // y-nonabsorbing (null) transitions: IDM, IMI, IMM propagate
-      for (int64_t ey = y_nul_ptr[j]; ey < y_nul_ptr[j + 1]; ++ey) {
-        const int64_t yd = y_nul_dest[ey];
-        const double lp = y_nul_lp[ey];
-        if (yd >= sy - 1) continue;
-        idm = lse2(idm, lp + CELL(i, yd, IDM));
-        imi = lse2(imi, lp + CELL(i, yd, IMI));
-        if (x_emit_or_start[i])
-          imm = lse2(imm, lp + CELL(i, yd, IMM));
-      }
-
-      dst[IMM] = imm;
-      dst[IMD] = imd;
-      dst[IDM] = idm;
-      dst[IMI] = imi;
-      dst[IIW] = iiw;
-    }
+  if ((sx - 1) * (sy - 1) >= (1 << 16)) {
+    // reverse levels: dests at the pre-seeded end row/column (index
+    // sx-1 / sy-1) impose no ordering; every filled cell depends only
+    // on cells at a strictly smaller reverse-wavefront sum
+    const Levels LX =
+        out_levels(sx - 1, sx - 1, x_abs_ptr, x_abs_dest, x_nul_ptr, x_nul_dest);
+    const Levels LY =
+        out_levels(sy - 1, sy - 1, y_abs_ptr, y_abs_dest, y_nul_ptr, y_nul_dest);
+    wavefront_run(sx - 1, sy - 1, sy, env_mask, LX, LY,
+                  [&A](int64_t i, int64_t j) { bwd_cell(A, i, j); });
+    return;
   }
-  #undef CELL
+  for (int64_t i = sx - 2; i >= 0; --i)
+    for (int64_t j = sy - 2; j >= 0; --j)
+      if (env_mask[i * sy + j]) bwd_cell(A, i, j);
 }
 
 // ---------------------------------------------------------------------------
