@@ -327,6 +327,7 @@ class ForwardMatrix(DPMatrix):
         self.sumprod = sumprod  # SumProductEngine over the subtree (counts)
         self.x_insert_counts: dict[int, EigenCounts] = {}
         self.y_insert_counts: dict[int, EigenCounts] = {}
+        self._cell_counts: dict = {}  # absorbing cell -> EigenCounts
         self._fill()
 
     def _trans18(self) -> np.ndarray:
@@ -899,7 +900,76 @@ class ForwardMatrix(DPMatrix):
                 if c[1] not in self.y_insert_counts:
                     self.y_insert_counts[c[1]] = self.cell_eigen_counts(c)
                 return self.y_insert_counts[c[1]]
+        elif c in self._cell_counts:
+            return self._cell_counts[c]
         return self.cell_eigen_counts(c)
+
+    def precompute_cell_counts(self, cells) -> None:
+        """Batch the column sum-products for many cells' substitution
+        counts into ONE fill (vs one single-column fill per cell).
+
+        Pools cells by their count key exactly as cached_cell_eigen_counts
+        does (x-insert column by x state, y-insert by y state, absorbing
+        cells individually), runs every distinct non-empty column through
+        one batched Felsenstein fill, and seeds the per-key caches."""
+        if self.sumprod is None:
+            return
+        key_cell: dict = {}
+        for c in cells:
+            if not self.is_absorbing(c):
+                if self.changes_x(c):
+                    if c[0] in self.x_insert_counts:
+                        continue
+                    key = ("x", c[0])
+                elif self.changes_y(c):
+                    if c[1] in self.y_insert_counts:
+                        continue
+                    key = ("y", c[1])
+                else:
+                    continue  # no column: cell_eigen_counts is zero anyway
+            else:
+                if c in self._cell_counts:
+                    continue
+                key = ("cell", c)
+            key_cell.setdefault(key, c)
+
+        def store(key, ec):
+            kind, v = key
+            if kind == "x":
+                self.x_insert_counts[v] = ec
+            elif kind == "y":
+                self.y_insert_counts[v] = ec
+            else:
+                self._cell_counts[v] = ec
+
+        C, A = self.hmm.components, self.hmm.alphabet_size
+        nonempty = []
+        cols = []
+        for key, c in key_cell.items():
+            col = self.get_alignment_column(c)
+            if col:
+                nonempty.append(key)
+                cols.append(col)
+            else:
+                store(key, EigenCounts(C, A))
+        if not nonempty:
+            return
+        n_nodes = self.sumprod.arrays.n_nodes
+        alphabet = self.sumprod.model.alphabet
+        tokens = np.full((n_nodes, len(nonempty)), -1, dtype=np.int32)
+        for idx, col in enumerate(cols):
+            for node, ch in col.items():
+                if ch in "-.":
+                    continue
+                tok = alphabet.tokenize_char(ch)
+                tokens[node, idx] = tok if tok >= 0 else -2
+        fill = self.sumprod.fill_tokens(tokens)
+        root_l, eigen_l = fill.per_column_eigen_counts()
+        for idx, key in enumerate(nonempty):
+            ec = EigenCounts(C, A)
+            ec.root_count += root_l[idx]
+            ec.eigen_count += eigen_l[idx]
+            store(key, ec)
 
     # ------------------------------------------------------ profile builders
     def _materialize_best_chain(self, src, chain, cap_cache: dict) -> AlignPath:
@@ -988,6 +1058,12 @@ class ForwardMatrix(DPMatrix):
                         prof.equiv_absorb_state[prof_state_index[c]] = prof_state_index[equiv[0]]
 
         want_counts = strategy & (COUNT_SUBST_EVENTS | COUNT_INDEL_EVENTS)
+        if (strategy & COUNT_SUBST_EVENTS) and self.sumprod is not None:
+            # eliminated cells each need their column's substitution
+            # counts; batch all those columns through one fill up front
+            self.precompute_cell_counts(
+                c for c in sorted_cells if c not in prof_state_index
+            )
 
         # effective transitions: effTrans[srcCell][destStateIdx]
         eff_trans: dict = {}
@@ -1327,25 +1403,14 @@ class BackwardMatrix(DPMatrix):
         counts = EigenCounts(self.hmm.components, self.hmm.alphabet_size)
         counts.indel.lp = fwd.lp_end
 
-        # posterior cell weights, one tensor op
-        with np.errstate(invalid="ignore", over="ignore"):
-            post = np.exp(
-                fwd.cells[: self.x_size - 1, : self.y_size - 1]
-                + self.cells[: self.x_size - 1, : self.y_size - 1]
-                - fwd.lp_end
-            )
-        post = np.where(
-            self.env_mask[: self.x_size - 1, : self.y_size - 1, None], post, 0.0
-        )
-        post = np.nan_to_num(post, nan=0.0)
+        cells_w = self._positive_posterior_cells()  # [(i, j, s, w)] scan order
 
         if fwd.sumprod is not None:
             # pool weights per distinct alignment column
             col_weight: dict = {}
             col_cells: dict = {}
-            ii, jj, ss = np.nonzero(post > 0)
-            for i, j, s in zip(ii, jj, ss):
-                c = (int(i), int(j), int(s))
+            for i, j, s, w in cells_w:
+                c = (i, j, s)
                 if not fwd.is_absorbing(c):
                     if fwd.changes_x(c):
                         key = ("x", c[0])
@@ -1355,7 +1420,7 @@ class BackwardMatrix(DPMatrix):
                         continue  # no column -> no substitution counts
                 else:
                     key = ("cell", c)
-                col_weight[key] = col_weight.get(key, 0.0) + float(post[i, j, s])
+                col_weight[key] = col_weight.get(key, 0.0) + w
                 col_cells.setdefault(key, c)
             keys = [k for k in col_weight if fwd.get_alignment_column(col_cells[k])]
             if keys:
@@ -1373,11 +1438,9 @@ class BackwardMatrix(DPMatrix):
                 fill.accumulate_eigen_counts(counts.root_count, counts.eigen_count, weights)
 
         # transition indel counts (host walk over posterior-reachable cells)
-        ii, jj, ss = np.nonzero(post > 0)
-        order = np.lexsort((ss, jj, ii))
-        for n in order:
-            dest = (int(ii[n]), int(jj[n]), int(ss[n]))
-            lp_dest = self.cells[dest[0], dest[1], dest[2]]
+        for i, j, s, _ in cells_w:
+            dest = (i, j, s)
+            lp_dest = self.cells[i, j, s]
             for src, lp_trans in fwd.source_transitions(dest).items():
                 w = np.exp(
                     fwd.cells[src[0], src[1], src[2]] + lp_trans + lp_dest - fwd.lp_end
@@ -1387,6 +1450,47 @@ class BackwardMatrix(DPMatrix):
                     tc *= w
                     counts += tc
         return counts
+
+    def _positive_posterior_cells(self) -> list:
+        """[(i, j, s, w)] for every in-band cell with posterior weight
+        w = exp(fwd + bwd - lp_end) > 0, in (i, j, s) scan order -- the
+        same selection and order as nonzero(post > 0) + lexsort on the
+        dense posterior tensor, without materializing it."""
+        from historian_tpu.native import get_native
+
+        lib = get_native()
+        if lib is not None:
+            cap = 1 << 18
+            while True:
+                out_ijs = np.empty((cap, 3), dtype=np.int64)
+                out_w = np.empty(cap, dtype=np.float64)
+                n = lib.posterior_cells(
+                    self.x_size, self.y_size,
+                    self.cells, self.fwd.cells, self.env_mask_u8,
+                    float(self.fwd.lp_end), cap, out_ijs, out_w,
+                )
+                if n <= cap:
+                    break
+                cap = int(n)
+            return [
+                (i, j, s, w)
+                for (i, j, s), w in zip(out_ijs[:n].tolist(), out_w[:n].tolist())
+            ]
+        with np.errstate(invalid="ignore", over="ignore"):
+            post = np.exp(
+                self.fwd.cells[: self.x_size - 1, : self.y_size - 1]
+                + self.cells[: self.x_size - 1, : self.y_size - 1]
+                - self.fwd.lp_end
+            )
+        post = np.where(
+            self.env_mask[: self.x_size - 1, : self.y_size - 1, None], post, 0.0
+        )
+        post = np.nan_to_num(post, nan=0.0)
+        ii, jj, ss = np.nonzero(post > 0)
+        return [
+            (int(i), int(j), int(s), float(post[i, j, s]))
+            for i, j, s in zip(ii, jj, ss)
+        ]
 
     # ----------------------------------------------------------- traceforward
     def dest_transitions(self, src_cell) -> dict:

@@ -73,6 +73,22 @@ class SumProductEngine:
         with np.errstate(divide="ignore"):
             self.log_cpt_weight = np.log(model.cpt_weight)
         self.ins_prob = model.ins_prob
+        self._count_device_ok: bool | None = None
+
+    @property
+    def count_device_ok(self) -> bool:
+        """True when the eigensystem is EXACTLY real (zero imaginary
+        parts, not merely below epsilon), so the device float64 count
+        path loses no information."""
+        if self._count_device_ok is None:
+            e = self.eigen
+            self._count_device_ok = bool(
+                np.all(e.is_real)
+                and not np.any(e.evec.imag)
+                and not np.any(e.evec_inv.imag)
+                and not np.any(self.branch_eigen_sub_count.imag)
+            )
+        return self._count_device_ok
 
     # ------------------------------------------------------------------ fills
     def fill(self, gapped_rows: list[str]) -> "SumProductFill":
@@ -324,7 +340,15 @@ class SumProductFill:
 
         with U0 = F[col,n], D0 = G[col,parent]*E[col,sibling] and
         scale = exp(logw_c + logF + logG + logE - colLogLike).
+
+        Large batches on exactly-real eigensystems run fused on the
+        device (no [L, N, C, A] host readbacks or temporaries); small
+        batches keep the numpy formulation, which pins byte-exact golden
+        outputs.
         """
+        if self.n_columns >= 512 and self.engine.count_device_ok:
+            self._accumulate_eigen_counts_device(root_counts, eigen_counts, weight)
+            return
         self.accumulate_root_counts(root_counts, weight)
         eng = self.engine
         arr = eng.arrays
@@ -360,7 +384,128 @@ class SumProductFill:
         # Ubasis[L,N,C,m] = sum_b U0[...,b] evecInv[c,m,b]
         ub = np.einsum("lncb,cmb->lncm", U0, evec_inv)
         j = self.engine.branch_eigen_sub_count  # [N, C, A, A]
-        eigen_counts += np.einsum("lnc,lnck,lncm,nckm->ckm", w, db, ub, j, optimize=True)
+        # einsum path search costs ~10s of ms -- worth it only for real
+        # column batches, pure overhead for the single-column fills
+        eigen_counts += np.einsum(
+            "lnc,lnck,lncm,nckm->ckm", w, db, ub, j, optimize=(L >= 8)
+        )
+
+    def _accumulate_eigen_counts_device(self, root_counts: np.ndarray, eigen_counts: np.ndarray, weight) -> None:
+        """Device-fused accumulate for exactly-real eigensystems: the
+        whole contraction runs jitted on the padded column batch, so the
+        [L, N, C, A] messages never materialize on host."""
+        from historian_tpu.ops.felsenstein import (
+            _eigen_counts_batch,
+            _root_counts_batch,
+        )
+
+        eng = self.engine
+        arr = eng.arrays
+        L = self.n_columns
+        pad = (-L) % 1024
+        dev = self._device
+
+        def pad_l(a):
+            if not pad:
+                return a
+            return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+
+        gap = self.tokens.T == GAP_TOK  # [L, N]
+        parent = arr.parent
+        parent_safe = np.maximum(parent, 0)
+        sib_safe = np.maximum(arr.sibling, 0)
+        mask = (~gap) & (parent >= 0)[None, :] & ~gap[:, parent_safe]
+        mask_p = np.concatenate([mask, np.zeros((pad,) + mask.shape[1:], bool)]) if pad else mask
+        w_col = np.broadcast_to(np.asarray(weight, dtype=float), (L,))
+        w_col_p = np.concatenate([w_col, np.zeros(pad)]) if pad else w_col
+
+        eigen_counts += np.asarray(
+            _eigen_counts_batch(
+                pad_l(dev["F"]), pad_l(dev["logF"]), pad_l(dev["E"]),
+                pad_l(dev["logE"]), pad_l(dev["G"]), pad_l(dev["logG"]),
+                pad_l(dev["col_ll"]),
+                jnp.asarray(parent_safe), jnp.asarray(sib_safe),
+                jnp.asarray(mask_p), jnp.asarray(w_col_p),
+                jnp.asarray(eng.log_cpt_weight),
+                jnp.asarray(np.ascontiguousarray(eng.eigen.evec.real)),
+                jnp.asarray(np.ascontiguousarray(eng.eigen.evec_inv.real)),
+                jnp.asarray(np.ascontiguousarray(eng.branch_eigen_sub_count.real)),
+            )
+        )
+
+        roots = self.column_root_array()
+        sel = roots >= 0
+        if not np.any(sel):
+            return
+        cols = np.nonzero(sel)[0]
+        r = roots[sel]
+        l = len(cols)
+        lpad = (-l) % 1024
+        F_sel = dev["F"][jnp.asarray(cols), jnp.asarray(r)]      # [l, C, A]
+        logF_sel = dev["logF"][jnp.asarray(cols), jnp.asarray(r)]  # [l, C]
+        col_ll_sel = dev["col_ll"][jnp.asarray(cols)]
+        w_sel = w_col[sel]
+        if lpad:
+            F_sel = jnp.pad(F_sel, ((0, lpad), (0, 0), (0, 0)))
+            logF_sel = jnp.pad(logF_sel, ((0, lpad), (0, 0)))
+            col_ll_sel = jnp.pad(col_ll_sel, ((0, lpad),))
+            w_sel = np.concatenate([w_sel, np.zeros(lpad)])
+        root_counts += np.asarray(
+            _root_counts_batch(
+                F_sel, logF_sel, col_ll_sel, jnp.asarray(w_sel),
+                jnp.asarray(eng.log_cpt_weight), jnp.asarray(eng.ins_prob),
+            )
+        )
+
+    def per_column_eigen_counts(self, chunk: int = 1024):
+        """(root[L, C, A] real, eigen[L, C, A, A] complex): each column's
+        unit-weight contribution -- the same per-column terms that
+        accumulate_eigen_counts sums over l.  Chunked so the [l, N, C, A]
+        temporaries stay bounded for large column batches."""
+        eng = self.engine
+        arr = eng.arrays
+        L = self.n_columns
+        C, A = eng.model.components, eng.model.alphabet_size
+        root = np.zeros((L, C, A))
+        eigen = np.zeros((L, C, A, A), dtype=np.complex128)
+
+        roots = self.column_root_array()
+        sel = roots >= 0
+        if np.any(sel):
+            r = roots[sel]
+            cols = np.nonzero(sel)[0]
+            norm = np.exp(
+                eng.log_cpt_weight[None, :] + self.logF[cols, r] - self.col_ll[cols, None]
+            )
+            root[cols] = np.einsum("ci,lci,lc->lci", eng.ins_prob, self.F[cols, r], norm)
+
+        gap = self.tokens.T == GAP_TOK  # [L, N]
+        parent = eng.arrays.parent
+        parent_safe = np.maximum(parent, 0)
+        sib_safe = np.maximum(arr.sibling, 0)
+        mask = (~gap) & (parent >= 0)[None, :] & ~gap[:, parent_safe]
+        if np.any(mask):
+            evec = eng.eigen.evec
+            evec_inv = eng.eigen.evec_inv
+            j = eng.branch_eigen_sub_count  # [N, C, A, A]
+            for lo in range(0, L, chunk):
+                hi = min(lo + chunk, L)
+                U0 = self.F[lo:hi]
+                D0 = self.G[lo:hi][:, parent_safe] * self.E[lo:hi][:, sib_safe]
+                log_scale = (
+                    eng.log_cpt_weight[None, None, :]
+                    + self.logF[lo:hi]
+                    + self.logG[lo:hi][:, parent_safe]
+                    + self.logE[lo:hi][:, sib_safe]
+                    - self.col_ll[lo:hi, None, None]
+                )
+                w = np.where(mask[lo:hi][:, :, None], np.exp(log_scale), 0.0)
+                db = np.einsum("lnca,cak->lnck", D0, evec)
+                ub = np.einsum("lncb,cmb->lncm", U0, evec_inv)
+                eigen[lo:hi] = np.einsum(
+                    "lnc,lnck,lncm,nckm->lckm", w, db, ub, j, optimize=True
+                )
+        return root, eigen
 
     def eigen_counts(self, weight: float = 1.0) -> EigenCounts:
         eng = self.engine

@@ -75,6 +75,14 @@ def get_native():
             _i64(), _i64(), ctypes.c_int64,
             _u8(), _u8(), _u8(2),
         ]
+        lib.posterior_cells.restype = ctypes.c_int64
+        lib.posterior_cells.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            _f64(3), _f64(3), _u8(2),
+            ctypes.c_double, ctypes.c_int64,
+            ndpointer(dtype=np.int64, ndim=2, flags="C_CONTIGUOUS"),
+            _f64(),
+        ]
         lib.postprob_select.restype = ctypes.c_int64
         lib.postprob_select.argtypes = [
             ctypes.c_int64, ctypes.c_int64,

@@ -238,3 +238,37 @@ def _node_post_prob_batch(F, logF, G, logG, col_ll, log_cpt_weight, n_nodes: int
     )
     out = jax.scipy.special.logsumexp(lpp, axis=2)
     return jnp.minimum(out, 0.0)
+
+
+@jax.jit
+def _eigen_counts_batch(F, logF, E, logE, G, logG, col_ll, parent_safe,
+                        sib_safe, mask, w_col, log_cpt_weight, evec_r,
+                        evec_inv_r, j_r):
+    """[C, A, A] real eigencount accumulation over a column batch
+    (sumprod.cpp:294-372), device-fused: for each ungapped non-root node,
+    w * (D0 . evec)_k J_kl (U0 . evecInv^T)_l with
+    D0 = G[parent] * E[sibling], U0 = F,
+    w = exp(logw_c + logF + logG + logE - colLogLike) * columnWeight.
+
+    Only valid for models with exactly-real eigensystems (evec_r etc. are
+    the real parts, checked exact by the caller)."""
+    D0 = G[:, parent_safe] * E[:, sib_safe]
+    log_scale = (
+        log_cpt_weight[None, None, :]
+        + logF
+        + logG[:, parent_safe]
+        + logE[:, sib_safe]
+        - col_ll[:, None, None]
+    )
+    w = jnp.where(mask[:, :, None], jnp.exp(log_scale), 0.0) * w_col[:, None, None]
+    db = jnp.einsum("lnca,cak->lnck", D0, evec_r)
+    ub = jnp.einsum("lncb,cmb->lncm", F, evec_inv_r)
+    return jnp.einsum("lnc,lnck,lncm,nckm->ckm", w, db, ub, j_r)
+
+
+@jax.jit
+def _root_counts_batch(F_sel, logF_sel, col_ll_sel, w_sel, log_cpt_weight, ins_prob):
+    """[C, A] root count accumulation over the root-bearing columns
+    (sumprod.cpp:264-271), device-fused."""
+    norm = jnp.exp(log_cpt_weight[None, :] + logF_sel - col_ll_sel[:, None])
+    return jnp.einsum("l,ci,lci,lc->ci", w_sel, ins_prob, F_sel, norm)

@@ -533,6 +533,47 @@ struct PostCell {
 };
 }  // namespace
 
+// Positive posterior cells in scan order (i, j, s ascending) with their
+// weights exp(fwd + bwd - lp_end); NaNs and masked cells excluded.  Same
+// selection and order as the numpy nonzero(post > 0) path in
+// BackwardMatrix::get_counts, without materializing any grid-size
+// temporary.  Returns the total count; writes at most `cap` entries.
+extern "C" int64_t posterior_cells(
+    int64_t sx, int64_t sy,
+    const double* bwd,       // [sx * sy * 5]
+    const double* fwd,       // [sx * sy * 5]
+    const uint8_t* env_mask, // [sx * sy]
+    double lp_end,
+    int64_t cap,
+    int64_t* out_ijs,        // [cap * 3]
+    double* out_w            // [cap]
+) {
+  int64_t n = 0;
+  for (int64_t i = 0; i < sx - 1; ++i) {
+    const double* brow = bwd + i * sy * 5;
+    const double* frow = fwd + i * sy * 5;
+    const uint8_t* mrow = env_mask + i * sy;
+    for (int64_t j = 0; j < sy - 1; ++j) {
+      if (!mrow[j]) continue;
+      const double* b = brow + j * 5;
+      const double* f = frow + j * 5;
+      for (int64_t s = 0; s < 5; ++s) {
+        const double w = exp(f[s] + b[s] - lp_end);
+        if (w > 0.0) {  // excludes NaN and zero
+          if (n < cap) {
+            out_ijs[n * 3] = i;
+            out_ijs[n * 3 + 1] = j;
+            out_ijs[n * 3 + 2] = s;
+            out_w[n] = w;
+          }
+          ++n;
+        }
+      }
+    }
+  }
+  return n;
+}
+
 extern "C" int64_t postprob_select(
     int64_t sx, int64_t sy,
     const double* bwd,       // [sx * sy * 5]
