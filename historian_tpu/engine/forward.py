@@ -804,55 +804,76 @@ class ForwardMatrix(DPMatrix):
             t = self.y.get_trans(src[1], dest[1])
             if t.counts is not None:
                 c += t.counts
+        self._transition_indel_scalars(src, dest, c.indel, 1.0)
+        return c
+
+    def accumulate_transition_counts(self, acc: EigenCounts, src, dest, w: float) -> None:
+        """acc += transition_eigen_counts(src, dest) * w, fused: the
+        profile-transition count arrays are axpy'd directly into the
+        accumulator and the indel scalars added inline, with no
+        per-transition EigenCounts object or array temporaries (the
+        get_counts posterior walk touches hundreds of thousands of
+        transitions)."""
+        if src[0] != dest[0]:
+            t = self.x.get_trans(src[0], dest[0])
+            if t.counts is not None:
+                acc.add_scaled(t.counts, w)
+        if src[1] != dest[1]:
+            t = self.y.get_trans(src[1], dest[1])
+            if t.counts is not None:
+                acc.add_scaled(t.counts, w)
+        self._transition_indel_scalars(src, dest, acc.indel, w)
+
+    def _transition_indel_scalars(self, src, dest, ic, w: float) -> None:
+        """Scalar indel-event bookkeeping for one transition
+        (forward.cpp:579-652), scaled by w."""
         hmm = self.hmm
         i, j, s = dest
         ss = src[2]
         x_null = self.x_null[i]
         y_null = self.y_null[j]
-        ic = c.indel
         if s == IMM:
             if not x_null and not y_null:
                 if ss in (IMM, IMD):
-                    ic.ins_time += hmm.l.t
-                    ic.del_time += hmm.l.t
+                    ic.ins_time += hmm.l.t * w
+                    ic.del_time += hmm.l.t * w
                 if ss in (IMM, IDM):
-                    ic.ins_time += hmm.r.t
-                    ic.del_time += hmm.r.t
+                    ic.ins_time += hmm.r.t * w
+                    ic.del_time += hmm.r.t * w
         elif s == IMD:
             if not x_null:
                 if ss in (IMM, IMD):
-                    ic.ins_time += hmm.l.t
-                    ic.del_time += hmm.l.t
+                    ic.ins_time += hmm.l.t * w
+                    ic.del_time += hmm.l.t * w
                 if ss == s:
-                    ic.del_ext += 1
+                    ic.del_ext += w
                 else:
-                    ic.del_ += 1
-                    ic.del_time += hmm.r.del_wait
+                    ic.del_ += w
+                    ic.del_time += hmm.r.del_wait * w
         elif s == IIW:
             if not x_null:
                 if ss == s:
-                    ic.ins_ext += 1
+                    ic.ins_ext += w
                 else:
-                    ic.ins += 1
-                    ic.ins_time += hmm.l.ins_wait
+                    ic.ins += w
+                    ic.ins_time += hmm.l.ins_wait * w
         elif s == IDM:
             if not y_null:
                 if ss in (IMM, IDM):
-                    ic.ins_time += hmm.r.t
-                    ic.del_time += hmm.r.t
+                    ic.ins_time += hmm.r.t * w
+                    ic.del_time += hmm.r.t * w
                 if ss == s:
-                    ic.del_ext += 1
+                    ic.del_ext += w
                 else:
-                    ic.del_ += 1
-                    ic.del_time += hmm.l.del_wait
+                    ic.del_ += w
+                    ic.del_time += hmm.l.del_wait * w
         elif s == IMI:
             if not y_null:
                 if ss == s:
-                    ic.ins_ext += 1
+                    ic.ins_ext += w
                 else:
-                    ic.ins += 1
-                    ic.ins_time += hmm.r.ins_wait
-        return c
+                    ic.ins += w
+                    ic.ins_time += hmm.r.ins_wait * w
 
     def get_alignment_column(self, c) -> dict[int, str]:
         """Characters at this cell's column (forward.cpp:938-973)."""
@@ -1438,17 +1459,15 @@ class BackwardMatrix(DPMatrix):
                 fill.accumulate_eigen_counts(counts.root_count, counts.eigen_count, weights)
 
         # transition indel counts (host walk over posterior-reachable cells)
+        cells = fwd.cells
+        lp_end = fwd.lp_end
         for i, j, s, _ in cells_w:
             dest = (i, j, s)
             lp_dest = self.cells[i, j, s]
             for src, lp_trans in fwd.source_transitions(dest).items():
-                w = np.exp(
-                    fwd.cells[src[0], src[1], src[2]] + lp_trans + lp_dest - fwd.lp_end
-                )
+                w = np.exp(cells[src[0], src[1], src[2]] + lp_trans + lp_dest - lp_end)
                 if w > 0:
-                    tc = fwd.transition_eigen_counts(src, dest)
-                    tc *= w
-                    counts += tc
+                    fwd.accumulate_transition_counts(counts, src, dest, float(w))
         return counts
 
     def _positive_posterior_cells(self) -> list:

@@ -101,6 +101,16 @@ class IndelCounts:
         c.__dict__.update(self.__dict__)
         return c
 
+    def add_scaled(self, o: "IndelCounts", w: float) -> None:
+        """self += o * w without a temporary."""
+        self.ins += o.ins * w
+        self.del_ += o.del_ * w
+        self.ins_ext += o.ins_ext * w
+        self.del_ext += o.del_ext * w
+        self.ins_time += o.ins_time * w
+        self.del_time += o.del_time * w
+        self.lp += o.lp * w
+
     def accumulate_branch(self, model: RateModel, time: float, parent_path: np.ndarray, child_path: np.ndarray, weight: float = 1.0) -> None:
         """Walk one parent/child alignment-path pair (model.cpp:847-893)."""
         ins_wait = decay_wait_time(model.ins_rate, time)
@@ -419,6 +429,18 @@ class EigenCounts:
         self.root_count *= w
         self.eigen_count *= w
         return self
+
+    def add_scaled(self, o: "EigenCounts", w: float) -> None:
+        """self += o * w in one array pass per field (hot accumulation
+        loops; avoids the copy/scale/add temporaries of `+= o * w`)."""
+        self.indel.add_scaled(o.indel, w)
+        if o.components > 0:
+            if self.components == 0:
+                self.root_count = o.root_count * w
+                self.eigen_count = o.eigen_count * w
+            else:
+                self.root_count += o.root_count * w
+                self.eigen_count += o.eigen_count * w
 
     def transform(self, model: RateModel) -> EventCounts:
         """Rotate to alphabet basis -> EventCounts (model.cpp:924-931)."""
