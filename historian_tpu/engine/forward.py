@@ -1081,9 +1081,13 @@ class ForwardMatrix(DPMatrix):
         want_counts = strategy & (COUNT_SUBST_EVENTS | COUNT_INDEL_EVENTS)
         if (strategy & COUNT_SUBST_EVENTS) and self.sumprod is not None:
             # eliminated cells each need their column's substitution
-            # counts; batch all those columns through one fill up front
+            # counts; batch all those columns through one fill up front.
+            # REVERSED: the elimination loop below iterates cells in
+            # reverse toposort order, and the reference's lazy x/y-insert
+            # caches keep the FIRST cell requested in that order -- seed
+            # the caches with the same representatives.
             self.precompute_cell_counts(
-                c for c in sorted_cells if c not in prof_state_index
+                c for c in reversed(sorted_cells) if c not in prof_state_index
             )
 
         # effective transitions: effTrans[srcCell][destStateIdx]
@@ -1419,6 +1423,15 @@ class BackwardMatrix(DPMatrix):
         weights, and ALL distinct columns run through ONE batched
         sum-product fill with per-column weights.  Only the
         indel-bookkeeping transition walk stays per-transition on host.
+
+        The column representing an x/y key replicates the reference's
+        cache-population order: accumulateCachedEigenCounts runs over ALL
+        in-envelope cells (weight 0 included) in (i, j, s) scan order, and
+        every (i, j) has a qualifying changesX state, so xInsertCounts[i]
+        caches the column of cell (i, j_first(i)) where j_first is the
+        first in-envelope column of row i -- EMPTY when that cell sits on
+        the j=0 border (getAlignmentColumn's range guard).  Mirrored for
+        y keys.
         """
         fwd = self.fwd
         counts = EigenCounts(self.hmm.components, self.hmm.alphabet_size)
@@ -1443,13 +1456,36 @@ class BackwardMatrix(DPMatrix):
                     key = ("cell", c)
                 col_weight[key] = col_weight.get(key, 0.0) + w
                 col_cells.setdefault(key, c)
-            keys = [k for k in col_weight if fwd.get_alignment_column(col_cells[k])]
+
+            # reference cache-representative columns (see docstring)
+            m = self.env_mask[: self.x_size - 1, : self.y_size - 1]
+            any_j = m.any(axis=1)
+            j_first = np.where(any_j, m.argmax(axis=1), -1)
+            any_i = m.any(axis=0)
+            i_first = np.where(any_i, m.argmax(axis=0), -1)
+
+            def key_column(key):
+                kind = key[0]
+                if kind == "cell":
+                    return fwd.get_alignment_column(col_cells[key])
+                if kind == "x":
+                    i = key[1]
+                    if 0 < i < self.x_size - 1 and j_first[i] > 0:
+                        return fwd.x.align_column(i)
+                    return {}
+                j = key[1]
+                if 0 < j < self.y_size - 1 and i_first[j] > 0:
+                    return fwd.y.align_column(j)
+                return {}
+
+            cols = {k: key_column(k) for k in col_weight}
+            keys = [k for k in col_weight if cols[k]]
             if keys:
                 n_nodes = fwd.sumprod.arrays.n_nodes
                 tokens = np.full((n_nodes, len(keys)), -1, dtype=np.int32)
                 alphabet = fwd.sumprod.model.alphabet
                 for idx, k in enumerate(keys):
-                    for node, ch in fwd.get_alignment_column(col_cells[k]).items():
+                    for node, ch in cols[k].items():
                         if ch in "-.":
                             continue
                         tok = alphabet.tokenize_char(ch)
