@@ -217,6 +217,10 @@ def calc_ins_probs(child_pwm: np.ndarray, log_ins_prob: np.ndarray, log_cpt_weig
     """ins[l] = lse_{c,i}(log w_c + log insProb[c,i] + pwm[l,c,i])."""
     from scipy.special import logsumexp
 
+    if len(child_pwm) == 0:
+        # empty PWM (e.g. a regrafted parent that aligned no residues);
+        # scipy >= 1.17 logsumexp rejects tuple axes on empty arrays
+        return np.zeros(0)
     return logsumexp(
         child_pwm + log_ins_prob[None, :, :] + log_cpt_weight[None, :, None], axis=(1, 2)
     )

@@ -374,3 +374,16 @@ def test_branch_matrix_matches_exhaustive_enumeration(ref_data):
 
     dfs(0, 0, MATCH, 1.0)  # Start aliases Match
     assert abs(bm.lp_end - math.log(total[0])) < 1e-9, (bm.lp_end, math.log(total[0]))
+
+
+def test_calc_ins_probs_empty_pwm():
+    """Empty PWMs (a regrafted parent aligning zero residues) must not
+    crash: scipy >= 1.17 logsumexp rejects tuple axes on empty arrays."""
+    import numpy as np
+
+    from historian_tpu.engine.treealign import calc_ins_probs
+
+    out = calc_ins_probs(
+        np.zeros((0, 1, 20)), np.zeros((1, 20)), np.zeros(1)
+    )
+    assert out.shape == (0,)
