@@ -100,11 +100,19 @@ class SumProductEngine:
         arr = self.arrays
         n = arr.n_nodes
         a = self.model.alphabet_size
-        # bucket the column count to a multiple of 64 with all-gap columns
-        # (independent under vmap; results sliced off) so realignments
-        # during MCMC/refinement reuse jit compilations
+        # bucket the column count with all-gap columns (independent under
+        # vmap; results sliced off) so realignments during MCMC/refinement
+        # and varying count batches reuse jit compilations.  Buckets are
+        # 64-multiples up to 1024, then geometric (~1/16 granularity) so
+        # big batches stay within a few dozen compiled shapes
         L = tokens.shape[1]
-        pad = (-L) % 64 if L > 1 else 0
+        if L <= 1:
+            pad = 0
+        elif L <= 1024:
+            pad = (-L) % 64
+        else:
+            unit = 1 << (L.bit_length() - 4)
+            pad = (-L) % unit
         if pad:
             tokens_p = np.concatenate(
                 [tokens, np.full((tokens.shape[0], pad), GAP_TOK, tokens.dtype)], axis=1
