@@ -1,22 +1,26 @@
 #!/usr/bin/env python
 """Simulation-based rate-recovery benchmark (the doc/sim analogue).
 
-Mirrors the reference's doc/sim/Makefile loop: simulate alignments down
-a tree under known indel rates, then re-estimate the rates and report
-the recovery ratio est/true (the reference's headline table,
-doc/sim/gp120.1-100.summary: true-alignment 0.90, Historian 0.70).
+Mirrors the reference's doc/sim/Makefile gp120 protocol exactly
+(doc/sim/Makefile:44-100; published summary doc/sim/gp120.1-100.summary:
+ma 0.90, hist 0.70):
 
-Two estimates are reported per replicate set:
-- "true-alignment": EM fit given the simulated alignment + tree
-  (upper bound -- measures count extraction + M-step only);
-- "reconstructed": degap, reconstruct with the CLI, then fit
-  (the full pipeline the reference scores).
+- simulate:  generate -preset dayhoff -gaprate 0.028 -gapextprob 0.68
+             <gp120 tree> -rootlen 500        (rates from doc/sim/gp120.json:
+             (insrate+delrate)/2 = 0.028, harmonic-mean extprob = 0.68)
+- "ma":      fit -fast -fixsubrates -band 1 on the TRUE alignment
+             (all rows incl. ancestors, NJ tree -- %.ma.json recipe)
+- "hist":    fit -fast -fixsubrates on the unaligned leaves
+             (EM re-reconstructs each iteration -- %.hist.json recipe)
+
+Reported per mode: mean(est_ins/true), mean(est_del/true).
 
 Usage: python tools/bench_simulation.py [-platform cpu] [-n replicates]
 """
 
 from __future__ import annotations
 
+import json
 import os
 import subprocess
 import sys
@@ -25,7 +29,10 @@ import tempfile
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-TREE = "((((a:0.3,b:0.3):0.2,(c:0.4,d:0.4):0.1):0.2,(e:0.5,f:0.5):0.2):0.1,(g:0.6,h:0.6):0.2)root;"
+GP120_TREE = "/root/reference/data/gp120.tree.nh"
+TRUE_RATE = 0.028      # -gaprate: both insrate and delrate
+TRUE_EXT = 0.68        # -gapextprob
+ROOT_LEN = 500
 
 
 def run(args: list[str]) -> str:
@@ -39,61 +46,63 @@ def run(args: list[str]) -> str:
 
 
 def main() -> None:
-    import json
-
     args = sys.argv[1:]
     platform = []
     if "-platform" in args:
         i = args.index("-platform")
         platform = args[i : i + 2]
     n = int(args[args.index("-n") + 1]) if "-n" in args else 5
-    true_ins = true_del = 0.02
 
-    model_flags = ["-preset", "lg", "-insrate", str(true_ins), "-delrate", str(true_del),
-                   "-inslen", "3", "-dellen", "3"]
-    est_true, est_recon = [], []
+    sim_flags = ["-preset", "dayhoff", "-gaprate", str(TRUE_RATE),
+                 "-gapextprob", str(TRUE_EXT), "-rootlen", str(ROOT_LEN)]
+    est_ma, est_hist = [], []
     with tempfile.TemporaryDirectory() as tmp:
-        tree_path = os.path.join(tmp, "t.nh")
-        with open(tree_path, "w") as f:
-            f.write(TREE + "\n")
         for rep in range(n):
-            stock = run(["generate"] + platform + model_flags + ["-seed", str(100 + rep), tree_path])
+            stock = run(["generate"] + platform + sim_flags
+                        + ["-seed", str(1000 + rep), GP120_TREE])
             sim_path = os.path.join(tmp, f"sim{rep}.stock")
             with open(sim_path, "w") as f:
                 f.write(stock)
 
-            # fit on the true alignment (tree embedded in the Stockholm)
-            fitted = json.loads(run(
-                ["fit"] + platform + ["-preset", "lg", "-fixsubrates", "-stockrecon", sim_path]
-            ))
-            est_true.append((fitted["insrate"], fitted["delrate"]))
-
-            # full pipeline: degap, reconstruct, fit
-            seq_path = os.path.join(tmp, f"seqs{rep}.fa")
             from historian_tpu.core.stockholm import Stockholm
 
-            leaves = [s for s in Stockholm.read(sim_path).gapped if not s.name.startswith("node")]
-            with open(seq_path, "w") as f:
-                for s in leaves:
-                    f.write(f">{s.name}\n{s.seq.replace('-', '').replace('.', '')}\n")
-            recon_path = os.path.join(tmp, f"recon{rep}.stock")
-            with open(recon_path, "w") as f:
-                f.write(run(["recon"] + platform + ["-preset", "lg", "-norefine",
-                             "-output", "stockholm", seq_path]))
+            rows = Stockholm.read(sim_path).gapped
+            ma_path = os.path.join(tmp, f"sim{rep}.ma.fa")
+            with open(ma_path, "w") as f:
+                for s in rows:
+                    f.write(f">{s.name}\n{s.seq}\n")
+            leaf_path = os.path.join(tmp, f"sim{rep}.leaf.fa")
+            with open(leaf_path, "w") as f:
+                for s in rows:
+                    if not s.name.startswith("node"):
+                        f.write(f">{s.name}\n{s.seq.replace('-', '').replace('.', '')}\n")
+
+            # "ma": true alignment (ancestors included), NJ tree, band 1
             fitted = json.loads(run(
-                ["fit"] + platform + ["-preset", "lg", "-fixsubrates", "-stockrecon", recon_path]
+                ["fit"] + platform
+                + ["-fast", "-fixsubrates", "-band", "1", ma_path]
             ))
-            est_recon.append((fitted["insrate"], fitted["delrate"]))
-            print(f"rep {rep}: true-align ins/del = {est_true[-1][0]:.4f}/{est_true[-1][1]:.4f}  "
-                  f"recon ins/del = {est_recon[-1][0]:.4f}/{est_recon[-1][1]:.4f}")
+            est_ma.append((fitted["insrate"], fitted["delrate"]))
 
-    def ratio(pairs):
-        mean_ins = sum(p[0] for p in pairs) / len(pairs)
-        mean_del = sum(p[1] for p in pairs) / len(pairs)
-        return (mean_ins / true_ins + mean_del / true_del) / 2
+            # "hist": unaligned leaves, EM with internal reconstruction
+            fitted = json.loads(run(
+                ["fit"] + platform + ["-fast", "-fixsubrates", leaf_path]
+            ))
+            est_hist.append((fitted["insrate"], fitted["delrate"]))
+            print(f"rep {rep}: ma ins/del = {est_ma[-1][0]:.4f}/{est_ma[-1][1]:.4f}  "
+                  f"hist ins/del = {est_hist[-1][0]:.4f}/{est_hist[-1][1]:.4f}",
+                  flush=True)
 
-    print(f"recovery ratio (est/true): true-alignment {ratio(est_true):.2f}  "
-          f"reconstructed {ratio(est_recon):.2f}")
+    def ratios(pairs):
+        mi = sum(p[0] for p in pairs) / len(pairs) / TRUE_RATE
+        md = sum(p[1] for p in pairs) / len(pairs) / TRUE_RATE
+        return mi, md
+
+    ma_i, ma_d = ratios(est_ma)
+    h_i, h_d = ratios(est_hist)
+    print(f"recovery est/true -- ma: ins {ma_i:.2f} del {ma_d:.2f} "
+          f"(reference published 0.90/0.90); "
+          f"hist: ins {h_i:.2f} del {h_d:.2f} (reference published 0.70/0.70)")
 
 
 if __name__ == "__main__":
