@@ -354,8 +354,11 @@ class SumProductFill:
         batches keep the numpy formulation, which pins byte-exact golden
         outputs.
         """
-        if self.n_columns >= 512 and self.engine.count_device_ok:
-            self._accumulate_eigen_counts_device(root_counts, eigen_counts, weight)
+        if self.n_columns >= 512:
+            if self.engine.count_device_ok:
+                self._accumulate_eigen_counts_device(root_counts, eigen_counts, weight)
+            else:
+                self._accumulate_eigen_counts_device_cplx(root_counts, eigen_counts, weight)
             return
         self.accumulate_root_counts(root_counts, weight)
         eng = self.engine
@@ -441,6 +444,14 @@ class SumProductFill:
             )
         )
 
+        self._accumulate_root_counts_device(root_counts, w_col)
+
+    def _accumulate_root_counts_device(self, root_counts: np.ndarray, w_col: np.ndarray) -> None:
+        """Device-fused root-count accumulation over the root-bearing columns."""
+        from historian_tpu.ops.felsenstein import _root_counts_batch
+
+        eng = self.engine
+        dev = self._device
         roots = self.column_root_array()
         sel = roots >= 0
         if not np.any(sel):
@@ -464,6 +475,58 @@ class SumProductFill:
                 jnp.asarray(eng.log_cpt_weight), jnp.asarray(eng.ins_prob),
             )
         )
+
+    _CPLX_COUNT_CHUNK = 8192
+
+    def _accumulate_eigen_counts_device_cplx(self, root_counts: np.ndarray, eigen_counts: np.ndarray, weight) -> None:
+        """Device path for complex eigensystems (non-reversible models like
+        the ECM codon matrices): the contraction is decomposed into real
+        einsums (`_eigen_counts_batch_cplx`) and run over fixed-size column
+        chunks — one compiled shape regardless of batch size, bounded
+        intermediates — accumulating [C, A, A] partials on device."""
+        from historian_tpu.ops.felsenstein import _eigen_counts_batch_cplx
+
+        eng = self.engine
+        arr = eng.arrays
+        L = self.n_columns
+        dev = self._device
+
+        gap = self.tokens.T == GAP_TOK  # [L, N]
+        parent = arr.parent
+        parent_safe = np.maximum(parent, 0)
+        sib_safe = np.maximum(arr.sibling, 0)
+        mask = (~gap) & (parent >= 0)[None, :] & ~gap[:, parent_safe]
+        w_col = np.broadcast_to(np.asarray(weight, dtype=float), (L,))
+
+        e = eng.eigen
+        p_s = jnp.asarray(parent_safe)
+        s_s = jnp.asarray(sib_safe)
+        lcw = jnp.asarray(eng.log_cpt_weight)
+        evr = jnp.asarray(np.ascontiguousarray(e.evec.real))
+        evi = jnp.asarray(np.ascontiguousarray(e.evec.imag))
+        eir = jnp.asarray(np.ascontiguousarray(e.evec_inv.real))
+        eii = jnp.asarray(np.ascontiguousarray(e.evec_inv.imag))
+        jr = jnp.asarray(np.ascontiguousarray(eng.branch_eigen_sub_count.real))
+        ji = jnp.asarray(np.ascontiguousarray(eng.branch_eigen_sub_count.imag))
+
+        chunk = self._CPLX_COUNT_CHUNK
+        pad = (-L) % chunk
+
+        def pad_l(a):
+            if not pad:
+                return a
+            return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+
+        mask_p = np.concatenate([mask, np.zeros((pad,) + mask.shape[1:], bool)]) if pad else mask
+        w_p = np.concatenate([w_col, np.zeros(pad)]) if pad else w_col
+        out_r, out_i = _eigen_counts_batch_cplx(
+            pad_l(dev["F"]), pad_l(dev["logF"]), pad_l(dev["E"]), pad_l(dev["logE"]),
+            pad_l(dev["G"]), pad_l(dev["logG"]), pad_l(dev["col_ll"]),
+            p_s, s_s, jnp.asarray(mask_p), jnp.asarray(w_p), lcw,
+            evr, evi, eir, eii, jr, ji, chunk=chunk,
+        )
+        eigen_counts += np.asarray(out_r) + 1j * np.asarray(out_i)
+        self._accumulate_root_counts_device(root_counts, w_col)
 
     def per_column_eigen_counts(self, chunk: int = 1024):
         """(root[L, C, A] real, eigen[L, C, A, A] complex): each column's

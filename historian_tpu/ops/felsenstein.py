@@ -266,6 +266,73 @@ def _eigen_counts_batch(F, logF, E, logE, G, logG, col_ll, parent_safe,
     return jnp.einsum("lnc,lnck,lncm,nckm->ckm", w, db, ub, j_r)
 
 
+def _eigen_counts_core_cplx(F, logF, E, logE, G, logG, col_ll, parent_safe,
+                            sib_safe, mask, w_col, log_cpt_weight,
+                            evec_r, evec_i, evec_inv_r, evec_inv_i, j_r, j_i):
+    """Complex-eigensystem variant of `_eigen_counts_batch`, decomposed
+    into real einsums so it runs on backends without complex support
+    (TPU): with real messages D0, U0 and complex evec/evecInv/J,
+
+      out[c,k,m] = sum_{l,n} w * (D0 . evec)_k (U0 . evecInv^T)_m J_km
+
+    expands to products of the real/imaginary projections.  Returns
+    (real, imag) float64 [C, A, A] pairs."""
+    D0 = G[:, parent_safe] * E[:, sib_safe]
+    log_scale = (
+        log_cpt_weight[None, None, :]
+        + logF
+        + logG[:, parent_safe]
+        + logE[:, sib_safe]
+        - col_ll[:, None, None]
+    )
+    w = jnp.where(mask[:, :, None], jnp.exp(log_scale), 0.0) * w_col[:, None, None]
+    wD = w[..., None] * D0
+    db_r = jnp.einsum("lnca,cak->lnck", wD, evec_r)
+    db_i = jnp.einsum("lnca,cak->lnck", wD, evec_i)
+    ub_r = jnp.einsum("lncb,cmb->lncm", F, evec_inv_r)
+    ub_i = jnp.einsum("lncb,cmb->lncm", F, evec_inv_i)
+    s_r = (jnp.einsum("lnck,lncm->nckm", db_r, ub_r)
+           - jnp.einsum("lnck,lncm->nckm", db_i, ub_i))
+    s_i = (jnp.einsum("lnck,lncm->nckm", db_r, ub_i)
+           + jnp.einsum("lnck,lncm->nckm", db_i, ub_r))
+    out_r = (jnp.einsum("nckm,nckm->ckm", s_r, j_r)
+             - jnp.einsum("nckm,nckm->ckm", s_i, j_i))
+    out_i = (jnp.einsum("nckm,nckm->ckm", s_r, j_i)
+             + jnp.einsum("nckm,nckm->ckm", s_i, j_r))
+    return out_r, out_i
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _eigen_counts_batch_cplx(F, logF, E, logE, G, logG, col_ll, parent_safe,
+                             sib_safe, mask, w_col, log_cpt_weight,
+                             evec_r, evec_i, evec_inv_r, evec_inv_i, j_r, j_i,
+                             chunk=8192):
+    """Chunked scan over `_eigen_counts_core_cplx`: the column axis (a
+    multiple of `chunk`, caller-padded with mask=False tails) is reshaped
+    to [n_chunks, chunk, ...] so intermediates stay chunk-sized while the
+    whole accumulation runs in one device dispatch."""
+    n_chunks = F.shape[0] // chunk
+
+    def re(a):
+        return a.reshape((n_chunks, chunk) + a.shape[1:])
+
+    xs = tuple(re(a) for a in (F, logF, E, logE, G, logG, col_ll, mask, w_col))
+    a = evec_r.shape[1]
+    c = evec_r.shape[0]
+    init = (jnp.zeros((c, a, a), F.dtype), jnp.zeros((c, a, a), F.dtype))
+
+    def body(acc, x):
+        f, lf, e, le, g, lg, cl, m, w = x
+        r, i = _eigen_counts_core_cplx(
+            f, lf, e, le, g, lg, cl, parent_safe, sib_safe, m, w,
+            log_cpt_weight, evec_r, evec_i, evec_inv_r, evec_inv_i, j_r, j_i,
+        )
+        return (acc[0] + r, acc[1] + i), None
+
+    (out_r, out_i), _ = jax.lax.scan(body, init, xs)
+    return out_r, out_i
+
+
 @jax.jit
 def _root_counts_batch(F_sel, logF_sel, col_ll_sel, w_sel, log_cpt_weight, ins_prob):
     """[C, A] root count accumulation over the root-bearing columns
