@@ -18,11 +18,34 @@ jax.config.update("jax_enable_x64", True)
 # (fills are bucketed for exactly this reason), so cold-start compiles are
 # pure waste after the first run. HISTORIAN_JAX_CACHE=0 disables; any other
 # value overrides the cache directory.
+def _machine_key() -> str:
+    """Cache-key the host CPU: XLA:CPU persists AOT executables whose key
+    does not include machine features, so a cache written on one
+    microarchitecture can SIGILL on another. Isolate per feature set."""
+    import hashlib
+    import platform
+
+    tag = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    tag += line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(tag.encode()).hexdigest()[:12]
+
+
 _cache_dir = os.environ.get(
     "HISTORIAN_JAX_CACHE",
-    os.path.join(os.path.expanduser("~"), ".cache", "historian_tpu", "xla"),
+    os.path.join(
+        os.path.expanduser("~"), ".cache", "historian_tpu", "xla-" + _machine_key()
+    ),
 )
 if _cache_dir != "0":
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    # default threshold (1s) would skip the many ~100ms CPU kernels
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    # The default 1s min-compile-time threshold is deliberate: it keeps the
+    # many ~100ms XLA:CPU kernels out of the cache (their AOT entries spam
+    # feature-mismatch warnings on every load) while still caching every
+    # TPU compile, which goes through a slow remote tunnel (~20-60s/shape).
