@@ -827,11 +827,16 @@ class ForwardMatrix(DPMatrix):
     def _transition_indel_scalars(self, src, dest, ic, w: float) -> None:
         """Scalar indel-event bookkeeping for one transition
         (forward.cpp:579-652), scaled by w."""
-        hmm = self.hmm
         i, j, s = dest
-        ss = src[2]
-        x_null = self.x_null[i]
-        y_null = self.y_null[j]
+        self._indel_scalars_cat(
+            self.hmm, src[2], s, bool(self.x_null[i]), bool(self.y_null[j]), ic, w
+        )
+
+    @staticmethod
+    def _indel_scalars_cat(hmm, ss: int, s: int, x_null: bool, y_null: bool, ic, w: float) -> None:
+        """The same bookkeeping keyed by its actual inputs -- (src state,
+        dest state, x_null[dest.i], y_null[dest.j]) -- so natively pooled
+        per-category weights apply it once per category."""
         if s == IMM:
             if not x_null and not y_null:
                 if ss in (IMM, IMD):
@@ -1494,7 +1499,15 @@ class BackwardMatrix(DPMatrix):
                 weights = np.array([col_weight[k] for k in keys])
                 fill.accumulate_eigen_counts(counts.root_count, counts.eigen_count, weights)
 
-        # transition indel counts (host walk over posterior-reachable cells)
+        # transition indel counts: natively pooled per profile edge and per
+        # (src state, dest state, null-flag) category when the host runtime
+        # is available; otherwise the per-transition walk
+        from historian_tpu.native import get_native
+
+        lib = get_native()
+        if lib is not None:
+            self._accumulate_transition_counts_native(lib, counts)
+            return counts
         cells = fwd.cells
         lp_end = fwd.lp_end
         for i, j, s, _ in cells_w:
@@ -1505,6 +1518,46 @@ class BackwardMatrix(DPMatrix):
                 if w > 0:
                     fwd.accumulate_transition_counts(counts, src, dest, float(w))
         return counts
+
+    def _accumulate_transition_counts_native(self, lib, counts) -> None:
+        """Pooled-weight form of the transition walk: the native runtime
+        sums posterior transition weights per x/y profile edge and per
+        (src state, dest state, x_null, y_null) category (the only inputs
+        of the scalar indel bookkeeping), so the python side applies each
+        edge's count payload and each category's formulas exactly once."""
+        from historian_tpu.native import csr_in_edges_idx
+
+        fwd = self.fwd
+        x_ptr, x_src, x_lp, x_edge = csr_in_edges_idx(fwd.x)
+        y_ptr, y_src, y_lp, y_edge = csr_in_edges_idx(fwd.y)
+        wx = np.zeros(len(fwd.x.trans))
+        wy = np.zeros(len(fwd.y.trans))
+        wcat = np.zeros(5 * 5 * 2 * 2)
+        lib.transition_pool(
+            self.x_size, self.y_size,
+            fwd.cells, self.cells, self.env_mask_u8, float(fwd.lp_end),
+            x_ptr, x_src, x_lp, x_edge, y_ptr, y_src, y_lp, y_edge,
+            self.x_null.astype(np.uint8), self.y_null.astype(np.uint8),
+            self.x_ready.astype(np.uint8), self.y_ready.astype(np.uint8),
+            self.x_emit_or_start.astype(np.uint8),
+            np.uint8(self.x_empty), np.uint8(self.y_empty),
+            self.insx, self.rootsubx, self.insy, self.rootsuby,
+            np.ascontiguousarray(self.absorb), self.hmm.trans_table,
+            len(fwd.x.trans), len(fwd.y.trans),
+            wx, wy, wcat,
+        )
+        for prof, w_edge in ((fwd.x, wx), (fwd.y, wy)):
+            for t in np.nonzero(w_edge)[0]:
+                tr = prof.trans[t]
+                if tr.counts is not None:
+                    counts.add_scaled(tr.counts, float(w_edge[t]))
+        for k in np.nonzero(wcat)[0]:
+            ss, rem = divmod(int(k), 20)
+            s, flags = divmod(rem, 4)
+            xn, yn = divmod(flags, 2)
+            fwd._indel_scalars_cat(
+                self.hmm, ss, s, bool(xn), bool(yn), counts.indel, float(wcat[k])
+            )
 
     def _positive_posterior_cells(self) -> list:
         """[(i, j, s, w)] for every in-band cell with posterior weight

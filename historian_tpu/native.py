@@ -92,6 +92,20 @@ def get_native():
             ndpointer(dtype=np.int64, ndim=2, flags="C_CONTIGUOUS"),  # out_ijs
             _f64(),  # out_lpp
         ]
+        lib.transition_pool.restype = None
+        lib.transition_pool.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            _f64(3), _f64(3), _u8(2),  # fwd cells, bwd cells, env_mask
+            ctypes.c_double,  # lp_end
+            _i64(), _i64(), _f64(), _i64(),  # x in-edges (CSR + edge idx)
+            _i64(), _i64(), _f64(), _i64(),  # y in-edges
+            _u8(), _u8(), _u8(), _u8(), _u8(),  # x_null, y_null, x_ready, y_ready, x_emit_or_start
+            ctypes.c_uint8, ctypes.c_uint8,  # x_empty, y_empty
+            _f64(), _f64(), _f64(), _f64(),  # insx, rootsubx, insy, rootsuby
+            _f64(2), _f64(2),  # absorb, trans_table [6,6]
+            ctypes.c_int64, ctypes.c_int64,  # n_x_trans, n_y_trans
+            _f64(), _f64(), _f64(),  # wx, wy, wcat out
+        ]
         lib.backward_fill.restype = None
         lib.backward_fill.argtypes = [
             ctypes.c_int64, ctypes.c_int64,
@@ -122,6 +136,28 @@ def csr_in_edges(profile):
             lps.append(profile.trans[t].lp)
         ptr[i + 1] = len(srcs)
     return ptr, np.array(srcs, dtype=np.int64), np.array(lps, dtype=np.float64)
+
+
+def csr_in_edges_idx(profile):
+    """CSR in-edge arrays (ptr, src, lp, edge) -- like `csr_in_edges` but
+    also returning each entry's index into profile.trans, so natively
+    pooled per-edge weights map back to the transitions' count payloads."""
+    ptr = np.zeros(profile.size + 1, dtype=np.int64)
+    srcs: list[int] = []
+    lps: list[float] = []
+    edges: list[int] = []
+    for i, st in enumerate(profile.states):
+        for t in st.in_trans:
+            srcs.append(profile.trans[t].src)
+            lps.append(profile.trans[t].lp)
+            edges.append(t)
+        ptr[i + 1] = len(srcs)
+    return (
+        ptr,
+        np.array(srcs, dtype=np.int64),
+        np.array(lps, dtype=np.float64),
+        np.array(edges, dtype=np.int64),
+    )
 
 
 def csr_out_edges(profile, attr: str):

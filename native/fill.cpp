@@ -20,6 +20,10 @@
 #include <thread>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 #ifndef MADV_POPULATE_WRITE
 #define MADV_POPULATE_WRITE 23
 #endif
@@ -714,4 +718,208 @@ extern "C" void sibling_fill(
   *lp_end_out = sib::lse_list(v, 4);
   #undef T
   #undef C
+}
+
+// ---------------------------------------------------------------------------
+// Pooled posterior transition weights for count extraction (the reference's
+// getCounts transition walk, forward.cpp:1183-1214; python mirror
+// engine/forward.py BackwardMatrix.get_counts).  For every in-envelope cell
+// with positive posterior, enumerate its source transitions exactly as
+// ForwardMatrix.source_transitions does, with w = exp(fwd[src] + lp_trans +
+// lp_emit_or_absorb(dest) + bwd[dest] - lp_end), and pool:
+//   wx[edge]                      per x-profile transition (x-moving)
+//   wy[edge]                      per y-profile transition (y-moving)
+//   wcat[((ss*5 + s)*2 + xn)*2 + yn]   per (src state, dest state,
+//       x_null[dest.i], y_null[dest.j]) -- the only inputs of the scalar
+//       indel bookkeeping, applied once per category on the python side.
+namespace pool {
+
+static const int SRC_IMM[5] = {IMM, IMD, IDM, IMI, IIW};
+static const int SRC_IMD[4] = {IMM, IMD, IDM, IMI};
+static const int SRC_IDM[4] = {IMM, IMD, IDM, IIW};
+static const int SRC_IMI[2] = {IMM, IMI};
+static const int SRC_IIW[3] = {IMM, IIW, IMI};
+
+static inline const int* sources(int s, int* n) {
+  switch (s) {
+    case IMM: *n = 5; return SRC_IMM;
+    case IMD: *n = 4; return SRC_IMD;
+    case IDM: *n = 4; return SRC_IDM;
+    case IMI: *n = 2; return SRC_IMI;
+    default:  *n = 3; return SRC_IIW;
+  }
+}
+
+}  // namespace pool
+
+extern "C" void transition_pool(
+    int64_t sx, int64_t sy,
+    const double* fwd,        // [sx * sy * 5]
+    const double* bwd,        // [sx * sy * 5]
+    const uint8_t* env_mask,  // [sx * sy]
+    double lp_end,
+    const int64_t* x_in_ptr, const int64_t* x_in_src,
+    const double* x_in_lp, const int64_t* x_in_edge,
+    const int64_t* y_in_ptr, const int64_t* y_in_src,
+    const double* y_in_lp, const int64_t* y_in_edge,
+    const uint8_t* x_null, const uint8_t* y_null,
+    const uint8_t* x_ready, const uint8_t* y_ready,
+    const uint8_t* x_emit_or_start,
+    uint8_t x_empty, uint8_t y_empty,
+    const double* insx, const double* rootsubx,
+    const double* insy, const double* rootsuby,
+    const double* absorb,     // [sx * sy]
+    const double* trans_tab,  // [6 * 6] lp_trans, -inf where disallowed
+    int64_t n_x_trans, int64_t n_y_trans,
+    double* wx,               // [n_x_trans] out, caller-zeroed
+    double* wy,               // [n_y_trans] out, caller-zeroed
+    double* wcat              // [5 * 5 * 2 * 2] out, caller-zeroed
+) {
+  #define FWD(i, j, s) fwd[(((i) * sy) + (j)) * 5 + (s)]
+  #define TAB(ss, s) trans_tab[(ss) * 6 + (s)]
+  const int n_threads =
+  #ifdef _OPENMP
+      omp_get_max_threads();
+  #else
+      1;
+  #endif
+  std::vector<std::vector<double>> twx(n_threads), twy(n_threads), twc(n_threads);
+
+  #pragma omp parallel
+  {
+    const int tid =
+    #ifdef _OPENMP
+        omp_get_thread_num();
+    #else
+        0;
+    #endif
+    std::vector<double>& lwx = twx[tid];
+    std::vector<double>& lwy = twy[tid];
+    std::vector<double>& lwc = twc[tid];
+    lwx.assign(n_x_trans, 0.0);
+    lwy.assign(n_y_trans, 0.0);
+    lwc.assign(5 * 5 * 2 * 2, 0.0);
+
+    #pragma omp for schedule(dynamic, 4)
+    for (int64_t i = 0; i < sx - 1; ++i) {
+      const uint8_t xn = x_null[i];
+      for (int64_t j = 0; j < sy - 1; ++j) {
+        if (!env_mask[i * sy + j]) continue;
+        const uint8_t yn = y_null[j];
+        const double* bc = bwd + ((i * sy) + j) * 5;
+        const double* fc = fwd + ((i * sy) + j) * 5;
+        for (int s = 0; s < 5; ++s) {
+          const double post = exp(fc[s] + bc[s] - lp_end);
+          if (!(post > 0.0)) continue;
+          // lp_cell_emit_or_absorb(dest)
+          double lp_abs = 0.0;
+          if (s == IMD && !xn) lp_abs = rootsubx[i];
+          else if (s == IIW && !xn) lp_abs = insx[i];
+          else if (s == IDM && !yn) lp_abs = rootsuby[j];
+          else if (s == IMI && !yn) lp_abs = insy[j];
+          else if (s == IMM && !xn && !yn) lp_abs = absorb[i * sy + j];
+          const double base = lp_abs + bc[s] - lp_end;
+          const int cat_base = (s * 2 + xn) * 2 + yn;  // + ss*5*2*2
+
+          if (s == IMD || s == IIW) {
+            if (xn) {
+              if (y_ready[j] || y_empty) {
+                for (int64_t e = x_in_ptr[i]; e < x_in_ptr[i + 1]; ++e) {
+                  const double w = exp(FWD(x_in_src[e], j, s) + x_in_lp[e] + base);
+                  if (w > 0.0) {
+                    lwx[x_in_edge[e]] += w;
+                    lwc[s * 20 + cat_base] += w;
+                  }
+                }
+              }
+            } else if (y_ready[j] || y_empty) {
+              int ns; const int* srcs = pool::sources(s, &ns);
+              for (int64_t e = x_in_ptr[i]; e < x_in_ptr[i + 1]; ++e) {
+                const double lp_e = x_in_lp[e] + base;
+                const double* fs = &FWD(x_in_src[e], j, 0);
+                for (int k = 0; k < ns; ++k) {
+                  const int ss = srcs[k];
+                  const double w = exp(fs[ss] + TAB(ss, s) + lp_e);
+                  if (w > 0.0) {
+                    lwx[x_in_edge[e]] += w;
+                    lwc[ss * 20 + cat_base] += w;
+                  }
+                }
+              }
+            }
+          } else if (s == IDM || s == IMI) {
+            if (yn) {
+              for (int64_t e = y_in_ptr[j]; e < y_in_ptr[j + 1]; ++e) {
+                const double w = exp(FWD(i, y_in_src[e], s) + y_in_lp[e] + base);
+                if (w > 0.0) {
+                  lwy[y_in_edge[e]] += w;
+                  lwc[s * 20 + cat_base] += w;
+                }
+              }
+            } else if (x_ready[i] || x_empty) {
+              int ns; const int* srcs = pool::sources(s, &ns);
+              for (int64_t e = y_in_ptr[j]; e < y_in_ptr[j + 1]; ++e) {
+                const double lp_e = y_in_lp[e] + base;
+                const double* fs = &FWD(i, y_in_src[e], 0);
+                for (int k = 0; k < ns; ++k) {
+                  const int ss = srcs[k];
+                  const double w = exp(fs[ss] + TAB(ss, s) + lp_e);
+                  if (w > 0.0) {
+                    lwy[y_in_edge[e]] += w;
+                    lwc[ss * 20 + cat_base] += w;
+                  }
+                }
+              }
+            }
+          } else {  // IMM
+            if (yn && x_emit_or_start[i]) {
+              for (int64_t e = y_in_ptr[j]; e < y_in_ptr[j + 1]; ++e) {
+                const double w = exp(FWD(i, y_in_src[e], IMM) + y_in_lp[e] + base);
+                if (w > 0.0) {
+                  lwy[y_in_edge[e]] += w;
+                  lwc[IMM * 20 + cat_base] += w;
+                }
+              }
+            } else if (xn) {
+              if (y_ready[j] || y_empty) {
+                for (int64_t e = x_in_ptr[i]; e < x_in_ptr[i + 1]; ++e) {
+                  const double w = exp(FWD(x_in_src[e], j, IMM) + x_in_lp[e] + base);
+                  if (w > 0.0) {
+                    lwx[x_in_edge[e]] += w;
+                    lwc[IMM * 20 + cat_base] += w;
+                  }
+                }
+              }
+            } else if (!yn) {
+              for (int64_t ex = x_in_ptr[i]; ex < x_in_ptr[i + 1]; ++ex) {
+                const double lp_x = x_in_lp[ex] + base;
+                for (int64_t ey = y_in_ptr[j]; ey < y_in_ptr[j + 1]; ++ey) {
+                  const double lp_xy = lp_x + y_in_lp[ey];
+                  const double* fs = &FWD(x_in_src[ex], y_in_src[ey], 0);
+                  for (int k = 0; k < 5; ++k) {
+                    const int ss = pool::SRC_IMM[k];
+                    const double w = exp(fs[ss] + TAB(ss, IMM) + lp_xy);
+                    if (w > 0.0) {
+                      lwx[x_in_edge[ex]] += w;
+                      lwy[y_in_edge[ey]] += w;
+                      lwc[ss * 20 + cat_base] += w;
+                    }
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
+  for (int t = 0; t < n_threads; ++t) {
+    if (twx[t].empty()) continue;
+    for (int64_t e = 0; e < n_x_trans; ++e) wx[e] += twx[t][e];
+    for (int64_t e = 0; e < n_y_trans; ++e) wy[e] += twy[t][e];
+    for (int k = 0; k < 100; ++k) wcat[k] += twc[t][k];
+  }
+  #undef FWD
+  #undef TAB
 }
