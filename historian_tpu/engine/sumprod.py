@@ -16,15 +16,14 @@ import jax.numpy as jnp
 import historian_tpu.ops  # noqa: F401  (enables x64)
 from historian_tpu.core.tree import Tree
 from historian_tpu.models.counts import EigenCounts
-from historian_tpu.models.eigen import EigenModel
+from historian_tpu.models.eigen import EigenModel, get_eigen_model
 from historian_tpu.models.ratemodel import RateModel
 from historian_tpu.ops.felsenstein import (
     GAP_TOK,
     TreeArrays,
     _fill_down_batch,
-    _fill_up_batch,
+    _fill_up_batch_tokens,
     _node_post_prob_batch,
-    observation_tensor,
     tokenize_alignment,
 )
 
@@ -65,15 +64,29 @@ class SumProductEngine:
             sub[node] = model.sub_prob_matrix(tree.branch_length(node))
         sub[n - 1] = np.eye(a)[None, :, :]  # root has no branch
         self.branch_sub = sub
-        self.eigen = EigenModel(model)
-        self.branch_eigen_sub_count = np.stack(
-            [self.eigen.eigen_sub_count(tree.branch_length(node)) for node in range(n - 1)]
-            + [np.zeros((c, a, a), dtype=np.complex128)]
-        )  # [N, C, A, A]
+        self.eigen = get_eigen_model(model)
         with np.errstate(divide="ignore"):
             self.log_cpt_weight = np.log(model.cpt_weight)
         self.ins_prob = model.ins_prob
         self._count_device_ok: bool | None = None
+        self._col_ll_cache: dict[bytes, float] = {}
+        self._branch_eigen_sub_count: np.ndarray | None = None
+
+    @property
+    def branch_eigen_sub_count(self) -> np.ndarray:
+        """[N, C, A, A] complex J integrals per branch, computed lazily:
+        only count extraction reads them, and MCMC/refiner likelihood
+        loops construct engines for thousands of proposed trees that
+        never touch counts."""
+        if self._branch_eigen_sub_count is None:
+            tree = self.tree
+            n = self.arrays.n_nodes
+            c, a = self.model.components, self.model.alphabet_size
+            self._branch_eigen_sub_count = np.stack(
+                [self.eigen.eigen_sub_count(tree.branch_length(node)) for node in range(n - 1)]
+                + [np.zeros((c, a, a), dtype=np.complex128)]
+            )
+        return self._branch_eigen_sub_count
 
     @property
     def count_device_ok(self) -> bool:
@@ -119,23 +132,30 @@ class SumProductEngine:
             )
         else:
             tokens_p = tokens
-        obs = observation_tensor(tokens_p, a, dtype=self.dtype)  # [N, L, A]
-        obs = jnp.swapaxes(obs, 0, 1)  # [L, N, A]
-        is_gap = jnp.asarray((tokens_p == GAP_TOK).T)  # [L, N]
         sub = jnp.asarray(self.branch_sub, dtype=self.dtype)
         ins = jnp.asarray(self.ins_prob, dtype=self.dtype)
         lw = jnp.asarray(self.log_cpt_weight, dtype=self.dtype)
-        F, logF, E, logE, cpt_ll, col_ll = _fill_up_batch(
-            obs, is_gap, jnp.asarray(arr.parent), jnp.asarray(arr.left), jnp.asarray(arr.right),
-            sub, ins, lw, n,
+        (F, logF, E, logE, cpt_ll, col_ll), is_gap = _fill_up_batch_tokens(
+            jnp.asarray(tokens_p), jnp.asarray(arr.parent), jnp.asarray(arr.left),
+            jnp.asarray(arr.right), sub, ins, lw, n, a,
         )
-        G, logG = _fill_down_batch(
-            E, logE, is_gap, jnp.asarray(arr.parent), jnp.asarray(arr.sibling), sub, ins, n
-        )
+        E_full, logE_full = E, logE
         if pad:
-            F, logF, E, logE, G, logG = (v[:L] for v in (F, logF, E, logE, G, logG))
+            F, logF, E, logE = (v[:L] for v in (F, logF, E, logE))
             cpt_ll, col_ll = cpt_ll[:L], col_ll[:L]
-        return SumProductFill(self, tokens, F, logF, E, logE, G, logG, cpt_ll, col_ll)
+
+        def fill_down():
+            # the root->tip pass, deferred: likelihood-only consumers
+            # (every MCMC/refiner proposal) never need G
+            G, logG = _fill_down_batch(
+                E_full, logE_full, is_gap, jnp.asarray(arr.parent),
+                jnp.asarray(arr.sibling), sub, ins, n,
+            )
+            if pad:
+                G, logG = G[:L], logG[:L]
+            return G, logG
+
+        return SumProductFill(self, tokens, F, logF, E, logE, cpt_ll, col_ll, fill_down)
 
     def fill_column(self, col: dict[int, str]) -> "SumProductFill":
         """Single-column fill from a {node: char} map (absent nodes are
@@ -153,8 +173,59 @@ class SumProductEngine:
     def column_log_likelihoods(self, gapped_rows: list[str]) -> np.ndarray:
         return np.asarray(self.fill(gapped_rows).col_ll)
 
+    def column_log_likelihoods_cached(self, gapped_rows: list[str]) -> np.ndarray:
+        """Per-column log-likelihoods memoized by column token content.
+
+        Engines are cached per (model, tree) -- see get_engine -- so the
+        memo is automatically scoped to one tree: MCMC and refiner moves
+        that keep the tree fixed change only a handful of columns per
+        step, and everything else hits the cache. Misses run through one
+        batched fill; a first call with an empty cache is therefore the
+        exact same computation (same column batch, same bucketed shape)
+        as the uncached path."""
+        tokens = tokenize_alignment(self.model.alphabet, gapped_rows)  # [N, L]
+        cache = self._col_ll_cache
+        cols = np.ascontiguousarray(tokens.T)  # [L, N]
+        keys = [c.tobytes() for c in cols]
+        miss: dict[bytes, int] = {}
+        for idx, k in enumerate(keys):
+            if k not in cache and k not in miss:
+                miss[k] = idx
+        if miss:
+            sel = np.fromiter(miss.values(), dtype=np.int64, count=len(miss))
+            if len(sel) == 1:
+                # never issue an L=1 fill: it takes fill_tokens' unpadded
+                # special path, whose values differ in the last ~9 digits
+                # from every padded bucket (which are mutually bit-identical)
+                sel = np.repeat(sel, 2)
+            fill = self.fill_tokens(np.ascontiguousarray(tokens[:, sel]))
+            ll = np.asarray(fill.col_ll)
+            for k, l in zip(miss, ll):
+                cache[k] = float(l)
+        return np.fromiter((cache[k] for k in keys), dtype=np.float64, count=len(keys))
+
+    def log_likelihood_cached(self, gapped_rows: list[str]) -> float:
+        return float(self.column_log_likelihoods_cached(gapped_rows).sum())
+
     def log_likelihood(self, gapped_rows: list[str]) -> float:
         return float(self.column_log_likelihoods(gapped_rows).sum())
+
+
+class _LazyDownDict(dict):
+    """Device-tensor map whose "G"/"logG" entries are computed on first
+    access: the root->tip (down) pass only matters for posterior and
+    count extraction, so likelihood-only fills never pay for it."""
+
+    def __init__(self, fill_down, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._fill_down = fill_down
+
+    def __missing__(self, key):
+        if key not in ("G", "logG") or self._fill_down is None:
+            raise KeyError(key)
+        self["G"], self["logG"] = self._fill_down()
+        self._fill_down = None
+        return self[key]
 
 
 class SumProductFill:
@@ -162,23 +233,23 @@ class SumProductFill:
 
     The message tensors are materialized to numpy lazily: likelihood-only
     consumers (every MCMC proposal) read just col_ll, so the multi-MB
-    F/E/G readbacks happen only when posterior or count extraction
-    actually touches them."""
+    F/E/G readbacks -- and the entire down pass -- happen only when
+    posterior or count extraction actually touches them."""
 
     _LAZY = ("F", "logF", "E", "logE", "G", "logG", "cpt_ll", "col_ll")
 
-    def __init__(self, engine, tokens, F, logF, E, logE, G, logG, cpt_ll, col_ll):
+    def __init__(self, engine, tokens, F, logF, E, logE, cpt_ll, col_ll, fill_down):
         self.engine = engine
         self.tokens = tokens  # [N, L]
-        self._device = {
+        self._device = _LazyDownDict(fill_down, {
             "F": F, "logF": logF, "E": E, "logE": logE,
-            "G": G, "logG": logG, "cpt_ll": cpt_ll, "col_ll": col_ll,
-        }  # F: [L, N, C, A]; logF: [L, N, C]; cpt_ll: [L, C]; col_ll: [L]
+            "cpt_ll": cpt_ll, "col_ll": col_ll,
+        })  # F: [L, N, C, A]; logF: [L, N, C]; cpt_ll: [L, C]; col_ll: [L]
 
     def __getattr__(self, name):
         dev = self.__dict__.get("_device")
-        if dev is not None and name in dev:
-            arr = np.asarray(dev[name])
+        if dev is not None and name in self._LAZY:
+            arr = np.asarray(dev[name])  # "G"/"logG" may trigger the down pass
             setattr(self, name, arr)
             return arr
         raise AttributeError(name)

@@ -112,7 +112,7 @@ def indel_log_likelihood(model: RateModel, history: History) -> float:
 
 def subst_log_likelihood(model: RateModel, history: History) -> float:
     engine = get_engine(model, history.tree)
-    return engine.log_likelihood([s.seq for s in history.gapped])
+    return engine.log_likelihood_cached([s.seq for s in history.gapped])
 
 
 def log_likelihood(model: RateModel, tree: Tree, gapped: list[FastSeq]) -> float:

@@ -22,6 +22,20 @@ from historian_tpu.models.ratemodel import RateModel
 EIGEN_EPSILON = 1e-6
 
 
+def get_eigen_model(model: RateModel) -> "EigenModel":
+    """The model's EigenModel, cached on the model object and keyed by
+    the rate-matrix content (EM's M-step mutates models in place, which
+    must invalidate): MCMC constructs a sum-product engine per proposed
+    tree, and re-running the eigendecomposition each time is pure waste."""
+    key = model.sub_rate.tobytes()
+    cached = model.__dict__.get("_eigen_model_cache")
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    eigen = EigenModel(model)
+    model.__dict__["_eigen_model_cache"] = (key, eigen)
+    return eigen
+
+
 class EigenModel:
     def __init__(self, model: RateModel):
         self.model = model
@@ -55,7 +69,20 @@ class EigenModel:
         return np.clip(p.real, 0.0, 1.0)
 
     def eigen_sub_count(self, t: float) -> np.ndarray:
-        """[C, A, A] complex J_kl(t) integrals (model.cpp:1329-1350)."""
+        """[C, A, A] complex J_kl(t) integrals (model.cpp:1329-1350),
+        memoized per branch length (trees share lengths across MCMC/EM
+        engine rebuilds; flushed when oversized like CachingRateModel)."""
+        cache = self.__dict__.setdefault("_sub_count_cache", {})
+        hit = cache.get(t)
+        if hit is not None:
+            return hit
+        out = self._eigen_sub_count(t)
+        if len(cache) >= 4096:
+            cache.clear()
+        cache[t] = out
+        return out
+
+    def _eigen_sub_count(self, t: float) -> np.ndarray:
         c, a = self.eval.shape
         exp_ev_t = np.exp(self.eval * t)  # [C, A]
         lam_k = self.eval[:, :, None]

@@ -98,6 +98,30 @@ def observation_tensor(tokens: np.ndarray, alphabet_size: int, dtype=jnp.float32
     return jnp.where(wild, jnp.ones_like(one_hot), one_hot)
 
 
+@partial(jax.jit, static_argnames=("n_nodes", "alphabet_size"))
+def _fill_up_batch_tokens(
+    tokens,  # [N, L] int32 (GAP_TOK gaps, negative non-gap = wildcard)
+    parent, left, right,  # [N]
+    sub_mat, ins_prob, log_cpt_weight,
+    n_nodes: int, alphabet_size: int,
+):
+    """`_fill_up_batch` taking raw tokens: the observation tensor and gap
+    mask are built inside the jit, so the one-hot construction fuses into
+    the scan instead of running as eager host-dispatched ops per fill
+    (MCMC issues one fill per proposal)."""
+    dtype = sub_mat.dtype
+    one_hot = jax.nn.one_hot(jnp.maximum(tokens, 0), alphabet_size, dtype=dtype)
+    wild = (tokens < 0)[..., None]
+    obs = jnp.where(wild, jnp.ones_like(one_hot), one_hot)  # [N, L, A]
+    obs = jnp.swapaxes(obs, 0, 1)  # [L, N, A]
+    is_gap = (tokens == GAP_TOK).T  # [L, N]
+    return (
+        _fill_up_batch(obs, is_gap, parent, left, right, sub_mat, ins_prob,
+                       log_cpt_weight, n_nodes),
+        is_gap,
+    )
+
+
 @partial(jax.jit, static_argnames=("n_nodes",))
 def _fill_up_batch(
     obs,  # [L, N, A] observation tensor (column-major batch)
