@@ -91,6 +91,47 @@ def align_path_string(path: AlignPath) -> str:
     return "\n".join(lines) + "\n"
 
 
+def _native_merge(alignments: list[AlignPath], seq_len: dict[int, int], align_cols: list[int]) -> AlignPath | None:
+    """Run the merge through the native runtime (same algorithm compiled;
+    output identical -- column emission order and membership are fully
+    deterministic). None if the native library is unavailable."""
+    from historian_tpu.native import get_native
+
+    lib = get_native()
+    if lib is None or not alignments:
+        return None
+    rows = list(seq_len)  # first-seen order
+    dense = {r: i for i, r in enumerate(rows)}
+    rows_ptr = np.zeros(len(alignments) + 1, dtype=np.int64)
+    cell_ptr = np.zeros(len(alignments) + 1, dtype=np.int64)
+    row_ids: list[int] = []
+    mats: list[np.ndarray] = []
+    for n, a in enumerate(alignments):
+        for r, rp in a.items():
+            row_ids.append(dense[r])
+            mats.append(np.asarray(rp, dtype=np.uint8))
+        rows_ptr[n + 1] = len(row_ids)
+        cell_ptr[n + 1] = cell_ptr[n] + len(a) * align_cols[n]
+    cells = (
+        np.concatenate([m for m in mats]) if mats else np.zeros(0, dtype=np.uint8)
+    )
+    total_cols = int(sum(align_cols))
+    out = np.zeros((len(rows), max(total_cols, 1)), dtype=np.uint8)
+    n_out = lib.align_merge(
+        len(alignments), rows_ptr, np.array(row_ids, dtype=np.int64),
+        np.array(align_cols, dtype=np.int64), cell_ptr,
+        np.ascontiguousarray(cells), len(rows),
+        np.array([seq_len[r] for r in rows], dtype=np.int64), out,
+    )
+    if n_out == -1:
+        raise ValueError("a merge input has an empty column")
+    if n_out == -2:
+        raise ValueError("inconsistent alignments: conflicting column linkage")
+    if n_out == -3:
+        raise ValueError("alignment merge failed: no alignments ready (ordering cycle)")
+    return {r: out[dense[r], :n_out].astype(bool) for r in rows}
+
+
 def align_path_merge(alignments: list[AlignPath]) -> AlignPath:
     """Synchronized merge of alignments sharing rows.
 
@@ -114,6 +155,10 @@ def align_path_merge(alignments: list[AlignPath]) -> AlignPath:
                     )
             else:
                 seq_len[row] = n
+
+    native = _native_merge(alignments, seq_len, align_cols)
+    if native is not None:
+        return native
 
     # (align#, col#) -> {(row, pos)} and (row, pos) -> {(align#, col#)}
     col_anchors: list[list[list[tuple[int, int]]]] = []

@@ -139,21 +139,19 @@ class SumProductEngine:
             jnp.asarray(tokens_p), jnp.asarray(arr.parent), jnp.asarray(arr.left),
             jnp.asarray(arr.right), sub, ins, lw, n, a,
         )
-        E_full, logE_full = E, logE
-        if pad:
-            F, logF, E, logE = (v[:L] for v in (F, logF, E, logE))
-            cpt_ll, col_ll = cpt_ll[:L], col_ll[:L]
+        # The padded device tensors are NOT sliced back to L here: an eager
+        # device slice compiles a fresh XLA program per (padded, true)
+        # length pair, and MCMC sees a new alignment length every few
+        # steps. Consumers slice on host after materialization instead
+        # (padding columns are all-gap, hence inert for the count paths).
 
         def fill_down():
             # the root->tip pass, deferred: likelihood-only consumers
             # (every MCMC/refiner proposal) never need G
-            G, logG = _fill_down_batch(
-                E_full, logE_full, is_gap, jnp.asarray(arr.parent),
+            return _fill_down_batch(
+                E, logE, is_gap, jnp.asarray(arr.parent),
                 jnp.asarray(arr.sibling), sub, ins, n,
             )
-            if pad:
-                G, logG = G[:L], logG[:L]
-            return G, logG
 
         return SumProductFill(self, tokens, F, logF, E, logE, cpt_ll, col_ll, fill_down)
 
@@ -249,7 +247,10 @@ class SumProductFill:
     def __getattr__(self, name):
         dev = self.__dict__.get("_device")
         if dev is not None and name in self._LAZY:
-            arr = np.asarray(dev[name])  # "G"/"logG" may trigger the down pass
+            # "G"/"logG" may trigger the down pass; the host slice drops
+            # the fill's bucket-padding columns (device tensors stay
+            # padded -- eager device slices compile per length pair)
+            arr = np.asarray(dev[name])[: self.n_columns]
             setattr(self, name, arr)
             return arr
         raise AttributeError(name)
@@ -484,13 +485,15 @@ class SumProductFill:
         eng = self.engine
         arr = eng.arrays
         L = self.n_columns
-        pad = (-L) % 1024
+        P = int(self._device["F"].shape[0])  # fill bucket padding (all-gap)
+        pad = P + ((-P) % 1024) - L
         dev = self._device
 
         def pad_l(a):
-            if not pad:
+            extra = pad - (P - L)
+            if not extra:
                 return a
-            return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            return jnp.pad(a, ((0, extra),) + ((0, 0),) * (a.ndim - 1))
 
         gap = self.tokens.T == GAP_TOK  # [L, N]
         parent = arr.parent
@@ -581,12 +584,14 @@ class SumProductFill:
         ji = jnp.asarray(np.ascontiguousarray(eng.branch_eigen_sub_count.imag))
 
         chunk = self._CPLX_COUNT_CHUNK
-        pad = (-L) % chunk
+        P = int(dev["F"].shape[0])  # fill bucket padding (all-gap columns)
+        pad = P + ((-P) % chunk) - L
 
         def pad_l(a):
-            if not pad:
+            extra = pad - (P - L)
+            if not extra:
                 return a
-            return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            return jnp.pad(a, ((0, extra),) + ((0, 0),) * (a.ndim - 1))
 
         mask_p = np.concatenate([mask, np.zeros((pad,) + mask.shape[1:], bool)]) if pad else mask
         w_p = np.concatenate([w_col, np.zeros(pad)]) if pad else w_col

@@ -106,6 +106,15 @@ def get_native():
             ctypes.c_int64, ctypes.c_int64,  # n_x_trans, n_y_trans
             _f64(), _f64(), _f64(),  # wx, wy, wcat out
         ]
+        lib.align_merge.restype = ctypes.c_int64
+        lib.align_merge.argtypes = [
+            ctypes.c_int64,
+            _i64(), _i64(), _i64(), _i64(),  # rows_ptr, row_ids, cols, cell_ptr
+            _u8(),  # cells (flattened per-align row-major bool matrices)
+            ctypes.c_int64,  # n_rows
+            _i64(),  # seq_len per dense row
+            _u8(2),  # out [n_rows, sum(cols)]
+        ]
         lib.backward_fill.restype = None
         lib.backward_fill.argtypes = [
             ctypes.c_int64, ctypes.c_int64,

@@ -923,3 +923,114 @@ extern "C" void transition_pool(
   #undef FWD
   #undef TAB
 }
+
+// ---------------------------------------------------------------------------
+// Synchronized multi-alignment merge (reference alignPathMerge,
+// alignpath.cpp:153-203; python mirror core/alignpath.py align_path_merge).
+// Each column of each input defines an anchor set {(row, residue#)};
+// columns sharing an anchor merge into one output column, with linkage
+// transitively closed and every input's column order respected.
+// Returns the output column count, or a negative code the python caller
+// maps to ValueError: -1 empty input column, -2 inconsistent linkage,
+// -3 ordering cycle.
+extern "C" int64_t align_merge(
+    int64_t n_aligns,
+    const int64_t* rows_ptr,  // [n_aligns + 1] CSR offsets into row_ids
+    const int64_t* row_ids,   // dense row index per (align, local row)
+    const int64_t* cols,      // [n_aligns] column counts
+    const int64_t* cell_ptr,  // [n_aligns + 1] element offsets into cells
+    const uint8_t* cells,     // per align, row-major [R_n, L_n]
+    int64_t n_rows,           // number of distinct dense rows
+    const int64_t* seq_len,   // [n_rows] residues per row
+    uint8_t* out              // [n_rows, sum(cols)] zeroed by caller
+) {
+  const int64_t out_stride = [&] {
+    int64_t s = 0;
+    for (int64_t n = 0; n < n_aligns; ++n) s += cols[n];
+    return s;
+  }();
+
+  // per-(align, col) anchors and per-(row, pos) linked columns
+  struct Anchor { int32_t row, pos; };
+  struct Link { int32_t align, col; };
+  std::vector<std::vector<std::vector<Anchor>>> col_anchors(n_aligns);
+  std::vector<int64_t> row_pos_ptr(n_rows + 1, 0);
+  for (int64_t r = 0; r < n_rows; ++r) row_pos_ptr[r + 1] = row_pos_ptr[r] + seq_len[r];
+  std::vector<std::vector<Link>> anchor_links(row_pos_ptr[n_rows]);
+
+  for (int64_t n = 0; n < n_aligns; ++n) {
+    const int64_t L = cols[n];
+    col_anchors[n].assign(L, {});
+    const int64_t r0 = rows_ptr[n], r1 = rows_ptr[n + 1];
+    const uint8_t* base = cells + cell_ptr[n];
+    for (int64_t ri = r0; ri < r1; ++ri) {
+      const int64_t row = row_ids[ri];
+      const uint8_t* rp = base + (ri - r0) * L;
+      int32_t pos = 0;
+      for (int64_t c = 0; c < L; ++c) {
+        if (rp[c]) {
+          col_anchors[n][c].push_back({(int32_t)row, pos});
+          anchor_links[row_pos_ptr[row] + pos].push_back({(int32_t)n, (int32_t)c});
+          ++pos;
+        }
+      }
+    }
+    for (int64_t c = 0; c < L; ++c)
+      if (col_anchors[n][c].empty()) return -1;
+  }
+
+  std::vector<int64_t> next_col(n_aligns, 0);
+  std::vector<int64_t> seen(n_aligns, -1);
+  std::vector<int32_t> touched;
+  std::vector<Link> stack;
+  int64_t out_col = 0;
+
+  for (;;) {
+    bool all_done = true, progressed = false;
+    for (int64_t n = 0; n < n_aligns && !progressed; ++n) {
+      if (next_col[n] >= cols[n]) continue;
+      all_done = false;
+      // transitive closure from (n, next_col[n])
+      touched.clear();
+      stack.clear();
+      stack.push_back({(int32_t)n, (int32_t)next_col[n]});
+      bool bad = false;
+      while (!stack.empty() && !bad) {
+        const Link cur = stack.back();
+        stack.pop_back();
+        if (seen[cur.align] != -1) {
+          if (seen[cur.align] != cur.col) bad = true;
+          continue;
+        }
+        seen[cur.align] = cur.col;
+        touched.push_back(cur.align);
+        for (const Anchor& a : col_anchors[cur.align][cur.col]) {
+          for (const Link& link : anchor_links[row_pos_ptr[a.row] + a.pos]) {
+            if (seen[link.align] == -1) stack.push_back(link);
+            else if (seen[link.align] != link.col) { bad = true; break; }
+          }
+          if (bad) break;
+        }
+      }
+      if (bad) {
+        for (int32_t t : touched) seen[t] = -1;
+        return -2;
+      }
+      bool ready = true;
+      for (int32_t an : touched)
+        if (next_col[an] != seen[an]) { ready = false; break; }
+      if (ready) {
+        for (int32_t an : touched) {
+          for (const Anchor& a : col_anchors[an][seen[an]])
+            out[a.row * out_stride + out_col] = 1;
+          next_col[an] += 1;
+        }
+        out_col += 1;
+        progressed = true;
+      }
+      for (int32_t t : touched) seen[t] = -1;
+    }
+    if (all_done) return out_col;
+    if (!progressed) return -3;
+  }
+}
