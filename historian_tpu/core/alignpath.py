@@ -263,21 +263,20 @@ class Alignment:
             if rp is None:
                 out.append(FastSeq(name=s.name, comment=s.comment, seq=""))
                 continue
-            chars = []
-            qual = []
-            pos = 0
-            for b in rp:
-                if b:
-                    chars.append(s.seq[pos])
-                    if s.has_qual():
-                        qual.append(s.qual[pos])
-                    pos += 1
-                else:
-                    chars.append(GAP_CHAR)
-                    if s.has_qual():
-                        qual.append("!")
+            rp = np.asarray(rp, dtype=bool)
+            n_res = int(np.count_nonzero(rp))
+            codes = np.full(len(rp), ord(GAP_CHAR), dtype=np.uint8)
+            codes[rp] = np.frombuffer(s.seq.encode("latin-1"), dtype=np.uint8)[:n_res]
+            qual = ""
+            if s.has_qual():
+                q = np.full(len(rp), ord("!"), dtype=np.uint8)
+                q[rp] = np.frombuffer(s.qual.encode("latin-1"), dtype=np.uint8)[:n_res]
+                qual = q.tobytes().decode("latin-1")
             out.append(
-                FastSeq(name=s.name, comment=s.comment, seq="".join(chars), qual="".join(qual))
+                FastSeq(
+                    name=s.name, comment=s.comment,
+                    seq=codes.tobytes().decode("latin-1"), qual=qual,
+                )
             )
         return out
 

@@ -155,6 +155,23 @@ class SumProductEngine:
 
         return SumProductFill(self, tokens, F, logF, E, logE, cpt_ll, col_ll, fill_down)
 
+    _LAST_FILL: "tuple | None" = None  # (engine, tokens bytes, fill) singleton
+
+    def fill_cached(self, gapped_rows: list[str]) -> "SumProductFill":
+        """One-entry fill memo: MCMC proposes many moves against the same
+        history before one is accepted, and each proposal needs the same
+        full-alignment messages (conditional PWMs). Reusing the fill also
+        reuses its host materializations. A single global entry bounds
+        the footprint ([L, N, C, A] tensors are multi-MB)."""
+        tokens = tokenize_alignment(self.model.alphabet, gapped_rows)
+        key = tokens.tobytes()
+        ent = SumProductEngine._LAST_FILL
+        if ent is not None and ent[0] is self and ent[1] == key:
+            return ent[2]
+        fill = self.fill_tokens(tokens)
+        SumProductEngine._LAST_FILL = (self, key, fill)
+        return fill
+
     def fill_column(self, col: dict[int, str]) -> "SumProductFill":
         """Single-column fill from a {node: char} map (absent nodes are
         gaps) -- the per-cell entry point used by the Forward DP's count

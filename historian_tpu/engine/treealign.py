@@ -168,7 +168,7 @@ def get_conditional_pwms(model: RateModel, tree: Tree, gapped: list[FastSeq], ex
     identical E/G messages, so here one device fill serves all columns.
     """
     engine = get_engine(model, tree)
-    fill = engine.fill([s.seq for s in gapped])
+    fill = engine.fill_cached([s.seq for s in gapped])
     arr = engine.arrays
     c_, a_ = model.components, model.alphabet_size
     out: dict[int, np.ndarray] = {}

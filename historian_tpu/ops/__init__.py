@@ -45,7 +45,8 @@ _cache_dir = os.environ.get(
 )
 if _cache_dir != "0":
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    # The default 1s min-compile-time threshold is deliberate: it keeps the
-    # many ~100ms XLA:CPU kernels out of the cache (their AOT entries spam
-    # feature-mismatch warnings on every load) while still caching every
-    # TPU compile, which goes through a slow remote tunnel (~20-60s/shape).
+    # The 10s min-compile-time threshold keeps XLA:CPU kernels (~0.1-3s
+    # compiles) out of the cache -- their AOT entries spam feature-mismatch
+    # warnings on every load -- while still caching every TPU compile,
+    # which goes through a slow remote tunnel (~20-60s/shape).
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)

@@ -439,24 +439,24 @@ class SiblingMatrix:
     def parent_seq(self, lrp_path: AlignPath) -> np.ndarray:
         """Parent PWM = normalized product of child messages
         (sampler.cpp:1576-1606)."""
-        cols = align_path_columns(lrp_path)
         lr = np.asarray(lrp_path[self.l_row], dtype=bool)
         rr = np.asarray(lrp_path[self.r_row], dtype=bool)
         pr = np.asarray(lrp_path[self.p_row], dtype=bool)
-        out = []
-        l_pos = r_pos = 0
         c, a = self.model.components, self.model.alphabet_size
+        sel = np.nonzero(pr)[0]
+        if not len(sel):
+            return np.zeros((0, c, a))
         # note: position counters advance only within parent-emitting columns,
         # exactly as in the reference (sampler.cpp:1583-1594)
-        for col in range(cols):
-            if pr[col]:
-                prof = np.zeros((c, a))
-                if lr[col]:
-                    prof = prof + self.l_sub[l_pos]
-                    l_pos += 1
-                if rr[col]:
-                    prof = prof + self.r_sub[r_pos]
-                    r_pos += 1
-                prof = prof - logsumexp_nd(prof)
-                out.append(prof)
-        return np.array(out).reshape(len(out), c, a)
+        l_here = lr[sel]
+        r_here = rr[sel]
+        l_idx = np.cumsum(l_here) - 1
+        r_idx = np.cumsum(r_here) - 1
+        prof = np.zeros((len(sel), c, a))
+        if np.any(l_here):
+            prof[l_here] += self.l_sub[l_idx[l_here]]
+        if np.any(r_here):
+            prof[r_here] += self.r_sub[r_idx[r_here]]
+        # one batched scipy call: bit-identical per column to the
+        # reference's per-column logsumexp normalization
+        return prof - logsumexp_nd(prof, axis=(1, 2), keepdims=True)
