@@ -276,6 +276,22 @@ class SumProductFill:
     def n_columns(self) -> int:
         return self.tokens.shape[1]
 
+    def rows_at(self, name: str, cols: np.ndarray, node: int) -> np.ndarray:
+        """tensor[cols, node] gathered on device and read back small.
+
+        Conditional-PWM extraction needs a few (column, node) slices of
+        the multi-MB message tensors; gathering on device avoids the
+        full-tensor host readback. Column indices are bucket-padded to
+        64-multiples so the eager gather reuses compilations. Falls back
+        to an already-materialized host tensor when present."""
+        host = self.__dict__.get(name)
+        if host is not None:
+            return host[cols, node]
+        pad = (-len(cols)) % 64
+        cols_p = np.concatenate([cols, np.zeros(pad, dtype=np.int64)]) if pad else cols
+        out = np.asarray(self._device[name][jnp.asarray(cols_p), int(node)])
+        return out[: len(cols)]
+
     def is_gap(self, node: int, col: int) -> bool:
         return self.tokens[node, col] == GAP_TOK
 

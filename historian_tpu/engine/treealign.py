@@ -99,14 +99,35 @@ def root_log_likelihood(model: RateModel, history: History) -> float:
     )
 
 
+_INDEL_LP_CACHE: dict = {}
+_INDEL_LP_CACHE_MAX = 200_000
+
+
 def indel_log_likelihood(model: RateModel, history: History) -> float:
     align = Alignment.from_gapped(history.gapped)
     lp = 0.0
+    # per-branch terms are memoized by (indel params, branch length, the
+    # two rows' gap patterns): an MCMC/refiner move changes a handful of
+    # branches, and the left-fold sum order is unchanged, so totals are
+    # bit-identical to the uncached walk
+    params = (model.ins_rate, model.del_rate, model.ins_ext_prob, model.del_ext_prob)
     for node in range(history.tree.root()):
         parent = history.tree.parent(node)
-        pm = ProbModel(model, history.tree.branch_length(node))
-        path = pair_path(align.path, parent, node)
-        lp += log_branch_path_likelihood(pm, path, parent, node)
+        t = history.tree.branch_length(node)
+        key = (
+            params, t,
+            np.asarray(align.path[parent], dtype=bool).tobytes(),
+            np.asarray(align.path[node], dtype=bool).tobytes(),
+        )
+        hit = _INDEL_LP_CACHE.get(key)
+        if hit is None:
+            pm = ProbModel(model, t)
+            path = pair_path(align.path, parent, node)
+            hit = log_branch_path_likelihood(pm, path, parent, node)
+            if len(_INDEL_LP_CACHE) >= _INDEL_LP_CACHE_MAX:
+                _INDEL_LP_CACHE.clear()
+            _INDEL_LP_CACHE[key] = hit
+        lp += hit
     return lp
 
 
@@ -191,10 +212,16 @@ def get_conditional_pwms(model: RateModel, tree: Tree, gapped: list[FastSeq], ex
         with np.errstate(divide="ignore"):
             for child in (arr.left[node], arr.right[node]):
                 if child >= 0 and child != excl:
-                    lpp += np.log(fill.E[cols, child]) + fill.logE[cols, child][:, :, None]
+                    lpp += (
+                        np.log(fill.rows_at("E", cols, child))
+                        + fill.rows_at("logE", cols, child)[:, :, None]
+                    )
             p = arr.parent[node]
             if p != excl and p >= 0:
-                lpp += np.log(fill.G[cols, node]) + fill.logG[cols, node][:, :, None]
+                lpp += (
+                    np.log(fill.rows_at("G", cols, node))
+                    + fill.rows_at("logG", cols, node)[:, :, None]
+                )
         if normalize:
             from scipy.special import logsumexp
 
