@@ -92,9 +92,41 @@ class BranchMatrix:
         self.match_emit = match_emit
         ins_emit = np.concatenate([[NEG], self.y_emit]) if len(y_pwm) else np.array([NEG])
 
+        trans = np.array([self.mm, self.mi, self.md, self.im, self.ii, self.id, self.dm, self.dd])
+        self.cells = self._fill_cells(match_emit, ins_emit, mask, trans, viterbi)
+        end = self.cells[self.x_size - 1, self.y_size - 1]
+        reduce3 = max if viterbi else lambda *v: logsumexp(list(v))
+        self.lp_end = float(
+            reduce3(end[MATCH] + self.me, end[INSERT] + self.ie, end[DELETE] + self.de)
+        )
+
+    @staticmethod
+    def _fill_cells(match_emit, ins_emit, mask, trans, viterbi: bool) -> np.ndarray:
+        """Run the 3-state fill through the native host runtime (default:
+        one proposal fills one modest grid, where per-dispatch device
+        latency dominates) or the device kernel (HISTORIAN_DEVICE_BRANCH=1,
+        or when the native library is unavailable). The two implementations
+        use the same recurrences but different Delete-recursion orderings,
+        so cells can differ in the last bits."""
+        import os
+
+        if os.environ.get("HISTORIAN_DEVICE_BRANCH", "0") != "1":
+            from historian_tpu.native import get_native
+
+            lib = get_native()
+            if lib is not None:
+                cells = np.empty((match_emit.shape[0], match_emit.shape[1], 3))
+                lib.branch_fill(
+                    match_emit.shape[0], match_emit.shape[1],
+                    np.ascontiguousarray(match_emit),
+                    np.ascontiguousarray(ins_emit, dtype=np.float64),
+                    np.ascontiguousarray(mask, dtype=np.uint8),
+                    trans, np.uint8(viterbi), cells,
+                )
+                return cells
+
         import jax.numpy as jnp
 
-        trans = np.array([self.mm, self.mi, self.md, self.im, self.ii, self.id, self.dm, self.dd])
         fill = branch_viterbi if viterbi else branch_forward
         # bucket shapes to 128-multiples so MCMC/refiner fills share jit
         # compilations (mask is False outside the real region, which the
@@ -107,14 +139,9 @@ class BranchMatrix:
         ins_p[: len(ins_emit)] = ins_emit
         mask_p = np.zeros((px, py), dtype=bool)
         mask_p[: mask.shape[0], : mask.shape[1]] = mask
-        self.cells = np.asarray(
+        return np.asarray(
             fill(jnp.asarray(emit_p), jnp.asarray(ins_p), jnp.asarray(mask_p), jnp.asarray(trans))
         )[: match_emit.shape[0], : match_emit.shape[1]]
-        end = self.cells[self.x_size - 1, self.y_size - 1]
-        reduce3 = max if viterbi else lambda *v: logsumexp(list(v))
-        self.lp_end = float(
-            reduce3(end[MATCH] + self.me, end[INSERT] + self.ie, end[DELETE] + self.de)
-        )
 
     # ----------------------------------------------------------------- helpers
     def lp_trans(self, src: int, dest: int) -> float:

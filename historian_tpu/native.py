@@ -106,6 +106,14 @@ def get_native():
             ctypes.c_int64, ctypes.c_int64,  # n_x_trans, n_y_trans
             _f64(), _f64(), _f64(),  # wx, wy, wcat out
         ]
+        lib.branch_fill.restype = None
+        lib.branch_fill.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            _f64(2), _f64(), _u8(2),  # match_emit, ins_emit, mask
+            _f64(),  # trans8
+            ctypes.c_uint8,  # viterbi
+            _f64(3),  # cells out
+        ]
         lib.align_merge.restype = ctypes.c_int64
         lib.align_merge.argtypes = [
             ctypes.c_int64,

@@ -1034,3 +1034,77 @@ extern "C" int64_t align_merge(
     if (!progressed) return -3;
   }
 }
+
+// ---------------------------------------------------------------------------
+// 3-state (Match/Insert/Delete) branch alignment DP over PWMs (reference
+// BranchMatrixBase, sampler.cpp:1005-1160; device twin ops/branchdp.py).
+// Same recurrences as the device kernel; the Delete within-column
+// recursion runs sequentially instead of via the prefix-scan shift trick,
+// so values may differ from the device fill in the last bits.
+extern "C" void branch_fill(
+    int64_t sx, int64_t sy,      // X+1, Y+1
+    const double* match_emit,    // [sx * sy], valid at x,y >= 1
+    const double* ins_emit,      // [sy]
+    const uint8_t* mask,         // [sx * sy]
+    const double* trans8,        // mm mi md im ii id dm dd
+    uint8_t viterbi,
+    double* cells                // [sx * sy * 3] (Match, Insert, Delete)
+) {
+  const double BNEG = -1e30;  // matches ops/branchdp.NEG
+  const double mm = trans8[0], mi = trans8[1], md = trans8[2];
+  const double im = trans8[3], ii = trans8[4], id_ = trans8[5];
+  const double dm = trans8[6], dd = trans8[7];
+  const bool vit = viterbi != 0;
+  auto red2 = [vit](double a, double b) {
+    return vit ? (a > b ? a : b) : lse2(a, b);
+  };
+  #define BC(x, y, s) cells[(((x) * sy) + (y)) * 3 + (s)]
+  for (int64_t y = 0; y < sy; ++y) {
+    const bool is_first = (y == 0);
+    double run = BNEG;  // Delete within-column accumulator
+    for (int64_t x = 0; x < sx; ++x) {
+      const bool in_env = mask[x * sy + y];
+      double m, i;
+      if (is_first) {
+        m = (x == 0) ? 0.0 : BNEG;
+        i = BNEG;
+        if (!in_env) m = BNEG;
+      } else {
+        if (in_env) {
+          if (x > 0) {
+            const double* p = &BC(x - 1, y - 1, 0);
+            m = red2(red2(p[0] + mm, p[1] + im), p[2] + dm)
+                + match_emit[x * sy + y];
+          } else {
+            m = BNEG + match_emit[y];  // shift_down pads with NEG
+          }
+          const double* q = &BC(x, y - 1, 0);
+          i = red2(q[0] + mi, q[1] + ii) + ins_emit[y];
+        } else {
+          m = BNEG;
+          i = BNEG;
+        }
+      }
+      double base;
+      if (x > 0) {
+        const double pm = BC(x - 1, y, 0);
+        const double pi = BC(x - 1, y, 1);
+        base = red2(pm + md, pi + id_);
+      } else {
+        base = red2(BNEG + md, BNEG + id_);
+      }
+      double d;
+      if (!in_env) {
+        run = BNEG;
+        d = BNEG;
+      } else {
+        run = red2(run + dd, base);
+        d = run;
+      }
+      BC(x, y, 0) = m;
+      BC(x, y, 1) = i;
+      BC(x, y, 2) = d;
+    }
+  }
+  #undef BC
+}
