@@ -77,6 +77,10 @@ class Alphabet:
         b = np.frombuffer(seq.encode("latin-1"), dtype=np.uint8)
         return self._lut[b]
 
+    def tokenize_bytes(self, codes: np.ndarray) -> np.ndarray:
+        """Tokenize an array of latin-1 byte codes (any shape)."""
+        return self._lut[codes]
+
     def tokenize_valid(self, seq: str) -> np.ndarray:
         toks = self.tokenize(seq)
         if np.any(toks < 0):

@@ -416,10 +416,11 @@ def _cpp_to_string(v: float) -> str:
 def assert_seq_coords_consistent(src_coords, dest_coords, trans_path, dest_path) -> None:
     """Reference consistency check (profile.cpp:245-261)."""
     coords = dict(src_coords)
+    get = coords.get
     for row, rp in trans_path.items():
-        coords[row] = coords.get(row, 0) + residues_in_row(np.asarray(rp))
+        coords[row] = get(row, 0) + int(np.count_nonzero(rp))
     for row, rp in dest_path.items():
-        coords[row] = coords.get(row, 0) + residues_in_row(np.asarray(rp))
+        coords[row] = get(row, 0) + int(np.count_nonzero(rp))
     for row, c in dest_coords.items():
         assert row in coords, f"missing coordinate for sequence {row}"
         assert coords[row] == c, (

@@ -80,13 +80,13 @@ def tokenize_alignment(alphabet, gapped_rows: list[str]) -> np.ndarray:
 
     n = len(gapped_rows)
     length = len(gapped_rows[0]) if n else 0
-    out = np.full((n, length), WILD_TOK, dtype=np.int32)
-    for r, row in enumerate(gapped_rows):
-        toks = alphabet.tokenize(row)
-        gaps = np.frombuffer(row.encode("latin-1"), dtype=np.uint8)
-        is_gap = (gaps == ord("-")) | (gaps == ord("."))
-        out[r] = np.where(is_gap, GAP_TOK, np.where(toks >= 0, toks, WILD_TOK))
-    return out
+    if n == 0 or length == 0:
+        return np.full((n, length), WILD_TOK, dtype=np.int32)
+    codes = np.frombuffer("".join(gapped_rows).encode("latin-1"), dtype=np.uint8)
+    codes = codes.reshape(n, length)  # raises on ragged rows, like the row loop did
+    toks = alphabet.tokenize_bytes(codes)
+    is_gap = (codes == ord("-")) | (codes == ord("."))
+    return np.where(is_gap, GAP_TOK, np.where(toks >= 0, toks, WILD_TOK)).astype(np.int32)
 
 
 def observation_tensor(tokens: np.ndarray, alphabet_size: int, dtype=jnp.float32) -> jnp.ndarray:
