@@ -103,7 +103,7 @@ def bench_device() -> float:
 
         return pallas_pair_forward_lp(a, rx, ry, jx, jy, trans)
 
-    def measure(kernel, reps=REPS, sustain_s: float = 0.0) -> float:
+    def measure(kernel, reps=REPS) -> float:
         @jax.jit
         def step(eps):
             # eps shifts every emission: distinct inputs per iteration
@@ -111,17 +111,6 @@ def bench_device() -> float:
 
         warm = float(step(jnp.float32(0.0)))  # compile + sanity
         assert np.isfinite(warm), "non-finite forward likelihoods"
-        if sustain_s > 0:
-            # hold the chip under load: clocks ramp over tens of seconds,
-            # and cold measurements understate steady state by ~40%
-            t0 = time.perf_counter()
-            k = 0
-            while time.perf_counter() - t0 < sustain_s:
-                acc = step(jnp.float32(1e-5 * (k + 1)))
-                k += 1
-                if k % 16 == 0:
-                    float(acc)
-            float(acc)
         t0 = time.perf_counter()
         accs = [step(jnp.float32(1e-4 * (k + 1))) for k in range(reps)]
         total = float(jnp.sum(jnp.stack(accs)))  # blocks on every iteration

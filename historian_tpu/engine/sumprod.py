@@ -188,6 +188,8 @@ class SumProductEngine:
     def column_log_likelihoods(self, gapped_rows: list[str]) -> np.ndarray:
         return np.asarray(self.fill(gapped_rows).col_ll)
 
+    _COL_LL_CACHE_MAX = 100_000  # entries (~N bytes each); cleared when exceeded
+
     def column_log_likelihoods_cached(self, gapped_rows: list[str]) -> np.ndarray:
         """Per-column log-likelihoods memoized by column token content.
 
@@ -200,6 +202,8 @@ class SumProductEngine:
         as the uncached path."""
         tokens = tokenize_alignment(self.model.alphabet, gapped_rows)  # [N, L]
         cache = self._col_ll_cache
+        if len(cache) > self._COL_LL_CACHE_MAX:
+            cache.clear()
         cols = np.ascontiguousarray(tokens.T)  # [L, N]
         keys = [c.tobytes() for c in cols]
         miss: dict[bytes, int] = {}

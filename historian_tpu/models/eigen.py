@@ -27,6 +27,9 @@ def get_eigen_model(model: RateModel) -> "EigenModel":
     the rate-matrix content (EM's M-step mutates models in place, which
     must invalidate): MCMC constructs a sum-product engine per proposed
     tree, and re-running the eigendecomposition each time is pure waste."""
+    own = model.__dict__.get("_eigen")
+    if own is not None:
+        return own  # CachingRateModel is an immutable snapshot with its own EigenModel
     key = model.sub_rate.tobytes()
     cached = model.__dict__.get("_eigen_model_cache")
     if cached is not None and cached[0] == key:

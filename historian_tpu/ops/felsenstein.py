@@ -80,22 +80,15 @@ def tokenize_alignment(alphabet, gapped_rows: list[str]) -> np.ndarray:
 
     n = len(gapped_rows)
     length = len(gapped_rows[0]) if n else 0
+    if any(len(r) != length for r in gapped_rows):
+        raise ValueError("alignment rows have unequal lengths")
     if n == 0 or length == 0:
         return np.full((n, length), WILD_TOK, dtype=np.int32)
     codes = np.frombuffer("".join(gapped_rows).encode("latin-1"), dtype=np.uint8)
-    codes = codes.reshape(n, length)  # raises on ragged rows, like the row loop did
+    codes = codes.reshape(n, length)
     toks = alphabet.tokenize_bytes(codes)
     is_gap = (codes == ord("-")) | (codes == ord("."))
     return np.where(is_gap, GAP_TOK, np.where(toks >= 0, toks, WILD_TOK)).astype(np.int32)
-
-
-def observation_tensor(tokens: np.ndarray, alphabet_size: int, dtype=jnp.float32) -> jnp.ndarray:
-    """[N, L, A] leaf likelihoods: one-hot for tokens, ones for wildcards
-    (and for gaps -- gap nodes are masked out by the scan itself)."""
-    toks = jnp.asarray(tokens)
-    one_hot = jax.nn.one_hot(jnp.maximum(toks, 0), alphabet_size, dtype=dtype)
-    wild = (toks < 0)[..., None]
-    return jnp.where(wild, jnp.ones_like(one_hot), one_hot)
 
 
 @partial(jax.jit, static_argnames=("n_nodes", "alphabet_size"))

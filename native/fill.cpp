@@ -800,7 +800,9 @@ extern "C" void transition_pool(
     lwy.assign(n_y_trans, 0.0);
     lwc.assign(5 * 5 * 2 * 2, 0.0);
 
-    #pragma omp for schedule(dynamic, 4)
+    // static: a fixed row->thread partition keeps the per-thread partial
+    // sums (and thus the merged float totals) identical run to run
+    #pragma omp for schedule(static)
     for (int64_t i = 0; i < sx - 1; ++i) {
       const uint8_t xn = x_null[i];
       for (int64_t j = 0; j < sy - 1; ++j) {
