@@ -1489,12 +1489,21 @@ class BackwardMatrix(DPMatrix):
                 n_nodes = fwd.sumprod.arrays.n_nodes
                 tokens = np.full((n_nodes, len(keys)), -1, dtype=np.int32)
                 alphabet = fwd.sumprod.model.alphabet
+                node_l: list[int] = []
+                idx_l: list[int] = []
+                ch_l: list[str] = []
                 for idx, k in enumerate(keys):
                     for node, ch in cols[k].items():
                         if ch in "-.":
                             continue
-                        tok = alphabet.tokenize_char(ch)
-                        tokens[node, idx] = tok if tok >= 0 else -2
+                        node_l.append(node)
+                        idx_l.append(idx)
+                        ch_l.append(ch)
+                if ch_l:
+                    codes = np.frombuffer("".join(ch_l).encode("latin-1"), dtype=np.uint8)
+                    toks = alphabet.tokenize_bytes(codes)
+                    toks = np.where(toks >= 0, toks, -2).astype(np.int32)
+                    tokens[np.array(node_l), np.array(idx_l)] = toks
                 fill = fwd.sumprod.fill_tokens(tokens)
                 weights = np.array([col_weight[k] for k in keys])
                 fill.accumulate_eigen_counts(counts.root_count, counts.eigen_count, weights)

@@ -173,16 +173,26 @@ class Profile:
 
     def align_column(self, s: int) -> dict[int, str]:
         """Characters emitted by state s, wildcard for the un-sequenced
-        ancestor rows (profile.cpp:100-110)."""
-        col: dict[int, str] = {}
-        st = self.states[s]
-        for row, rp in st.align_path.items():
-            if len(rp) and rp[0]:
-                if row in st.seq_coords:
-                    col[row] = self.seqs[row][st.seq_coords[row] - 1]
-                else:
-                    col[row] = "*"
-        return col
+        ancestor rows (profile.cpp:100-110).
+
+        Memoized per state -- count extraction requests the same columns
+        for hundreds of thousands of cells; callers mutate the result, so
+        a fresh dict is returned each time."""
+        cache = self.__dict__.get("_align_col_cache")
+        if cache is None:
+            cache = self.__dict__["_align_col_cache"] = {}
+        hit = cache.get(s)
+        if hit is None:
+            col: dict[int, str] = {}
+            st = self.states[s]
+            for row, rp in st.align_path.items():
+                if len(rp) and rp[0]:
+                    if row in st.seq_coords:
+                        col[row] = self.seqs[row][st.seq_coords[row] - 1]
+                    else:
+                        col[row] = "*"
+            hit = cache[s] = col
+        return dict(hit)
 
     # ------------------------------------------------------------- operations
     def left_multiply(self, sub_mats: np.ndarray) -> "Profile":
