@@ -55,21 +55,32 @@ def pair_path(path: AlignPath, node1: int, node2: int) -> AlignPath:
     return {node1: c1[order], node2: c2[order]}
 
 
+def branch_path_states(prow: np.ndarray, crow: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(src_states, dst_states) for the 2-row transition walk -- depends
+    only on the gap patterns, not the branch length."""
+    keep = prow | crow
+    c1 = prow[keep]
+    c2 = crow[keep]
+    states = np.where(c1 & c2, ProbModel.MATCH, np.where(c1, ProbModel.DELETE, ProbModel.INSERT))
+    src_states = np.concatenate([[ProbModel.MATCH], states])
+    dst_states = np.concatenate([states, [ProbModel.END]])
+    return src_states, dst_states
+
+
 def log_branch_path_likelihood(prob_model: ProbModel, path: AlignPath, parent: int, child: int) -> float:
     """Transition-probability walk over a 2-row path (sampler.cpp:439-450).
 
     Vectorized with the float semantics of the sequential walk: log
     table entries come from math.log and the left-fold accumulation
     order is preserved via cumsum."""
-    prow = np.asarray(path[parent], dtype=bool)
-    crow = np.asarray(path[child], dtype=bool)
-    keep = prow | crow
-    c1 = prow[keep]
-    c2 = crow[keep]
+    src_states, dst_states = branch_path_states(
+        np.asarray(path[parent], dtype=bool), np.asarray(path[child], dtype=bool)
+    )
+    return _log_path_states_likelihood(prob_model, src_states, dst_states)
+
+
+def _log_path_states_likelihood(prob_model: ProbModel, src_states, dst_states) -> float:
     log_t = _log_trans_table(prob_model)
-    states = np.where(c1 & c2, ProbModel.MATCH, np.where(c1, ProbModel.DELETE, ProbModel.INSERT))
-    src_states = np.concatenate([[ProbModel.MATCH], states])
-    dst_states = np.concatenate([states, [ProbModel.END]])
     terms = log_t[src_states, dst_states]
     if len(terms) == 0:
         return 0.0
@@ -101,29 +112,42 @@ def root_log_likelihood(model: RateModel, history: History) -> float:
 
 _INDEL_LP_CACHE: dict = {}
 _INDEL_LP_CACHE_MAX = 200_000
+_PAIR_STATES_CACHE: dict = {}
+_PAIR_STATES_CACHE_MAX = 50_000
 
 
 def indel_log_likelihood(model: RateModel, history: History) -> float:
     align = Alignment.from_gapped(history.gapped)
     lp = 0.0
-    # per-branch terms are memoized by (indel params, branch length, the
-    # two rows' gap patterns): an MCMC/refiner move changes a handful of
-    # branches, and the left-fold sum order is unchanged, so totals are
-    # bit-identical to the uncached walk
+    # Two memo levels, both preserving the walk's float semantics exactly:
+    # per-branch terms by (indel params, branch length, the two rows' gap
+    # patterns) -- alignment moves change a handful of branches; and the
+    # canonical-order state sequences by gap patterns alone -- tree moves
+    # (NodeHeight/Rescale) change every t but no paths, leaving only a
+    # table gather + cumsum per branch.
     params = (model.ins_rate, model.del_rate, model.ins_ext_prob, model.del_ext_prob)
     for node in range(history.tree.root()):
         parent = history.tree.parent(node)
         t = history.tree.branch_length(node)
-        key = (
-            params, t,
+        rows_key = (
             np.asarray(align.path[parent], dtype=bool).tobytes(),
             np.asarray(align.path[node], dtype=bool).tobytes(),
         )
+        key = (params, t, rows_key)
         hit = _INDEL_LP_CACHE.get(key)
         if hit is None:
+            st = _PAIR_STATES_CACHE.get(rows_key)
+            if st is None:
+                path = pair_path(align.path, parent, node)
+                st = branch_path_states(
+                    np.asarray(path[parent], dtype=bool),
+                    np.asarray(path[node], dtype=bool),
+                )
+                if len(_PAIR_STATES_CACHE) >= _PAIR_STATES_CACHE_MAX:
+                    _PAIR_STATES_CACHE.clear()
+                _PAIR_STATES_CACHE[rows_key] = st
             pm = ProbModel(model, t)
-            path = pair_path(align.path, parent, node)
-            hit = log_branch_path_likelihood(pm, path, parent, node)
+            hit = _log_path_states_likelihood(pm, *st)
             if len(_INDEL_LP_CACHE) >= _INDEL_LP_CACHE_MAX:
                 _INDEL_LP_CACHE.clear()
             _INDEL_LP_CACHE[key] = hit
