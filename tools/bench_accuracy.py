@@ -40,6 +40,10 @@ def main() -> None:
     results = []
     for ref_path in paths:
         ref = read_alignment(ref_path)
+        # drop reconstructed-ancestor rows (historian names them with their
+        # subtree's Newick string): only leaves are realigned and scored,
+        # and Newick metacharacters in row names break tree round-trips
+        ref = {name: row for name, row in ref.items() if not name.startswith("(")}
         if len({len(v) for v in ref.values()}) != 1:
             print(f"{ref_path}\tFAILED\nreference rows have unequal lengths -- not an alignment")
             continue
