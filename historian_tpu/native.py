@@ -14,9 +14,34 @@ import subprocess
 import numpy as np
 from numpy.ctypeslib import ndpointer
 
-_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_SRC = os.path.join(_REPO, "native", "fill.cpp")
-_LIB = os.path.join(_REPO, "native", "libhistfill.so")
+_PKG = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(_PKG)
+
+
+def _locate_src() -> str:
+    """fill.cpp in the repo layout, or the copy shipped inside the wheel."""
+    for cand in (
+        os.path.join(_REPO, "native", "fill.cpp"),
+        os.path.join(_PKG, "native_src", "fill.cpp"),
+    ):
+        if os.path.exists(cand):
+            return cand
+    return ""
+
+
+def _lib_path(src: str) -> str:
+    """Build next to the source when writable (repo layout), else in the
+    user cache (installed into read-only site-packages)."""
+    src_dir = os.path.dirname(src)
+    if os.access(src_dir, os.W_OK):
+        return os.path.join(src_dir, "libhistfill.so")
+    cache = os.path.join(os.path.expanduser("~"), ".cache", "historian_tpu")
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, "libhistfill.so")
+
+
+_SRC = _locate_src()
+_LIB = _lib_path(_SRC) if _SRC else ""
 
 _lib = None
 _tried = False
@@ -40,7 +65,7 @@ def get_native():
     if _tried:
         return _lib
     _tried = True
-    if os.environ.get("HISTORIAN_NATIVE", "1") == "0":
+    if os.environ.get("HISTORIAN_NATIVE", "1") == "0" or not _SRC:
         return None
     try:
         if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
