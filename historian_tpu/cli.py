@@ -335,7 +335,18 @@ def main(argv: list[str] | None = None) -> int:
     if platform:
         import jax
 
-        jax.config.update("jax_platforms", platform)
+        try:
+            jax.config.update("jax_platforms", platform)
+            jax.devices()
+        except RuntimeError:
+            if platform != "tpu":
+                raise
+            # TPU plugins may register under a vendor name (e.g. the axon
+            # tunnel registers platform "axon" whose devices report "tpu");
+            # fall back to auto-selection and verify a TPU device appears
+            jax.config.update("jax_platforms", None)
+            if not any(d.platform == "tpu" for d in jax.devices()):
+                raise SystemExit(f"{PROG}: no TPU devices available")
     argv = logger.parse_args(argv)
     if not argv:
         sys.stderr.write(BRIEF)
