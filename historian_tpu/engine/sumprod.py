@@ -109,7 +109,55 @@ class SumProductEngine:
         tokens = tokenize_alignment(self.model.alphabet, gapped_rows)
         return self.fill_tokens(tokens)
 
+    # native host fill for small batches (an MCMC proposal refills a few
+    # hundred columns, where the device scan's per-step dispatch overhead
+    # is ~95% of the wall time); large count batches stay on the device
+    _NATIVE_FILL_MAX_CELLS = 1 << 17  # L x N
+
+    def _native_fill(self, tokens: np.ndarray) -> "SumProductFill | None":
+        import os
+
+        if os.environ.get("HISTORIAN_DEVICE_SUMPROD", "0") == "1":
+            return None
+        arr = self.arrays
+        n = arr.n_nodes
+        L = tokens.shape[1]
+        if L * n > self._NATIVE_FILL_MAX_CELLS:
+            return None
+        from historian_tpu.native import get_native
+
+        lib = get_native()
+        if lib is None:
+            return None
+        c, a = self.model.components, self.model.alphabet_size
+        F = np.empty((L, n, c, a))
+        logF = np.empty((L, n, c))
+        E = np.empty((L, n, c, a))
+        logE = np.empty((L, n, c))
+        G = np.empty((L, n, c, a))
+        logG = np.empty((L, n, c))
+        cpt_ll = np.empty((L, c))
+        col_ll = np.empty(L)
+        lib.sumprod_fill(
+            L, n, c, a,
+            np.ascontiguousarray(tokens, dtype=np.int32),
+            arr.parent.astype(np.int64), arr.left.astype(np.int64),
+            arr.right.astype(np.int64), arr.sibling.astype(np.int64),
+            np.ascontiguousarray(self.branch_sub),
+            np.ascontiguousarray(self.ins_prob),
+            np.ascontiguousarray(self.log_cpt_weight),
+            np.uint8(1),
+            F, logF, E, logE, G, logG, cpt_ll, col_ll,
+        )
+        fill = SumProductFill(self, tokens, F, logF, E, logE, cpt_ll, col_ll, None)
+        fill._device["G"] = G
+        fill._device["logG"] = logG
+        return fill
+
     def fill_tokens(self, tokens: np.ndarray) -> "SumProductFill":
+        native = self._native_fill(tokens)
+        if native is not None:
+            return native
         arr = self.arrays
         n = arr.n_nodes
         a = self.model.alphabet_size

@@ -131,6 +131,22 @@ def get_native():
             ctypes.c_int64, ctypes.c_int64,  # n_x_trans, n_y_trans
             _f64(), _f64(), _f64(),  # wx, wy, wcat out
         ]
+        lib.sumprod_fill.restype = None
+        lib.sumprod_fill.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ndpointer(dtype=np.int32, ndim=2, flags="C_CONTIGUOUS"),  # tokens
+            _i64(), _i64(), _i64(), _i64(),  # parent, left, right, sibling
+            ndpointer(dtype=np.float64, ndim=4, flags="C_CONTIGUOUS"),  # sub
+            _f64(2), _f64(),  # ins, log cpt weights
+            ctypes.c_uint8,  # down
+            ndpointer(dtype=np.float64, ndim=4, flags="C_CONTIGUOUS"),  # F
+            _f64(3),  # logF
+            ndpointer(dtype=np.float64, ndim=4, flags="C_CONTIGUOUS"),  # E
+            _f64(3),  # logE
+            ndpointer(dtype=np.float64, ndim=4, flags="C_CONTIGUOUS"),  # G
+            _f64(3),  # logG
+            _f64(2), _f64(),  # cpt_ll, col_ll
+        ]
         lib.branch_fill.restype = None
         lib.branch_fill.argtypes = [
             ctypes.c_int64, ctypes.c_int64,

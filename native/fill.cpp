@@ -1110,3 +1110,144 @@ extern "C" void branch_fill(
   }
   #undef BC
 }
+
+// ---------------------------------------------------------------------------
+// Column-batched Felsenstein sum-product fill (reference SumProduct,
+// sumprod.cpp:99-198; device twin ops/felsenstein.py _fill_up_batch /
+// _fill_down_batch).  The device kernel is a lax.scan over postorder
+// nodes whose per-step overhead dominates small fills (an MCMC proposal
+// refills ~hundreds of columns over ~hundreds of nodes); this native twin
+// runs the same recurrences sequentially per column, OMP-parallel over
+// columns.  Dot-product accumulation order differs from XLA, so values
+// can differ from the device fill in the last bits.
+extern "C" void sumprod_fill(
+    int64_t L, int64_t N, int64_t C, int64_t A,
+    const int32_t* tokens,   // [N, L]; >=0 token, -1 gap, other <0 wildcard
+    const int64_t* parent, const int64_t* left, const int64_t* right,
+    const int64_t* sibling,
+    const double* sub,       // [N, C, A, A]
+    const double* ins,       // [C, A]
+    const double* lcw,       // [C] log component weights
+    uint8_t down,            // also fill G/logG
+    double* F, double* logF,  // [L, N, C, A] / [L, N, C]
+    double* E, double* logE,
+    double* G, double* logG,  // only written when down != 0
+    double* cpt_ll,           // [L, C]
+    double* col_ll            // [L]
+) {
+  const double TINY = 2.2250738585072014e-308;  // smallest normal f64
+  #pragma omp parallel
+  {
+    std::vector<double> fn(C * A), en(C * A);
+    #pragma omp for schedule(static)
+    for (int64_t l = 0; l < L; ++l) {
+      double* Fl = F + l * N * C * A;
+      double* El = E + l * N * C * A;
+      double* lFl = logF + l * N * C;
+      double* lEl = logE + l * N * C;
+      double* cl = cpt_ll + l * C;
+      bool any_ungapped = false;
+      for (int64_t c = 0; c < C; ++c) cl[c] = 0.0;
+      // ---- up pass (postorder: nodes are toposorted children-first)
+      for (int64_t n = 0; n < N; ++n) {
+        const bool gap_n = tokens[n * L + l] == -1;
+        const int64_t p = parent[n];
+        const bool gap_p = p < 0 || tokens[p * L + l] == -1;
+        const bool is_root = !gap_n && gap_p;
+        if (!gap_n) any_ungapped = true;
+        const int64_t lc = left[n], rc = right[n];
+        const int32_t tok = tokens[n * L + l];
+        for (int64_t c = 0; c < C; ++c) {
+          const double* el = lc >= 0 ? El + (lc * C + c) * A : nullptr;
+          const double* er = rc >= 0 ? El + (rc * C + c) * A : nullptr;
+          double log_children =
+              (lc >= 0 ? lEl[lc * C + c] : 0.0) + (rc >= 0 ? lEl[rc * C + c] : 0.0);
+          // Fn_raw = prod(children E) * obs; rescale by per-component max
+          double fmax = 0.0;
+          for (int64_t a = 0; a < A; ++a) {
+            double v = (el ? el[a] : 1.0) * (er ? er[a] : 1.0);
+            if (tok >= 0 && a != tok) v = 0.0;
+            fn[c * A + a] = v;
+            if (v > fmax) fmax = v;
+          }
+          const double safe = fmax > TINY ? fmax : TINY;
+          for (int64_t a = 0; a < A; ++a) fn[c * A + a] /= safe;
+          const double logFn = log_children + log(safe);
+          // root contribution to the column likelihood
+          if (is_root) {
+            double dot = 0.0;
+            for (int64_t a = 0; a < A; ++a) dot += fn[c * A + a] * ins[c * A + a];
+            cl[c] += logFn + log(dot > TINY ? dot : TINY);
+          }
+          // message up the branch: En = sub[n] . Fn
+          const double* M = sub + ((n * C + c) * A) * A;
+          double* Edst = El + (n * C + c) * A;
+          double* Fdst = Fl + (n * C + c) * A;
+          if (gap_n || is_root) {
+            for (int64_t a = 0; a < A; ++a) Edst[a] = 1.0;
+            lEl[n * C + c] = 0.0;
+          } else {
+            for (int64_t i = 0; i < A; ++i) {
+              double acc = 0.0;
+              const double* Mi = M + i * A;
+              for (int64_t j = 0; j < A; ++j) acc += Mi[j] * fn[c * A + j];
+              en[c * A + i] = acc;
+            }
+            for (int64_t a = 0; a < A; ++a) Edst[a] = en[c * A + a];
+            lEl[n * C + c] = logFn;
+          }
+          if (gap_n) {
+            for (int64_t a = 0; a < A; ++a) Fdst[a] = 0.0;
+            lFl[n * C + c] = 0.0;
+          } else {
+            for (int64_t a = 0; a < A; ++a) Fdst[a] = fn[c * A + a];
+            lFl[n * C + c] = logFn;
+          }
+        }
+      }
+      // col_ll = logsumexp_c(lcw + cpt_ll); 0 for all-gap columns
+      if (!any_ungapped) {
+        col_ll[l] = 0.0;
+      } else {
+        double m = -INFINITY;
+        for (int64_t c = 0; c < C; ++c) {
+          const double v = lcw[c] + cl[c];
+          if (v > m) m = v;
+        }
+        double s = 0.0;
+        for (int64_t c = 0; c < C; ++c) s += exp(lcw[c] + cl[c] - m);
+        col_ll[l] = m + log(s);
+      }
+      // ---- down pass (preorder = reverse postorder)
+      if (down) {
+        double* Gl = G + l * N * C * A;
+        double* lGl = logG + l * N * C;
+        for (int64_t n = N - 1; n >= 0; --n) {
+          const int64_t p = parent[n];
+          const int64_t s = sibling[n];
+          const bool gap_p = p < 0 || tokens[p * L + l] == -1;
+          for (int64_t c = 0; c < C; ++c) {
+            double* Gdst = Gl + (n * C + c) * A;
+            if (gap_p) {  // root (or gapped parent): G = insProb
+              for (int64_t a = 0; a < A; ++a) Gdst[a] = ins[c * A + a];
+              lGl[n * C + c] = 0.0;
+              continue;
+            }
+            const double* Gp = Gl + (p * C + c) * A;
+            const bool use_sib = s >= 0 && tokens[s * L + l] != -1;
+            const double* Es = use_sib ? El + (s * C + c) * A : nullptr;
+            const double* M = sub + ((n * C + c) * A) * A;
+            // Gn[j] = sum_i (Gp*Es)[i] * sub[n][i][j]
+            for (int64_t j = 0; j < A; ++j) {
+              double acc = 0.0;
+              for (int64_t i = 0; i < A; ++i)
+                acc += Gp[i] * (Es ? Es[i] : 1.0) * M[i * A + j];
+              Gdst[j] = acc;
+            }
+            lGl[n * C + c] = lGl[p * C + c] + (s >= 0 ? lEl[s * C + c] : 0.0);
+          }
+        }
+      }
+    }
+  }
+}
