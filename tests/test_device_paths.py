@@ -129,6 +129,49 @@ def test_fill_cached_reuses_until_rows_change(ref_data):
     assert engine.fill_cached(mutated) is not f1
 
 
+@pytest.mark.parametrize(
+    "model_file",
+    ["testamino.json", "testrates.mix2.json"],
+    ids=["one-component", "two-component"],
+)
+def test_native_sumprod_fill_matches_device(ref_data, model_file):
+    """The native host fill (small batches) against the device scan,
+    including gapped internals (sub-forest columns) and the down pass."""
+    import os
+
+    from historian_tpu.native import get_native
+
+    if get_native() is None:
+        pytest.skip("native runtime unavailable")
+    from historian_tpu.ops.felsenstein import tokenize_alignment
+
+    model = RateModel.from_file(os.path.join(ref_data, model_file))
+    tree = Tree(TREE)
+    engine = SumProductEngine(model, tree)
+    rng = np.random.default_rng(9)
+    alphabet = model.alphabet
+    syms = [alphabet.symbol(i) for i in range(alphabet.size)]
+    L = 150
+    rows = []
+    for n in range(tree.n_nodes()):
+        if tree.is_leaf(n):
+            rows.append("".join(rng.choice(syms) if rng.random() > 0.25 else "-" for _ in range(L)))
+        else:
+            rows.append("".join("*" if rng.random() > 0.3 else "-" for _ in range(L)))
+    toks = tokenize_alignment(alphabet, rows)
+    nat = engine._native_fill(toks)
+    assert nat is not None
+    os.environ["HISTORIAN_DEVICE_SUMPROD"] = "1"
+    try:
+        dev = engine.fill_tokens(toks)
+    finally:
+        os.environ.pop("HISTORIAN_DEVICE_SUMPROD")
+    for name in ("F", "logF", "E", "logE", "G", "logG", "cpt_ll", "col_ll"):
+        np.testing.assert_allclose(
+            getattr(nat, name), getattr(dev, name), rtol=1e-9, atol=1e-12, err_msg=name
+        )
+
+
 def test_native_merge_matches_python_fuzz():
     rng = np.random.default_rng(11)
     if AP._native_merge([], {}, []) is None and os.environ.get("HISTORIAN_NATIVE") == "0":
