@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from historian_tpu.ops.semiring import affine_scan as _affine_scan, lse as _lse
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 NEG = -1e30
@@ -97,7 +97,7 @@ def sp_pair_forward(absorb, rootsub_x, rootsub_y, ins_x, ins_y, mask, trans,
         mesh=mesh,
         in_specs=(P(None, axis), P(None), P(axis), P(None), P(axis), P(None, axis), P(None)),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(absorb, rootsub_x, rootsub_y, ins_x, ins_y, mask, trans)
 
@@ -133,7 +133,7 @@ def sp_pair_forward_batch(absorb, rootsub_x, rootsub_y, ins_x, ins_y, mask, tran
         in_specs=(P(dp_axis, None, sp_axis), P(dp_axis), P(dp_axis, sp_axis),
                   P(dp_axis), P(dp_axis, sp_axis), P(None, sp_axis), P(None)),
         out_specs=P(dp_axis),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(absorb, rootsub_x, rootsub_y, ins_x, ins_y, mask, trans)
 

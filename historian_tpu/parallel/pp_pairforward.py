@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from historian_tpu.ops.semiring import affine_scan as _affine_scan, lse as _lse
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 NEG = -1e30
@@ -51,7 +51,7 @@ def pp_pair_forward_lp(absorb, rootsub_x, rootsub_y, ins_x, ins_y, trans,
         mesh=mesh,
         in_specs=(P(None, axis), P(None, axis), P(None), P(None, axis), P(None), P(None)),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(absorb, rootsub_x, rootsub_y, ins_x, ins_y, trans)
 
