@@ -39,9 +39,12 @@ class Logger:
         i = 0
         while i < len(argv):
             a = argv[i]
-            if a == "-v" or a == "--verbose":
+            if a == "-v" or a == "-verbose" or a == "--verbose":
                 self.verbosity = max(self.verbosity, 1)
-            elif len(a) in (3, 4) and a.startswith("-v") and a[2:].isdigit():
+            elif len(a) > 2 and a.startswith("-v") and set(a[1:]) == {"v"}:
+                # -vv, -vvv, ... (reference logger.cpp:59-61)
+                self.verbosity = max(self.verbosity, len(a) - 1)
+            elif len(a) > 2 and a.startswith("-v") and a[2:].isdigit():
                 self.verbosity = max(self.verbosity, int(a[2:]))
             elif a in ("-log", "--log") and i + 1 < len(argv):
                 self.tags.add(argv[i + 1])

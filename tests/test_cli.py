@@ -208,3 +208,17 @@ def test_every_documented_flag_is_handled(ref_data):
     with ThreadPoolExecutor(max_workers=6) as pool:
         for flag, err in pool.map(run_flag, todo):
             assert "Traceback" not in err, (flag, err[-400:])
+
+
+def test_verbosity_flag_forms():
+    """-v/-verbose/-vv.../-vN all parse (reference logger.cpp:43-75)."""
+    from historian_tpu.utils.logging import Logger
+
+    for args, want in [
+        (["-v"], 1), (["-verbose"], 1), (["-vv"], 2), (["-vvvvv"], 5),
+        (["-v3"], 3), (["-v10"], 10), (["-v", "-v4"], 4),
+    ]:
+        lg = Logger()
+        rest = lg.parse_args(args + ["keep"])
+        assert rest == ["keep"], (args, rest)
+        assert lg.verbosity == want, (args, lg.verbosity)
