@@ -341,3 +341,70 @@ def test_numsubcount_complex_spectrum_cyclic():
         num = sum(sg[a, i] * sr[j, b] for sg, sr in zip(sub_grid, sub_grid_rev))
         num *= model.sub_rate[0, i, j] * (T / n_steps) / sub[0, a, b]
         assert abs(count - num) < 5e-3 * max(1.0, abs(count))
+
+
+@pytest.mark.parametrize(
+    "model_file,a,b,i,j,T,lam,golden",
+    [
+        ("testforward.jukescantor.json", "A", "T", "A", "T", 0.01, 4.0, "testnumsubcount1.out"),
+        ("testforward.jukescantor.json", "A", "T", "A", "T", 1.0, 4.0, "testnumsubcount2.out"),
+        ("testforward.jukescantor.json", "A", "T", "C", "G", 1.0, 4.0, "testnumsubcount3.out"),
+        ("testrates.json", "A", "T", "A", "T", 1.0, None, "testnumsubcount4.out"),
+    ],
+)
+def test_numsubcount_golden(ref_data, model_file, a, b, i, j, T, lam, golden):
+    """Replicates t/testnumsubcount.cpp: the closed-form eigenbasis
+    substitution-count integral (models/eigen.sub_count_matrix, reference
+    model.cpp:1298-1321) vs brute-force numerical integration and, for
+    Jukes-Cantor, the exact analytic count (reference Makefile:287-291)."""
+    model = RateModel.from_file(os.path.join(ref_data, model_file))
+    eigen = EigenModel(model)
+    alph = model.alphabet
+    a, b, i, j = (alph.tokenize_char(c) for c in (a, b, i, j))
+
+    sub = eigen.sub_prob_matrix(T)[0]
+    esub = eigen.eigen_sub_count(T)[0]
+    count = eigen.sub_count_matrix(0, a, b, sub, esub)[i, j]
+
+    # numerical integration on the reference's grid: 1e5 steps,
+    # second factor evaluated at T - t - tStep (testnumsubcount.cpp:40-45)
+    n_steps = 100000
+    t_step = T / n_steps
+    ts = np.arange(n_steps) * t_step
+    exp_fwd = np.exp(eigen.eval[0][None, :] * ts[:, None])            # [t, k]
+    exp_rev = np.exp(eigen.eval[0][None, :] * (T - ts - t_step)[:, None])
+    p_ai = np.einsum("k,tk,k->t", eigen.evec[0, a], exp_fwd, eigen.evec_inv[0][:, i]).real
+    p_jb = np.einsum("k,tk,k->t", eigen.evec[0, j], exp_rev, eigen.evec_inv[0][:, b]).real
+    num = np.clip(p_ai, 0, 1) @ np.clip(p_jb, 0, 1)
+    num *= model.sub_rate[0, i, j] * t_step / sub[a, b]
+
+    g = "{:g}".format
+    lines = [f"Eigenvector method: {g(count)}", f"Numerical integration: {g(num)}"]
+    if lam is not None:
+        assert i != j
+
+        def jc_prob(t, x, y):
+            e = np.exp(-lam * t)
+            return e + (1 - e) / 4 if x == y else (1 - e) / 4
+
+        if a != i and j != b and a != b:
+            jc_count = (lam / 16) * (
+                T + (2 / lam) * (np.exp(-lam * T) - 1) + T * np.exp(-lam * T)
+            ) / (1 - np.exp(-lam * T))
+            lines.append(f"Jukes-Cantor (lambda={g(lam)}): {g(jc_count)}")
+        jc_num = float(
+            np.sum(jc_prob(ts, a, i) * (lam / 4) * t_step * jc_prob(T - ts, j, b))
+        ) / jc_prob(T, a, b)
+        lines.append(f"Jukes-Cantor numerical (lambda={g(lam)}): {g(jc_num)}")
+        lines.append(f"Rate(i->j): {g(model.sub_rate[0, i, j])}")
+        for label, p in (
+            ("Eigen: P(a->i|T/3)", eigen.sub_prob_matrix(T / 3)[0][a, i]),
+            ("Eigen: P(j->b|2T/3)", eigen.sub_prob_matrix(2 * T / 3)[0][j, b]),
+            ("Eigen: P(a->b|T)", sub[a, b]),
+            ("JC exact: P(a->i|T/3)", jc_prob(T / 3, a, i)),
+            ("JC exact: P(j->b|2T/3)", jc_prob(2 * T / 3, j, b)),
+            ("JC exact: P(a->b|T)", jc_prob(T, a, b)),
+        ):
+            lines.append(f"{label}: {g(p)}")
+    with open(os.path.join(ref_data, golden)) as f:
+        assert_text_match("\n".join(lines) + "\n", f.read(), sig_figs=4)

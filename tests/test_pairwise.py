@@ -246,3 +246,14 @@ def test_quickalign_matches_exhaustive_max_path(ref_data):
             for j0 in range(1, Y + 1):
                 dfs(i0, j0, M, sg(i0) + sg(j0) + emit[i0, j0])
         assert abs(r.end - best[0]) < 1e-9, (case, x, y, r.end, best[0])
+
+
+def test_upgma_amino_golden(ref_data):
+    """Protein UPGMA case (reference Makefile:276): PF16593.testspan.fa
+    under the amino model -> PF16593.testspan.testupgma.nh."""
+    model = RateModel.from_file(data(ref_data, "testamino.json"))
+    gapped = read_fasta(data(ref_data, "PF16593.testspan.fa"))
+    dist = model.distance_matrix(gapped, use_device=False)
+    tree = Tree.upgma([s.name for s in gapped], dist)
+    with open(data(ref_data, "PF16593.testspan.testupgma.nh")) as f:
+        assert_text_match(tree.to_string() + "\n", f.read(), sig_figs=3)

@@ -11,7 +11,7 @@ from historian_tpu.engine.sumprod import SumProductEngine
 from historian_tpu.models.counts import EigenCounts
 from historian_tpu.models.ratemodel import RateModel
 
-from .golden import assert_json_close, load_lenient_json
+from .golden import assert_json_close, assert_text_match, load_lenient_json
 
 
 def load_case(ref_data, model_file, align_file, tree_file):
@@ -193,3 +193,41 @@ def test_column_likelihood_matches_exhaustive_marginalization(ref_data):
             total += p
         # single component model: weight is 1
         assert abs(float(col_ll[col]) - np.log(total * w[0])) < 1e-9, col
+
+
+def test_sumprod_full_text_golden(ref_data):
+    """Byte-level replication of t/testsumprod.cpp's full output text
+    (reference Makefile:298-299): per-column branch pairwise posteriors for
+    every non-root ungapped node, then root posteriors, 4-sig-fig tolerant
+    against data/testsumprod.out."""
+    model, gapped, tree = load_case(
+        ref_data, "testnj.jukescantor.json", "testaligncount.fa", "testaligncount.nh"
+    )
+    engine = SumProductEngine(model, tree)
+    fill = engine.fill([s.seq for s in gapped])
+    sym = model.alphabet.symbol
+    g = "{:g}".format
+
+    lines = []
+    for col in range(fill.n_columns):
+        lines.append(f"Column #{col}")
+        root = fill.column_root(col)
+        for node in range(tree.n_nodes()):
+            if fill.is_gap(node, col) or node == root:
+                continue
+            parent = tree.parent(node)
+            for cpt in range(model.components):
+                for a in range(model.alphabet_size):
+                    for b in range(model.alphabet_size):
+                        p = np.exp(fill.log_branch_post_prob(cpt, col, node, a, b))
+                        lines.append(
+                            f"P( {tree.node_name(parent)} = {sym(a)}{cpt} , "
+                            f"{tree.node_name(node)} = {sym(b)}{cpt} ) = {g(p)}"
+                        )
+        lnpp = fill.log_node_post_prob(col, root)
+        for a in range(model.alphabet_size):
+            lines.append(f"P( {tree.node_name(root)} = {sym(a)} ) = {g(np.exp(lnpp[a]))}")
+        lines.append("")
+
+    with open(os.path.join(ref_data, "testsumprod.out")) as f:
+        assert_text_match("\n".join(lines) + "\n", f.read(), sig_figs=4)
