@@ -1504,8 +1504,20 @@ class BackwardMatrix(DPMatrix):
                     toks = alphabet.tokenize_bytes(codes)
                     toks = np.where(toks >= 0, toks, -2).astype(np.int32)
                     tokens[np.array(node_l), np.array(idx_l)] = toks
-                fill = fwd.sumprod.fill_tokens(tokens)
                 weights = np.array([col_weight[k] for k in keys])
+                if len(keys) >= 512:
+                    # Counts are linear in the per-column weight, so columns
+                    # with identical token content (common: absorbing cells at
+                    # neighbouring grid positions often expose the same
+                    # residue column) collapse into one fill column with the
+                    # weights pooled.  Only on the large-batch device path --
+                    # the small-batch host path stays byte-exact with the
+                    # reference's per-key accumulation order.
+                    tokens, inv = np.unique(tokens, axis=1, return_inverse=True)
+                    weights = np.bincount(
+                        inv.ravel(), weights=weights, minlength=tokens.shape[1]
+                    )
+                fill = fwd.sumprod.fill_tokens(tokens)
                 fill.accumulate_eigen_counts(counts.root_count, counts.eigen_count, weights)
 
         # transition indel counts: natively pooled per profile edge and per
