@@ -53,6 +53,26 @@ INCLUDE_BEST_TRACE = 8
 KEEP_GAPS_OPEN = 16
 
 
+def _profile_token_columns(profile: Profile, alphabet, n_nodes: int) -> np.ndarray:
+    """[n_states, n_nodes] int32 token matrix of every state's alignment
+    column: -1 = gap (row absent from the column), -2 = wildcard/invalid
+    ('*' ancestor rows), >=0 = alphabet token.  Memoized on the profile --
+    count extraction requests these columns for every posterior cell."""
+    cached = profile.__dict__.get("_token_columns")
+    if cached is not None and cached.shape[1] == n_nodes:
+        return cached
+    toks = alphabet.tokenize_bytes(np.arange(256, dtype=np.uint8))
+    lut = np.where(toks >= 0, toks, -2).astype(np.int32)
+    lut[ord("-")] = -1
+    lut[ord(".")] = -1
+    out = np.full((len(profile.states), n_nodes), -1, dtype=np.int32)
+    for s in range(len(profile.states)):
+        for row, ch in profile.align_column(s).items():
+            out[s, row] = lut[ord(ch)]
+    profile.__dict__["_token_columns"] = out
+    return out
+
+
 def _edge_arrays(profile: Profile):
     """Per-state in-edge arrays: (srcs[j], lps[j]) lists of numpy arrays."""
     srcs = []
@@ -1442,25 +1462,44 @@ class BackwardMatrix(DPMatrix):
         counts = EigenCounts(self.hmm.components, self.hmm.alphabet_size)
         counts.indel.lp = fwd.lp_end
 
-        cells_w = self._positive_posterior_cells()  # [(i, j, s, w)] scan order
+        ijs, wts = self._positive_posterior_cell_arrays()  # (i, j, s) scan order
 
-        if fwd.sumprod is not None:
-            # pool weights per distinct alignment column
-            col_weight: dict = {}
-            col_cells: dict = {}
-            for i, j, s, w in cells_w:
-                c = (i, j, s)
-                if not fwd.is_absorbing(c):
-                    if fwd.changes_x(c):
-                        key = ("x", c[0])
-                    elif fwd.changes_y(c):
-                        key = ("y", c[1])
-                    else:
-                        continue  # no column -> no substitution counts
-                else:
-                    key = ("cell", c)
-                col_weight[key] = col_weight.get(key, 0.0) + w
-                col_cells.setdefault(key, c)
+        if fwd.sumprod is not None and len(wts):
+            # pool weights per distinct alignment column, fully vectorized:
+            # classify every cell (absorbing / changes-x / changes-y), map it
+            # to an integer key id, pool weights per key in scan order
+            # (bincount adds left-to-right, matching the dict accumulation),
+            # and keep keys in first-encounter order so the column batch --
+            # and therefore the float accumulation order downstream -- is
+            # identical to the per-cell walk.
+            i_a, j_a, s_a = ijs[:, 0], ijs[:, 1], ijs[:, 2]
+            xn = self.x_null[i_a]
+            yn = self.y_null[j_a]
+            absorbing = (
+                ((s_a == IMM) & ~xn & ~yn)
+                | ((s_a == IMD) & ~xn)
+                | ((s_a == IDM) & ~yn)
+            )
+            chx = ((s_a == IMM) & (xn | ~yn)) | (s_a == IMD) | (s_a == IIW)
+            chy = ((s_a == IMM) & self.x_emit_or_start[i_a]) | (s_a == IDM) | (s_a == IMI)
+            nx, ny = self.x_size, self.y_size
+            base_x = nx * ny * 5
+            base_y = base_x + nx
+            keyid = np.where(
+                absorbing,
+                (i_a * ny + j_a) * 5 + s_a,
+                np.where(chx, base_x + i_a, np.where(chy, base_y + j_a, -1)),
+            )
+            keep = keyid >= 0
+            keyid = keyid[keep]
+            uniq, inv = np.unique(keyid, return_inverse=True)
+            first = np.full(len(uniq), len(keyid), dtype=np.int64)
+            np.minimum.at(first, inv, np.arange(len(keyid)))
+            order = np.argsort(first, kind="stable")
+            rank = np.empty(len(uniq), dtype=np.int64)
+            rank[order] = np.arange(len(uniq))
+            uniq = uniq[order]
+            weights = np.bincount(rank[inv], weights=wts[keep], minlength=len(uniq))
 
             # reference cache-representative columns (see docstring)
             m = self.env_mask[: self.x_size - 1, : self.y_size - 1]
@@ -1469,43 +1508,49 @@ class BackwardMatrix(DPMatrix):
             any_i = m.any(axis=0)
             i_first = np.where(any_i, m.argmax(axis=0), -1)
 
-            def key_column(key):
-                kind = key[0]
-                if kind == "cell":
-                    return fwd.get_alignment_column(col_cells[key])
-                if kind == "x":
-                    i = key[1]
-                    if 0 < i < self.x_size - 1 and j_first[i] > 0:
-                        return fwd.x.align_column(i)
-                    return {}
-                j = key[1]
-                if 0 < j < self.y_size - 1 and i_first[j] > 0:
-                    return fwd.y.align_column(j)
-                return {}
+            n_nodes = fwd.sumprod.arrays.n_nodes
+            alphabet = fwd.sumprod.model.alphabet
+            tok_x = _profile_token_columns(fwd.x, alphabet, n_nodes)
+            tok_y = _profile_token_columns(fwd.y, alphabet, n_nodes)
 
-            cols = {k: key_column(k) for k in col_weight}
-            keys = [k for k in col_weight if cols[k]]
-            if keys:
-                n_nodes = fwd.sumprod.arrays.n_nodes
-                tokens = np.full((n_nodes, len(keys)), -1, dtype=np.int32)
-                alphabet = fwd.sumprod.model.alphabet
-                node_l: list[int] = []
-                idx_l: list[int] = []
-                ch_l: list[str] = []
-                for idx, k in enumerate(keys):
-                    for node, ch in cols[k].items():
-                        if ch in "-.":
-                            continue
-                        node_l.append(node)
-                        idx_l.append(idx)
-                        ch_l.append(ch)
-                if ch_l:
-                    codes = np.frombuffer("".join(ch_l).encode("latin-1"), dtype=np.uint8)
-                    toks = alphabet.tokenize_bytes(codes)
-                    toks = np.where(toks >= 0, toks, -2).astype(np.int32)
-                    tokens[np.array(node_l), np.array(idx_l)] = toks
-                weights = np.array([col_weight[k] for k in keys])
-                if len(keys) >= 512:
+            cols_mat = np.full((len(uniq), n_nodes), -1, dtype=np.int32)
+            kind_x = (uniq >= base_x) & (uniq < base_y)
+            kind_y = uniq >= base_y
+            kind_cell = uniq < base_x
+            # x-insert representative columns (range guards as in key_column)
+            rx = np.where(kind_x)[0]
+            xi = uniq[rx] - base_x
+            okx = (xi > 0) & (j_first[xi] > 0)
+            cols_mat[rx[okx]] = tok_x[xi[okx]]
+            # y-insert representative columns
+            ry = np.where(kind_y)[0]
+            yj = uniq[ry] - base_y
+            oky = (yj > 0) & (i_first[yj] > 0)
+            cols_mat[ry[oky]] = tok_y[yj[oky]]
+            # absorbing-cell columns (getAlignmentColumn, forward.cpp:938-973;
+            # cell keys are absorbing by construction, so the null-state
+            # branches never apply and the parent row is always wildcard)
+            rc = np.where(kind_cell)[0]
+            cs = uniq[rc] % 5
+            cij = uniq[rc] // 5
+            ci = cij // ny
+            cj = cij % ny
+            guard = (ci > 0) & (ci < nx - 1) & (cj > 0) & (cj < ny - 1)
+            m_imm = guard & (cs == IMM)
+            cols_mat[rc[m_imm]] = np.where(
+                tok_x[ci[m_imm]] != -1, tok_x[ci[m_imm]], tok_y[cj[m_imm]]
+            )
+            m_imd = guard & (cs == IMD)
+            cols_mat[rc[m_imd]] = tok_x[ci[m_imd]]
+            m_idm = guard & (cs == IDM)
+            cols_mat[rc[m_idm]] = tok_y[cj[m_idm]]
+            cols_mat[rc[guard], fwd.parent_row] = -2
+
+            nonempty = (cols_mat != -1).any(axis=1)
+            if np.any(nonempty):
+                tokens = np.ascontiguousarray(cols_mat[nonempty].T)
+                weights = weights[nonempty]
+                if tokens.shape[1] >= 512:
                     # Counts are linear in the per-column weight, so columns
                     # with identical token content (common: absorbing cells at
                     # neighbouring grid positions often expose the same
@@ -1513,9 +1558,9 @@ class BackwardMatrix(DPMatrix):
                     # weights pooled.  Only on the large-batch device path --
                     # the small-batch host path stays byte-exact with the
                     # reference's per-key accumulation order.
-                    tokens, inv = np.unique(tokens, axis=1, return_inverse=True)
+                    tokens, dinv = np.unique(tokens, axis=1, return_inverse=True)
                     weights = np.bincount(
-                        inv.ravel(), weights=weights, minlength=tokens.shape[1]
+                        dinv.ravel(), weights=weights, minlength=tokens.shape[1]
                     )
                 fill = fwd.sumprod.fill_tokens(tokens)
                 fill.accumulate_eigen_counts(counts.root_count, counts.eigen_count, weights)
@@ -1531,7 +1576,7 @@ class BackwardMatrix(DPMatrix):
             return counts
         cells = fwd.cells
         lp_end = fwd.lp_end
-        for i, j, s, _ in cells_w:
+        for i, j, s in ijs.tolist():
             dest = (i, j, s)
             lp_dest = self.cells[i, j, s]
             for src, lp_trans in fwd.source_transitions(dest).items():
@@ -1580,11 +1625,11 @@ class BackwardMatrix(DPMatrix):
                 self.hmm, ss, s, bool(xn), bool(yn), counts.indel, float(wcat[k])
             )
 
-    def _positive_posterior_cells(self) -> list:
-        """[(i, j, s, w)] for every in-band cell with posterior weight
-        w = exp(fwd + bwd - lp_end) > 0, in (i, j, s) scan order -- the
-        same selection and order as nonzero(post > 0) + lexsort on the
-        dense posterior tensor, without materializing it."""
+    def _positive_posterior_cell_arrays(self) -> tuple:
+        """(ijs [n, 3] int64, w [n] float64) for every in-band cell with
+        posterior weight w = exp(fwd + bwd - lp_end) > 0, in (i, j, s)
+        scan order -- the same selection and order as nonzero(post > 0) +
+        lexsort on the dense posterior tensor, without materializing it."""
         from historian_tpu.native import get_native
 
         lib = get_native()
@@ -1601,10 +1646,7 @@ class BackwardMatrix(DPMatrix):
                 if n <= cap:
                     break
                 cap = int(n)
-            return [
-                (i, j, s, w)
-                for (i, j, s), w in zip(out_ijs[:n].tolist(), out_w[:n].tolist())
-            ]
+            return out_ijs[:n], out_w[:n]
         with np.errstate(invalid="ignore", over="ignore"):
             post = np.exp(
                 self.fwd.cells[: self.x_size - 1, : self.y_size - 1]
@@ -1616,9 +1658,13 @@ class BackwardMatrix(DPMatrix):
         )
         post = np.nan_to_num(post, nan=0.0)
         ii, jj, ss = np.nonzero(post > 0)
+        return np.stack([ii, jj, ss], axis=1).astype(np.int64), post[ii, jj, ss]
+
+    def _positive_posterior_cells(self) -> list:
+        """[(i, j, s, w)] form of _positive_posterior_cell_arrays."""
+        ijs, w = self._positive_posterior_cell_arrays()
         return [
-            (int(i), int(j), int(s), float(post[i, j, s]))
-            for i, j, s in zip(ii, jj, ss)
+            (i, j, s, wv) for (i, j, s), wv in zip(ijs.tolist(), w.tolist())
         ]
 
     # ----------------------------------------------------------- traceforward
