@@ -29,7 +29,7 @@ from historian_tpu.ops.felsenstein import (
 
 MIN_POST_PROB = 0.01
 
-# small LRU of engines keyed by (model identity, tree topology+lengths):
+# small LRU of engines keyed by (model content, tree topology+lengths):
 # MCMC alignment moves and likelihood evaluations reuse the same
 # (model, tree) pair many times, and engine construction does per-branch
 # expm + eigencount integrals
@@ -37,8 +37,30 @@ _ENGINE_CACHE: dict = {}
 _ENGINE_CACHE_MAX = 32
 
 
+def _model_fingerprint(model) -> tuple:
+    """Content key for the engine cache.  Keying on id(model) is unsafe
+    (a freed model's address can be reused by a new model with different
+    parameters); the fingerprint covers every parameter the engine
+    reads, recomputed per call because RateModels are mutable (EM's
+    M-step updates them in place).  The type name is included because
+    CachingRateModel computes sub_prob_matrix through the
+    eigendecomposition rather than scaling-and-squaring expm, which can
+    differ in the last bits."""
+    return (
+        type(model).__name__,
+        model.alphabet.symbols,
+        model.ins_rate,
+        model.del_rate,
+        model.ins_ext_prob,
+        model.del_ext_prob,
+        model.sub_rate.tobytes(),
+        model.ins_prob.tobytes(),
+        model.cpt_weight.tobytes(),
+    )
+
+
 def get_engine(model, tree) -> "SumProductEngine":
-    key = (id(model), tree.to_string())
+    key = (_model_fingerprint(model), tree.to_string())
     engine = _ENGINE_CACHE.pop(key, None)
     if engine is None:
         engine = SumProductEngine(model, tree)
