@@ -96,6 +96,7 @@ Counts / EM:
 
 Misc:
   -seed <n>       mt19937 seed            -platform cpu|tpu  JAX backend
+  -mesh <n>       shard count/fit E-steps over an n-device mesh (psum reduce)
   -profile <dir>  write a jax.profiler trace of the run
   -v .. -v9, -log <tag>, -nocolor         logging
   -abort          raw tracebacks on errors
@@ -304,6 +305,10 @@ def _parse_common(recon: Reconstructor, argvec: deque) -> bool:
     elif arg == "-rootlen":
         recon.simulator_root_seq_len = int(take())
     # general
+    elif arg == "-mesh":
+        from historian_tpu.parallel.pcounts import set_mesh
+
+        set_mesh(int(take()))
     elif arg == "-seed":
         recon.rnd_seed = int(take())
         recon.seed_generator()
@@ -347,6 +352,10 @@ def main(argv: list[str] | None = None) -> int:
             jax.config.update("jax_platforms", None)
             if not any(d.platform == "tpu" for d in jax.devices()):
                 raise SystemExit(f"{PROG}: no TPU devices available")
+    if os.environ.get("HISTORIAN_MESH"):
+        from historian_tpu.parallel.pcounts import set_mesh
+
+        set_mesh(int(os.environ["HISTORIAN_MESH"]))
     argv = logger.parse_args(argv)
     if not argv:
         sys.stderr.write(BRIEF)

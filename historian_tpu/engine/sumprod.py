@@ -771,7 +771,20 @@ class SumProductFill:
 
 def accumulate_alignment_eigen_counts(counts: EigenCounts, model: RateModel, tree: Tree, gapped_seqs, weight: float = 1.0) -> None:
     """Counterpart of EigenCounts::accumulateSubstitutionCounts
-    (model.cpp:900-915): one batched fill, then vectorized accumulation."""
+    (model.cpp:900-915): one batched fill, then vectorized accumulation.
+
+    When a device mesh is active (CLI -mesh N / HISTORIAN_MESH), the
+    whole E-step runs as a column-sharded shard_map with an in-jit psum
+    reduction -- the in-memory form of the reference's count/sum file
+    MapReduce (README.md:201-208)."""
+    from historian_tpu.parallel.pcounts import active_mesh, sharded_alignment_eigen_counts
+
+    mesh = active_mesh()
+    if mesh is not None:
+        counts += sharded_alignment_eigen_counts(
+            model, tree, [s.seq for s in gapped_seqs], mesh, weight
+        )
+        return
     engine = SumProductEngine(model, tree)
     fill = engine.fill([s.seq for s in gapped_seqs])
     c = EigenCounts(model.components, model.alphabet_size)

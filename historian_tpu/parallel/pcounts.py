@@ -4,19 +4,155 @@ The reference's scaling story is an offline file MapReduce: run
 `historian count` per file, `historian sum` to merge JSON counts,
 `historian fit -counts` to re-estimate (README.md:201-208); the
 EventCounts +-algebra is the reduction operator.  Here the same algebra
-runs in memory across a device mesh: each dp shard accumulates counts
-for its slice of datasets/columns, and one psum merges them.
+runs in memory across a device mesh: alignment columns shard over the dp
+axis, every shard runs the Felsenstein up/down fill plus the eigencount
+contraction on its column block inside ONE jitted shard_map, and a
+lax.psum merges the [C, A, A] partials -- the in-memory psum form of
+count/sum.  `historian-tpu count|fit -mesh N` turns it on.
 """
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
 
-from historian_tpu.models.counts import EventCounts
+from historian_tpu.models.counts import EigenCounts, EventCounts
+
+# ----------------------------------------------------------- mesh config
+# Set by the CLI's -mesh flag (or HISTORIAN_MESH); consulted by the
+# production count path (engine/sumprod.accumulate_alignment_eigen_counts).
+_ACTIVE_MESH: Mesh | None = None
 
 
+def set_mesh(n_devices: int) -> Mesh:
+    """Build and activate a dp mesh over the first n devices."""
+    global _ACTIVE_MESH
+    devices = jax.devices()
+    if n_devices > len(devices):
+        raise ValueError(
+            f"-mesh {n_devices} requested but only {len(devices)} devices are visible"
+        )
+    _ACTIVE_MESH = Mesh(np.array(devices[:n_devices]), ("dp",))
+    return _ACTIVE_MESH
+
+
+def clear_mesh() -> None:
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = None
+
+
+def active_mesh() -> Mesh | None:
+    return _ACTIVE_MESH
+
+
+# ------------------------------------------------- sharded E-step counts
+@partial(jax.jit, static_argnames=("mesh", "n_nodes", "alphabet_size"))
+def _sharded_count_step(
+    tokens,  # [N, L] int32, L divisible by mesh dp size
+    parent, left, right, sibling,  # [N] int32
+    sub,  # [N, C, A, A] branch substitution probs
+    ins,  # [C, A]
+    lcw,  # [C] log component weights
+    evr, evi,  # [C, A, A] eigenvector real/imag
+    eir, eii,  # [C, A, A] inverse-eigenvector real/imag
+    jr, ji,  # [N, C, A, A] per-branch J integral real/imag
+    *, mesh: Mesh, n_nodes: int, alphabet_size: int,
+):
+    """One fused multi-device E-step over an alignment: each dp shard
+    fills its column block (up + down passes) and contracts its
+    eigencount partials; a psum inside the jit reduces them.  Returns
+    replicated (root [C, A], eigen_r, eigen_i [C, A, A], logLik)."""
+    from historian_tpu.ops.felsenstein import (
+        _eigen_counts_core_cplx,
+        _fill_down_batch,
+        _fill_up_batch_tokens,
+    )
+
+    def shard(tokens_s):
+        (F, logF, E, logE, _cpt_ll, col_ll), is_gap = _fill_up_batch_tokens(
+            tokens_s, parent, left, right, sub, ins, lcw, n_nodes, alphabet_size
+        )
+        G, logG = _fill_down_batch(E, logE, is_gap, parent, sibling, sub, ins, n_nodes)
+        parent_safe = jnp.maximum(parent, 0)
+        sib_safe = jnp.maximum(sibling, 0)
+        has_parent = parent >= 0
+        gap_parent = jnp.where(has_parent[None, :], is_gap[:, parent_safe], True)
+        mask = (~is_gap) & has_parent[None, :] & ~gap_parent  # branch-count sites
+        w_col = jnp.ones(tokens_s.shape[1], sub.dtype)
+        eig_r, eig_i = _eigen_counts_core_cplx(
+            F, logF, E, logE, G, logG, col_ll, parent_safe, sib_safe,
+            mask, w_col, lcw, evr, evi, eir, eii, jr, ji,
+        )
+        # root counts (sumprod.cpp:264-271): every ungapped node whose
+        # parent is gapped/absent contributes insProb * F * exp(lcw +
+        # logF - colLL); all-gap padding columns contribute nothing
+        is_root = (~is_gap) & gap_parent  # [L, N]
+        norm = jnp.where(
+            is_root[:, :, None],
+            jnp.exp(lcw[None, None, :] + logF - col_ll[:, None, None]),
+            0.0,
+        )  # [L, N, C]
+        root = jnp.einsum("lnc,ci,lnci->ci", norm, ins, F)
+        lp = jnp.sum(col_ll)
+        return jax.lax.psum((root, eig_r, eig_i, lp), "dp")
+
+    # check_vma=False: the fill's lax.scan seeds its carry with replicated
+    # constants while the scanned tokens vary over dp, which the static
+    # varying-axes checker rejects; the computation itself is per-shard
+    return jax.shard_map(
+        shard, mesh=mesh,
+        in_specs=P(None, "dp"),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )(tokens)
+
+
+def sharded_alignment_eigen_counts(model, tree, gapped_rows: list[str], mesh: Mesh, weight: float = 1.0) -> EigenCounts:
+    """Multi-device counterpart of
+    engine.sumprod.accumulate_alignment_eigen_counts: one sharded E-step
+    over the alignment's columns.  Shard-count invariant (up to float
+    reassociation) because the count algebra is associative -- asserted
+    by tests/test_parallel.py on a virtual 8-device mesh."""
+    from historian_tpu.engine.sumprod import SumProductEngine
+    from historian_tpu.ops.felsenstein import GAP_TOK, tokenize_alignment
+
+    engine = SumProductEngine(model, tree)
+    arr = engine.arrays
+    tokens = tokenize_alignment(model.alphabet, gapped_rows)  # [N, L]
+    n_dp = mesh.devices.size
+    pad = (-tokens.shape[1]) % n_dp
+    if pad:
+        tokens = np.concatenate(
+            [tokens, np.full((tokens.shape[0], pad), GAP_TOK, tokens.dtype)], axis=1
+        )
+    e = engine.eigen
+    j = engine.branch_eigen_sub_count
+    root, eig_r, eig_i, lp = _sharded_count_step(
+        jnp.asarray(tokens),
+        jnp.asarray(arr.parent), jnp.asarray(arr.left),
+        jnp.asarray(arr.right), jnp.asarray(arr.sibling),
+        jnp.asarray(engine.branch_sub), jnp.asarray(engine.ins_prob),
+        jnp.asarray(engine.log_cpt_weight),
+        jnp.asarray(np.ascontiguousarray(e.evec.real)),
+        jnp.asarray(np.ascontiguousarray(e.evec.imag)),
+        jnp.asarray(np.ascontiguousarray(e.evec_inv.real)),
+        jnp.asarray(np.ascontiguousarray(e.evec_inv.imag)),
+        jnp.asarray(np.ascontiguousarray(j.real)),
+        jnp.asarray(np.ascontiguousarray(j.imag)),
+        mesh=mesh, n_nodes=arr.n_nodes, alphabet_size=model.alphabet_size,
+    )
+    out = EigenCounts(model.components, model.alphabet_size)
+    out.root_count += np.asarray(root) * weight
+    out.eigen_count += (np.asarray(eig_r) + 1j * np.asarray(eig_i)) * weight
+    out.indel.lp = float(lp) * weight
+    return out
+
+
+# ------------------------------------------------ EventCounts pytree psum
 def counts_to_arrays(c: EventCounts):
     """Flatten EventCounts into a pytree of arrays (psum-able)."""
     ic = c.indel
@@ -42,20 +178,47 @@ def arrays_to_counts(tree, alphabet) -> EventCounts:
     return out
 
 
-def column_sharded_eigen_counts(model, tree, gapped_rows: list[str], n_shards: int):
-    """E-step eigencounts with alignment columns sharded dp-ways.
+def psum_counts(shard_counts: list[EventCounts], alphabet, mesh: Mesh | None = None) -> EventCounts:
+    """Reduce per-shard EventCounts.
 
-    Columns are split into n_shards equal blocks (padded with all-gap
-    columns, which contribute exactly zero likelihood and zero counts);
-    each shard runs its own batched fill and accumulates its block's
-    eigencounts; shards reduce with the EventCounts/EigenCounts algebra.
-    This is the in-memory form of the reference's count/sum MapReduce and
-    must be invariant to n_shards (tested in tests/test_parallel.py).
-    """
+    With a mesh: each shard's pytree rides one device of the dp axis and
+    a jitted shard_map + lax.psum performs the reduction (pads with zero
+    counts when fewer shards than devices).  Without: host-side algebra
+    (the `sum` command's file reducer)."""
+    if mesh is None:
+        total = shard_counts[0].copy()
+        for c in shard_counts[1:]:
+            total += c
+        return total
+    n_dp = mesh.devices.size
+    if len(shard_counts) > n_dp:
+        # fold the tail onto the first shards so one psum suffices
+        folded = [c.copy() for c in shard_counts[:n_dp]]
+        for i, c in enumerate(shard_counts[n_dp:]):
+            folded[i % n_dp] += c
+        shard_counts = folded
+    components = shard_counts[0].components
+    while len(shard_counts) < n_dp:
+        shard_counts = shard_counts + [EventCounts(alphabet, components)]
+    trees = [counts_to_arrays(c) for c in shard_counts]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+    reduced = jax.jit(
+        jax.shard_map(
+            lambda t: jax.lax.psum(jax.tree.map(lambda x: x[0], t), "dp"),
+            mesh=mesh, in_specs=P("dp"), out_specs=P(), check_vma=False,
+        )
+    )(stacked)
+    return arrays_to_counts(reduced, alphabet)
+
+
+def column_sharded_eigen_counts(model, tree, gapped_rows: list[str], n_shards: int):
+    """Host-loop reference implementation of the column-sharded E-step:
+    used by tests as the algebra oracle for the shard_map path above
+    (shard results must be invariant to n_shards AND match the fused
+    device reduction)."""
     import math
 
     from historian_tpu.engine.sumprod import SumProductEngine
-    from historian_tpu.models.counts import EigenCounts
 
     engine = SumProductEngine(model, tree)
     n_cols = len(gapped_rows[0])
@@ -73,16 +236,4 @@ def column_sharded_eigen_counts(model, tree, gapped_rows: list[str], n_shards: i
         fill.accumulate_eigen_counts(shard.root_count, shard.eigen_count)
         shard.indel.lp = float(fill.col_ll.sum())
         total += shard
-    return total
-
-
-def psum_counts(shard_counts: list[EventCounts], alphabet) -> EventCounts:
-    """Tree-reduce per-shard EventCounts (host-side fallback when no mesh).
-
-    On a live mesh the same pytrees ride jax.lax.psum inside the
-    sharded E-step (see __graft_entry__.dryrun_multichip for the wired
-    version)."""
-    total = shard_counts[0].copy()
-    for c in shard_counts[1:]:
-        total += c
     return total

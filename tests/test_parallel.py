@@ -19,6 +19,7 @@ from historian_tpu.parallel.pcounts import (
     column_sharded_eigen_counts,
     counts_to_arrays,
     psum_counts,
+    sharded_alignment_eigen_counts,
 )
 
 
@@ -48,6 +49,91 @@ def test_all_gap_padding_is_identity(ref_data):
     b = column_sharded_eigen_counts(model, tree, padded, 1)
     np.testing.assert_allclose(a.eigen_count, b.eigen_count, atol=1e-12)
     assert abs(a.indel.lp - b.indel.lp) < 1e-12
+
+
+def load_mix2(ref_data):
+    model = RateModel.from_file(os.path.join(ref_data, "testrates.mix2.json"))
+    tree = Tree(open(os.path.join(ref_data, "testcount.mix2.nh")).read())
+    gapped = read_fasta(os.path.join(ref_data, "testcount.mix2.fa"))
+    gapped = tree.reorder_seqs(gapped)
+    return model, tree, [s.seq for s in gapped]
+
+
+@pytest.mark.parametrize("n_dp", [1, 2, 4, 8])
+def test_shard_map_counts_match_host_oracle(ref_data, n_dp):
+    """The fused shard_map+psum E-step (the production -mesh path) equals
+    the host accumulation, invariant to the mesh size."""
+    import jax
+    from jax.sharding import Mesh
+
+    model, tree, rows = load(ref_data)
+    host = column_sharded_eigen_counts(model, tree, rows, 1)
+    mesh = Mesh(np.array(jax.devices()[:n_dp]), ("dp",))
+    dev = sharded_alignment_eigen_counts(model, tree, rows, mesh)
+    np.testing.assert_allclose(dev.root_count, host.root_count, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(dev.eigen_count, host.eigen_count, rtol=1e-9, atol=1e-12)
+    assert abs(dev.indel.lp - host.indel.lp) < 1e-9
+
+
+def test_shard_map_counts_mixture_model(ref_data):
+    """Mesh E-step on the 2-component mixture dataset (ep-style component
+    axis rides inside each shard's einsums)."""
+    import jax
+    from jax.sharding import Mesh
+
+    model, tree, rows = load_mix2(ref_data)
+    host = column_sharded_eigen_counts(model, tree, rows, 1)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    dev = sharded_alignment_eigen_counts(model, tree, rows, mesh)
+    np.testing.assert_allclose(dev.root_count, host.root_count, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(dev.eigen_count, host.eigen_count, rtol=1e-9, atol=1e-12)
+    assert abs(dev.indel.lp - host.indel.lp) < 1e-9
+
+
+def test_cli_count_mesh_matches_reference_golden(ref_data, tmp_path, monkeypatch):
+    """`count -mesh 8` produces the same counts JSON as the meshless run
+    (which is golden-tested against the reference's testcount.out.json)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from historian_tpu.cli import main
+    from historian_tpu.parallel.pcounts import clear_mesh
+
+    args = [
+        "count",
+        "-model", os.path.join(ref_data, "testcount.jukescantor.json"),
+        "-recon", os.path.join(ref_data, "testcount.historian.fa"),
+        "-tree", os.path.join(ref_data, "testcount.nh"),
+    ]
+    outs = []
+    for extra in ([], ["-mesh", "8"]):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            assert main(args + extra) == 0
+        outs.append(buf.getvalue())
+        clear_mesh()
+    from tests.golden import assert_text_match
+
+    assert_text_match(outs[1], outs[0], sig_figs=10)
+
+
+def test_psum_counts_mesh_matches_host(ref_data):
+    """EventCounts pytree reduction through shard_map+psum (uneven shard
+    count -> zero-padding / folding) equals the host algebra."""
+    import jax
+    from jax.sharding import Mesh
+
+    model, tree, rows = load(ref_data)
+    shards = []
+    for s in range(5):  # deliberately not a multiple of the mesh size
+        ec = column_sharded_eigen_counts(model, tree, [r[s::5] for r in rows], 1)
+        shards.append(ec.transform(model))
+    host_total = psum_counts(shards, model.alphabet)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("dp",))
+    dev_total = psum_counts(shards, model.alphabet, mesh=mesh)
+    np.testing.assert_allclose(dev_total.sub_count, host_total.sub_count, rtol=1e-12)
+    np.testing.assert_allclose(dev_total.root_count, host_total.root_count, rtol=1e-12)
+    assert abs(dev_total.indel.lp - host_total.indel.lp) < 1e-9
 
 
 def test_counts_pytree_roundtrip_and_psum_on_mesh(ref_data):
