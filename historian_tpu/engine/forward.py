@@ -360,6 +360,26 @@ class ForwardMatrix(DPMatrix):
              h.iiw_imm, h.iiw_idm, h.iiw_iiw]
         )
 
+    def _fill_device(self) -> bool:
+        """Run the fill on the accelerator (chain x chain merges: every
+        leaf pair, and all merges under -fast's best-trace profiles);
+        False when disabled or the profiles are not pure chains.  The
+        device kernel produces the same banded cell tensor the host fills
+        (up to float reassociation), so every downstream consumer --
+        tracebacks, make_profile, counts, posteriors -- is unchanged."""
+        from historian_tpu.ops import devicedp
+
+        if not devicedp.enabled():
+            return False
+        cells_np = devicedp.chain_forward_cells(self)
+        if cells_np is None:
+            return False
+        self.cells = bufpool.get(self._pool_role, (self.x_size, self.y_size, 5), self)
+        self.cells.fill(NEG_INF)
+        self.cells[: self.x_size - 1, : self.y_size - 1] = cells_np
+        self._finish_fill()
+        return True
+
     def _fill_native(self) -> bool:
         """Run the fill through the native host runtime; False if unavailable."""
         from historian_tpu.native import csr_in_edges, get_native
@@ -413,6 +433,8 @@ class ForwardMatrix(DPMatrix):
 
     # ------------------------------------------------------------------- fill
     def _fill(self) -> None:
+        if self._fill_device():
+            return
         if self._fill_native():
             return
         self.cells = bufpool.get(self._pool_role, (self.x_size, self.y_size, 5), self)

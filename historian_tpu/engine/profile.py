@@ -194,6 +194,44 @@ class Profile:
             hit = cache[s] = col
         return dict(hit)
 
+    def as_chain(self) -> np.ndarray | None:
+        """[size] per-state incoming-transition log-probs if this profile
+        is a PURE EMIT CHAIN (START -> emit_1 -> ... -> emit_n -> END with
+        exactly one transition between consecutive states and no interior
+        null states), else None.
+
+        Leaf profiles (from_sequence) and best-trace profiles under
+        COLLAPSE_CHAINS (the -fast mode, where every interior non-fork
+        cell is summed out) have exactly this shape, which is what lets
+        the banded scan kernel (ops/pairforward.py) run the composition
+        DP on device: the DAG recurrence degenerates to the classic
+        pair-HMM grid.  Memoized on the profile."""
+        cached = self.__dict__.get("_as_chain", False)
+        if cached is not False:
+            return cached
+        out = self._as_chain_uncached()
+        self.__dict__["_as_chain"] = out
+        return out
+
+    def _as_chain_uncached(self) -> np.ndarray | None:
+        n = self.size - 2
+        if n < 1 or len(self.trans) != n + 1:
+            return None
+        edge_lp = np.zeros(self.size)
+        for s in range(1, self.size):
+            st = self.states[s]
+            if len(st.in_trans) != 1:
+                return None
+            t = self.trans[st.in_trans[0]]
+            if t.src != s - 1:
+                return None
+            if (s < self.size - 1) != st.is_emit:
+                return None  # interior states must emit; END must be null
+            edge_lp[s] = t.lp
+        if self.states[0].in_trans or not self.states[0].is_null:
+            return None
+        return edge_lp
+
     # ------------------------------------------------------------- operations
     def left_multiply(self, sub_mats: np.ndarray) -> "Profile":
         """New profile with lpAbsorb' = log(subMat @ exp(lpAbsorb)),

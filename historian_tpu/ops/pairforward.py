@@ -145,6 +145,85 @@ def pair_forward(
     return cells, lp_end
 
 
+@partial(jax.jit, static_argnames=())
+def chain_pair_forward_cells(
+    absorb,  # [X1, Y1]; NEG-padded beyond the true sizes
+    rootsub_x,  # [X1] (transition lp into each x state folded in)
+    rootsub_y,  # [Y1]
+    ins_x,  # [X1]
+    ins_y,  # [Y1]
+    mask,  # [X1, Y1] bool envelope (False in padding)
+    trans,  # [23] packed PairHMM transition log-probs
+    x_ready,  # [X1] bool Wait/Ready gating (replaces the shape-derived test)
+    y_ready,  # [Y1] bool
+):
+    """`pair_forward` for bucket-padded production profiles: the true
+    profile sizes live INSIDE the padded [X1, Y1] grid, so the Wait/Ready
+    gates arrive as explicit vectors instead of being derived from the
+    array shape, and only the banded cell tensor is returned (the end
+    gather runs on host over the profiles' end transitions).  Transition
+    log-probs of the chain profiles are pre-folded by the caller into
+    rootsub/ins/absorb (each cell's value gains the lp of the edges that
+    enter it -- exactly the reference recurrence, forward.cpp:86-202,
+    restricted to single-in-edge chain states)."""
+    (imm_imm, imm_imd, imm_idm, imm_imi, imm_iiw, _imm_eee,
+     imd_imm, imd_imd, imd_idm, _imd_eee,
+     idm_imm, idm_imd, idm_idm, _idm_eee,
+     imi_imm, imi_imd, imi_imi, imi_iiw, _imi_eee,
+     iiw_imm, iiw_idm, iiw_iiw, _iiw_eee) = (trans[k] for k in range(23))
+
+    X1, Y1 = absorb.shape
+    dtype = absorb.dtype
+    neg = jnp.array(NEG, dtype)
+    neg_row = jnp.full((Y1,), neg, dtype)
+
+    def shift_right(v):
+        return jnp.concatenate([jnp.full((1,), neg, dtype), v[:-1]])
+
+    def row_step(carry, i):
+        imm_p, imd_p, idm_p, imi_p, iiw_p = carry  # row i-1
+        mask_row = mask[i]
+        is_first = i == 0
+        x_rdy = x_ready[i]
+
+        imd = _lse(imm_p + imm_imd, imd_p + imd_imd, idm_p + idm_imd, imi_p + imi_imd) + rootsub_x[i]
+        iiw = _lse(imm_p + imm_iiw, imi_p + imi_iiw, iiw_p + iiw_iiw) + ins_x[i]
+        imd = jnp.where(y_ready, imd, neg)
+        iiw = jnp.where(y_ready, iiw, neg)
+
+        imm_src = _lse(
+            imm_p + imm_imm, imd_p + imd_imm, idm_p + idm_imm,
+            imi_p + imi_imm, iiw_p + iiw_imm,
+        )
+        imm = shift_right(imm_src) + absorb[i]
+        imm = jnp.where(is_first & (jnp.arange(Y1) == 0), 0.0, imm)
+        imd = jnp.where(is_first, neg_row, imd)
+        iiw = jnp.where(is_first, neg_row, iiw)
+        imm = jnp.where(mask_row, imm, neg)
+        imd = jnp.where(mask_row, imd, neg)
+        iiw = jnp.where(mask_row, iiw, neg)
+
+        idm_other = _lse(imm + imm_idm, imd + imd_idm, iiw + iiw_idm)
+        a_idm = shift_right(idm_other) + rootsub_y
+        b_idm = idm_idm + rootsub_y
+        a_idm = jnp.where(mask_row & x_rdy, a_idm, neg)
+        idm = _affine_scan(a_idm, jnp.where(mask_row & x_rdy, b_idm, neg))
+        idm = jnp.where(mask_row & x_rdy, idm, neg)
+
+        imi_other = imm + imm_imi
+        a_imi = shift_right(imi_other) + ins_y
+        b_imi = imi_imi + ins_y
+        a_imi = jnp.where(mask_row & x_rdy, a_imi, neg)
+        imi = _affine_scan(a_imi, jnp.where(mask_row & x_rdy, b_imi, neg))
+        imi = jnp.where(mask_row & x_rdy, imi, neg)
+
+        return (imm, imd, idm, imi, iiw), (imm, imd, idm, imi, iiw)
+
+    init = (neg_row, neg_row, neg_row, neg_row, neg_row)
+    _, rows = jax.lax.scan(row_step, init, jnp.arange(X1))
+    return jnp.stack(rows, axis=-1)  # [X1, Y1, 5]
+
+
 def pack_transitions(hmm) -> np.ndarray:
     """Flatten an engine.pairhmm.PairHMM into the kernel's [23] layout."""
     return np.array(

@@ -1,0 +1,104 @@
+"""Device execution of the production composition DP (ops/devicedp).
+
+The chain x chain Forward fill must produce the same banded cell tensor
+as the host fill (float64 on CPU: identical up to reassociation), and a
+full -fast reconstruction through the device path must match the host
+path's output.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from historian_tpu.core.seqs import read_fasta
+from historian_tpu.core.tree import Tree
+from historian_tpu.engine.forward import ForwardMatrix
+from historian_tpu.engine.pairhmm import PairHMM
+from historian_tpu.engine.profile import Profile
+from historian_tpu.models.ratemodel import ProbModel, RateModel
+
+
+def _leaf_pair_forward(ref_data, monkeypatch, device: bool):
+    monkeypatch.setenv("HISTORIAN_DEVICE_DP", "1" if device else "0")
+    model = RateModel.from_file(os.path.join(ref_data, "testamino.json"))
+    seqs = read_fasta(os.path.join(ref_data, "PF16593.pair.fa"))
+    x = Profile.from_sequence(model.components, model.alphabet, seqs[0], 0)
+    y = Profile.from_sequence(model.components, model.alphabet, seqs[1], 1)
+    hmm = PairHMM(ProbModel(model, 0.8), ProbModel(model, 0.4), model.ins_prob)
+    return ForwardMatrix(x, y, hmm, 2)
+
+
+def test_leaf_chain_fill_matches_host(ref_data, monkeypatch):
+    host = _leaf_pair_forward(ref_data, monkeypatch, device=False)
+    dev = _leaf_pair_forward(ref_data, monkeypatch, device=True)
+    assert np.isfinite(dev.lp_end)
+    assert abs(dev.lp_end - host.lp_end) < 1e-9
+    hc = np.where(np.isfinite(host.cells), host.cells, -1.0e99)
+    dc = np.where(np.isfinite(dev.cells), dev.cells, -1.0e99)
+    np.testing.assert_allclose(dc, hc, rtol=1e-9, atol=1e-9)
+
+
+def test_leaf_chain_fill_banded_matches_host(ref_data, monkeypatch):
+    """Same comparison under a guide envelope (the production banding)."""
+    from historian_tpu.core.alignpath import Alignment, GuideAlignmentEnvelope
+
+    model = RateModel.from_file(os.path.join(ref_data, "testamino.json"))
+    gapped = read_fasta(os.path.join(ref_data, "PF16593.fa"))[:2]
+    align = Alignment.from_gapped(gapped)
+    env = GuideAlignmentEnvelope(align.path, 0, 1, 10)
+    seqs = align.ungapped
+    x = Profile.from_sequence(model.components, model.alphabet, seqs[0], 0)
+    y = Profile.from_sequence(model.components, model.alphabet, seqs[1], 1)
+    hmm = PairHMM(ProbModel(model, 0.5), ProbModel(model, 0.5), model.ins_prob)
+    monkeypatch.setenv("HISTORIAN_DEVICE_DP", "0")
+    host = ForwardMatrix(x, y, hmm, 2, env)
+    monkeypatch.setenv("HISTORIAN_DEVICE_DP", "1")
+    dev = ForwardMatrix(x, y, hmm, 2, env)
+    assert np.isfinite(dev.lp_end) and abs(dev.lp_end - host.lp_end) < 1e-9
+    hc = np.where(np.isfinite(host.cells), host.cells, -1.0e99)
+    dc = np.where(np.isfinite(dev.cells), dev.cells, -1.0e99)
+    np.testing.assert_allclose(dc, hc, rtol=1e-9, atol=1e-9)
+
+
+def test_best_trace_profile_is_chain(ref_data, monkeypatch):
+    """-fast's COLLAPSE_CHAINS best-trace profiles are pure emit chains,
+    so second-level merges also take the device path."""
+    monkeypatch.setenv("HISTORIAN_DEVICE_DP", "0")
+    fwd = _leaf_pair_forward(ref_data, monkeypatch, device=False)
+    prof = fwd.best_profile()
+    assert prof.as_chain() is not None
+    # and a default sampled profile (multiple traces) generally is NOT
+    from historian_tpu.utils.rng import MT19937
+
+    sampled = fwd.sample_profile(MT19937(5489), 10, 0)
+    assert sampled.size > prof.size  # sanity: sampling retained more cells
+
+
+def _run_cli(args, env_extra):
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.update(env_extra)
+    return subprocess.run(
+        [sys.executable, "-m", "historian_tpu", *args],
+        capture_output=True, text=True, timeout=600, env=env, cwd="/root/repo",
+    )
+
+
+def test_fast_recon_device_path_matches_host(ref_data):
+    """End-to-end `recon -fast` (every merge a chain pair) through the
+    device kernel equals the host-path output byte for byte on CPU f64."""
+    args = [
+        "recon", "-fast", "-output", "fasta",
+        "-model", os.path.join(ref_data, "testcount.jukescantor.json"),
+        "-guide", os.path.join(ref_data, "testcount.fa"),
+        "-tree", os.path.join(ref_data, "testcount.nh"),
+    ]
+    base = {"JAX_PLATFORMS": "cpu"}
+    host = _run_cli(args, {**base, "HISTORIAN_DEVICE_DP": "0"})
+    dev = _run_cli(args, {**base, "HISTORIAN_DEVICE_DP": "1"})
+    assert host.returncode == 0, host.stderr[-2000:]
+    assert dev.returncode == 0, dev.stderr[-2000:]
+    assert host.stdout == dev.stdout
