@@ -373,6 +373,9 @@ class ForwardMatrix(DPMatrix):
             return False
         cells_np = devicedp.chain_forward_cells(self)
         if cells_np is None:
+            # general sampled-profile merges take the DAG kernel
+            cells_np = devicedp.dag_forward_cells(self)
+        if cells_np is None:
             return False
         self.cells = bufpool.get(self._pool_role, (self.x_size, self.y_size, 5), self)
         self.cells.fill(NEG_INF)

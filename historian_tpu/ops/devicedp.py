@@ -52,6 +52,148 @@ def _clamp(a: np.ndarray, dtype) -> np.ndarray:
     return np.where(np.isfinite(a), a, NEG).astype(dtype, copy=False)
 
 
+def _bucket_pow2(n: int, lo: int = 1) -> int:
+    k = lo
+    while k < n:
+        k <<= 1
+    return k
+
+
+def _profile_dag_arrays(profile, n: int):
+    """Per-profile structure tables for the DAG kernel, memoized: in-edge
+    matrices, chain/junction decomposition, null list + chain depth.
+    `n` = number of grid states (profile.size - 1: END excluded)."""
+    cached = profile.__dict__.get("_dag_arrays")
+    if cached is not None:
+        return cached
+    trans = profile.trans
+    k_max = max((len(profile.states[s].in_trans) for s in range(n)), default=1)
+    K = _bucket_pow2(max(1, k_max))
+    src = np.zeros((n, K), dtype=np.int32)
+    lp = np.full((n, K), NEG)
+    chain = np.zeros(n, dtype=bool)
+    null_depth = np.zeros(n, dtype=np.int32)
+    is_null = np.array([profile.states[s].is_null for s in range(n)])
+    for s in range(n):
+        st = profile.states[s]
+        for k, t in enumerate(st.in_trans):
+            src[s, k] = trans[t].src
+            v = trans[t].lp
+            lp[s, k] = v if np.isfinite(v) else NEG
+        if (
+            not is_null[s]
+            and len(st.in_trans) == 1
+            and trans[st.in_trans[0]].src == s - 1
+        ):
+            chain[s] = True
+        if is_null[s]:
+            d = 0
+            for t in st.in_trans:
+                sp = trans[t].src
+                if sp < n and is_null[sp]:
+                    d = max(d, null_depth[sp])
+            null_depth[s] = d + 1
+    jidx = np.nonzero(~chain)[0].astype(np.int32)
+    govq = np.zeros(n, dtype=np.int32)
+    q = 0
+    for s in range(n):
+        if not chain[s]:
+            q += 1
+        govq[s] = q
+    nidx = np.nonzero(is_null)[0].astype(np.int32)
+    out = {
+        "K": K, "src": src, "lp": lp, "chain": chain, "jidx": jidx,
+        "govq": govq, "nidx": nidx,
+        "n_null_iters": int(null_depth.max(initial=0)),
+    }
+    profile.__dict__["_dag_arrays"] = out
+    return out
+
+
+def dag_forward_cells(dp) -> np.ndarray | None:
+    """Run the Forward fill for a general profile pair on device via the
+    DAG kernel (ops/dagforward.py).  Same contract as chain_forward_cells
+    but with explicit edge structure instead of folded transitions."""
+    if dp.x_empty or dp.y_empty:
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    from historian_tpu.ops.dagforward import dag_pair_forward_cells
+    from historian_tpu.ops.pairforward import pack_transitions
+
+    nx = dp.x_size - 1
+    ny = dp.y_size - 1
+    SX, SY = _bucket(nx), _bucket(ny)
+    dtype = np.float64 if jax.default_backend() == "cpu" else np.float32
+
+    ax = _profile_dag_arrays(dp.x, nx)
+    ay = _profile_dag_arrays(dp.y, ny)
+
+    def pad_edges(a, n, S):
+        K = a["K"]
+        src = np.zeros((S, K), dtype=np.int32)
+        lp = np.full((S, K), NEG, dtype)
+        src[:n] = a["src"]
+        lp[:n] = a["lp"]
+        # padded states: pretend chain with NEG edge so they add no junctions
+        src[n:, 0] = np.maximum(np.arange(n, S) - 1, 0)
+        return src, lp
+
+    x_src, x_lp = pad_edges(ax, nx, SX)
+    y_src, y_lp = pad_edges(ay, ny, SY)
+
+    def padb(vals, n, S, pad_val=False):
+        out = np.full(S, pad_val, dtype=bool)
+        out[:n] = vals[:n]
+        return out
+
+    x_null = padb(dp.x_null, nx, SX)
+    x_eos = padb(dp.x_emit_or_start, nx, SX)
+    x_ready = padb(dp.x_ready | dp.x_empty, nx, SX)
+    y_null = padb(dp.y_null, ny, SY)
+    y_ready = padb(dp.y_ready | dp.y_empty, ny, SY)
+    y_chain = np.ones(SY, dtype=bool)  # padded states chain (no junction cost)
+    y_chain[:ny] = ay["chain"]
+    govq = np.zeros(SY, dtype=np.int32)
+    govq[:ny] = ay["govq"]
+    govq[ny:] = ay["govq"][-1] if ny else 0
+
+    J = max(32, -(-len(ay["jidx"]) // 32) * 32)
+    jidx = np.full(J, SY - 1, dtype=np.int32)  # pad: a masked padding column
+    jidx[: len(ay["jidx"])] = ay["jidx"]
+    JN = max(32, -(-len(ay["nidx"]) // 32) * 32)
+    nidx = np.full(JN, SY - 1, dtype=np.int32)
+    nidx[: len(ay["nidx"])] = ay["nidx"]
+
+    absorb = np.full((SX, SY), NEG, dtype)
+    absorb[:nx, :ny] = _clamp(dp.absorb[:nx, :ny], dtype)
+    rsx = np.full(SX, NEG, dtype); rsx[:nx] = _clamp(dp.rootsubx[:nx], dtype)
+    isx = np.full(SX, NEG, dtype); isx[:nx] = _clamp(dp.insx[:nx], dtype)
+    rsy = np.full(SY, NEG, dtype); rsy[:ny] = _clamp(dp.rootsuby[:ny], dtype)
+    isy = np.full(SY, NEG, dtype); isy[:ny] = _clamp(dp.insy[:ny], dtype)
+    mask = np.zeros((SX, SY), dtype=bool)
+    mask[:nx, :ny] = dp.env_mask[:nx, :ny]
+    trans = _clamp(pack_transitions(dp.hmm), dtype)
+
+    cells_full = np.asarray(
+        dag_pair_forward_cells(
+            jnp.asarray(absorb), jnp.asarray(rsx), jnp.asarray(isx),
+            jnp.asarray(rsy), jnp.asarray(isy),
+            jnp.asarray(mask), jnp.asarray(trans),
+            jnp.asarray(x_src), jnp.asarray(x_lp),
+            jnp.asarray(x_null), jnp.asarray(x_eos), jnp.asarray(x_ready),
+            jnp.asarray(y_src), jnp.asarray(y_lp),
+            jnp.asarray(y_null), jnp.asarray(y_ready),
+            jnp.asarray(y_chain), jnp.asarray(govq),
+            jnp.asarray(jidx), jnp.asarray(nidx),
+            jnp.int32(ay["n_null_iters"]),
+        )
+    )
+    cells = cells_full[:nx, :ny].astype(np.float64)
+    return np.where(cells < NEG_CUTOFF, -np.inf, cells)
+
+
 def chain_forward_cells(dp) -> np.ndarray | None:
     """Run the Forward fill for a chain x chain DPMatrix on device.
 

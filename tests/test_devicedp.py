@@ -96,9 +96,78 @@ def test_fast_recon_device_path_matches_host(ref_data):
         "-guide", os.path.join(ref_data, "testcount.fa"),
         "-tree", os.path.join(ref_data, "testcount.nh"),
     ]
-    base = {"JAX_PLATFORMS": "cpu"}
+    # HISTORIAN_PLATFORM, not JAX_PLATFORMS: this image's sitecustomize
+    # registers the axon TPU plugin at interpreter boot and overrides the
+    # env var; the CLI's platform flag goes through the config API
+    base = {"HISTORIAN_PLATFORM": "cpu"}
     host = _run_cli(args, {**base, "HISTORIAN_DEVICE_DP": "0"})
     dev = _run_cli(args, {**base, "HISTORIAN_DEVICE_DP": "1"})
     assert host.returncode == 0, host.stderr[-2000:]
     assert dev.returncode == 0, dev.stderr[-2000:]
     assert host.stdout == dev.stdout
+
+
+def test_dag_kernel_matches_host_on_sampled_profiles(ref_data, monkeypatch):
+    """Second-level merge of SAMPLED (DAG) profiles through the DAG device
+    kernel equals the host fill cell for cell."""
+    from historian_tpu.utils.rng import MT19937
+
+    monkeypatch.setenv("HISTORIAN_DEVICE_DP", "0")
+    model = RateModel.from_file(os.path.join(ref_data, "testamino.json"))
+    seqs = read_fasta(os.path.join(ref_data, "gp120.fa"))[:4]
+    for s in seqs:
+        s.seq = s.seq[:160]  # divergent enough for forked samples, test-fast
+    profs = [
+        Profile.from_sequence(model.components, model.alphabet, s, i)
+        for i, s in enumerate(seqs)
+    ]
+    hmm = PairHMM(ProbModel(model, 0.6), ProbModel(model, 0.4), model.ins_prob)
+    f01 = ForwardMatrix(profs[0], profs[1], hmm, 4)
+    f23 = ForwardMatrix(profs[2], profs[3], hmm, 5)
+    p01 = f01.sample_profile(MT19937(5489), 10, 0)
+    p23 = f23.sample_profile(MT19937(99), 10, 0)
+    assert p01.as_chain() is None and p23.as_chain() is None  # genuine DAGs
+
+    hmm2 = PairHMM(ProbModel(model, 0.3), ProbModel(model, 0.7), model.ins_prob)
+    host = ForwardMatrix(p01, p23, hmm2, 6)
+    monkeypatch.setenv("HISTORIAN_DEVICE_DP", "1")
+    from historian_tpu.ops import devicedp
+
+    dev_cells = devicedp.dag_forward_cells(host)
+    assert dev_cells is not None
+    hc = host.cells[: host.x_size - 1, : host.y_size - 1]
+    hx = np.where(np.isfinite(hc), hc, -1.0e99)
+    dx = np.where(np.isfinite(dev_cells), dev_cells, -1.0e99)
+    np.testing.assert_allclose(dx, hx, rtol=1e-9, atol=1e-9)
+
+
+def test_dag_kernel_banded_full_forward(ref_data, monkeypatch):
+    """DAG device fill under a guide envelope: lp_end and cells match."""
+    from historian_tpu.core.alignpath import Alignment, GuideAlignmentEnvelope
+    from historian_tpu.utils.rng import MT19937
+
+    monkeypatch.setenv("HISTORIAN_DEVICE_DP", "0")
+    model = RateModel.from_file(os.path.join(ref_data, "testamino.json"))
+    gapped = read_fasta(os.path.join(ref_data, "gp120.guide.fa"))[:3]
+    for s in gapped:
+        s.seq = s.seq[:200]
+    align = Alignment.from_gapped(gapped)
+    seqs = align.ungapped
+    profs = [
+        Profile.from_sequence(model.components, model.alphabet, s, i)
+        for i, s in enumerate(seqs)
+    ]
+    hmm = PairHMM(ProbModel(model, 0.5), ProbModel(model, 0.5), model.ins_prob)
+    env01 = GuideAlignmentEnvelope(align.path, 0, 1, 12)
+    f01 = ForwardMatrix(profs[0], profs[1], hmm, 3, env01)
+    p01 = f01.sample_profile(MT19937(5489), 10, 0)
+    assert p01.as_chain() is None
+
+    env = GuideAlignmentEnvelope(align.path, 0, 2, 12)
+    host = ForwardMatrix(p01, profs[2], hmm, 4, env)
+    monkeypatch.setenv("HISTORIAN_DEVICE_DP", "1")
+    dev = ForwardMatrix(p01, profs[2], hmm, 4, env)
+    assert np.isfinite(dev.lp_end) and abs(dev.lp_end - host.lp_end) < 1e-9
+    hc = np.where(np.isfinite(host.cells), host.cells, -1.0e99)
+    dc = np.where(np.isfinite(dev.cells), dev.cells, -1.0e99)
+    np.testing.assert_allclose(dc, hc, rtol=1e-9, atol=1e-9)
