@@ -24,6 +24,9 @@ state counts are 10^2-10^4 and the work is O(cells), not the hot loop.
 
 from __future__ import annotations
 
+import sys
+import time
+
 import numpy as np
 from scipy.special import logsumexp
 
@@ -371,12 +374,22 @@ class ForwardMatrix(DPMatrix):
 
         if not devicedp.enabled():
             return False
+        t0 = time.perf_counter() if devicedp.TIMING else 0.0
         cells_np = devicedp.chain_forward_cells(self)
+        kind = "chain"
         if cells_np is None:
             # general sampled-profile merges take the DAG kernel
             cells_np = devicedp.dag_forward_cells(self)
+            kind = "dag"
         if cells_np is None:
             return False
+        if devicedp.TIMING:
+            print(
+                f"[devdp] {kind} {self.x_size - 1}x{self.y_size - 1} "
+                f"band={int(np.count_nonzero(self.env_mask))} "
+                f"{time.perf_counter() - t0:.3f}s",
+                file=sys.stderr, flush=True,
+            )
         self.cells = bufpool.get(self._pool_role, (self.x_size, self.y_size, 5), self)
         self.cells.fill(NEG_INF)
         self.cells[: self.x_size - 1, : self.y_size - 1] = cells_np

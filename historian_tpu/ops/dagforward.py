@@ -36,7 +36,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from historian_tpu.ops.semiring import affine_scan as _affine_scan, lse as _lse
+from historian_tpu.ops.semiring import (
+    affine_scan as _affine_scan,
+    cumsum as _cumsum,
+    lse as _lse,
+)
 
 NEG = -1e30
 
@@ -109,8 +113,8 @@ def dag_pair_forward_cells(
         # separately -- folding NEG into the cumsum would absorb every
         # later real addition (float: -5e31 + -6.1 == -5e31) and make rel
         # collapse to 0 for all positions after the first blocked one.
-        cs = jnp.cumsum(jnp.where(ok, bs_chain, 0.0))
-        blocked = jnp.cumsum(jnp.where(ok, 0, 1))
+        cs = _cumsum(jnp.where(ok, bs_chain, 0.0))
+        blocked = _cumsum(jnp.where(ok, 0, 1))
         cs0 = jnp.concatenate([jnp.zeros(1, dtype), cs])
         blk0 = jnp.concatenate([jnp.zeros(1, blocked.dtype), blocked])
         gov1 = jnp.where(gov_col >= 0, gov_col + 1, 0)

@@ -30,6 +30,8 @@ NEG = -1e30
 #: below any reachable log-prob; restore them to -inf for the host walkers
 NEG_CUTOFF = -1e25
 BUCKET = 64
+#: HISTORIAN_DEVICE_DP_TIME=1 prints per-merge device fill timings to stderr
+TIMING = os.environ.get("HISTORIAN_DEVICE_DP_TIME", "0") == "1"
 
 
 def enabled() -> bool:
@@ -45,6 +47,65 @@ def enabled() -> bool:
 
 def _bucket(n: int) -> int:
     return max(BUCKET, -(-n // BUCKET) * BUCKET)
+
+
+IDX_BUCKET = 8192
+
+
+def _mask_idx(mask2d: np.ndarray, SY: int, total: int) -> tuple[np.ndarray, int]:
+    """Flat row-major indices of the in-envelope cells, bucket-padded with
+    an out-of-range sentinel (scatter mode='drop' ignores it; gather clamps
+    and the host discards the tail).
+
+    The tunnel to the remote accelerator moves ~5-13 MB/s with ~40 ms
+    per-call latency, so shipping full [SX, SY(,5)] tensors costs seconds
+    per merge while the envelope band is a small fraction of the grid --
+    both the absorb upload and the cell readback ride these indices."""
+    ii, jj = np.nonzero(mask2d)
+    flat = (ii.astype(np.int64) * SY + jj).astype(np.int32)
+    n = len(flat)
+    P = max(IDX_BUCKET, -(-n // IDX_BUCKET) * IDX_BUCKET)
+    idx = np.full(P, total, dtype=np.int32)
+    idx[:n] = flat
+    return idx, n
+
+
+def _device_io():
+    """Jitted scatter/gather helpers (built once; shapes bucket so the
+    compile count stays tiny)."""
+    import jax
+    import jax.numpy as jnp
+
+    global _SCATTER_ABSORB, _GATHER_CELLS
+    if "_SCATTER_ABSORB" in globals():
+        return _SCATTER_ABSORB, _GATHER_CELLS
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("sx", "sy"))
+    def scatter_absorb(vals, idx, sx, sy):
+        flat = jnp.full((sx * sy,), jnp.asarray(NEG, vals.dtype))
+        flat = flat.at[idx].set(vals, mode="drop")
+        mask = jnp.zeros((sx * sy,), bool).at[idx].set(True, mode="drop")
+        return flat.reshape(sx, sy), mask.reshape(sx, sy)
+
+    @jax.jit
+    def gather_cells(cells, idx):
+        return cells.reshape(-1, cells.shape[-1])[idx]
+
+    _SCATTER_ABSORB, _GATHER_CELLS = scatter_absorb, gather_cells
+    return _SCATTER_ABSORB, _GATHER_CELLS
+
+
+def _expand_cells(vals: np.ndarray, mask2d: np.ndarray, n: int, nx: int, ny: int) -> np.ndarray:
+    """Scatter gathered in-band cell values back into a dense [-inf] grid
+    (exactly what a full readback would have produced: out-of-envelope and
+    NEG-contaminated cells read as -inf to the host walkers)."""
+    out = np.full((nx, ny, 5), -np.inf)
+    v = vals[:n].astype(np.float64)
+    v[v < NEG_CUTOFF] = -np.inf
+    out[mask2d[:nx, :ny]] = v
+    return out
 
 
 def _clamp(a: np.ndarray, dtype) -> np.ndarray:
@@ -166,32 +227,38 @@ def dag_forward_cells(dp) -> np.ndarray | None:
     nidx = np.full(JN, SY - 1, dtype=np.int32)
     nidx[: len(ay["nidx"])] = ay["nidx"]
 
-    absorb = np.full((SX, SY), NEG, dtype)
-    absorb[:nx, :ny] = _clamp(dp.absorb[:nx, :ny], dtype)
     rsx = np.full(SX, NEG, dtype); rsx[:nx] = _clamp(dp.rootsubx[:nx], dtype)
     isx = np.full(SX, NEG, dtype); isx[:nx] = _clamp(dp.insx[:nx], dtype)
     rsy = np.full(SY, NEG, dtype); rsy[:ny] = _clamp(dp.rootsuby[:ny], dtype)
     isy = np.full(SY, NEG, dtype); isy[:ny] = _clamp(dp.insy[:ny], dtype)
-    mask = np.zeros((SX, SY), dtype=bool)
-    mask[:nx, :ny] = dp.env_mask[:nx, :ny]
     trans = _clamp(pack_transitions(dp.hmm), dtype)
 
-    cells_full = np.asarray(
-        dag_pair_forward_cells(
-            jnp.asarray(absorb), jnp.asarray(rsx), jnp.asarray(isx),
-            jnp.asarray(rsy), jnp.asarray(isy),
-            jnp.asarray(mask), jnp.asarray(trans),
-            jnp.asarray(x_src), jnp.asarray(x_lp),
-            jnp.asarray(x_null), jnp.asarray(x_eos), jnp.asarray(x_ready),
-            jnp.asarray(y_src), jnp.asarray(y_lp),
-            jnp.asarray(y_null), jnp.asarray(y_ready),
-            jnp.asarray(y_chain), jnp.asarray(govq),
-            jnp.asarray(jidx), jnp.asarray(nidx),
-            jnp.int32(ay["n_null_iters"]),
-        )
+    # band-compacted IO: ship absorb values + indices, derive mask on
+    # device, read back only the in-envelope cells
+    env = np.asarray(dp.env_mask[:nx, :ny], dtype=bool)
+    mask_p = np.zeros((SX, SY), dtype=bool)
+    mask_p[:nx, :ny] = env
+    idx, n_in = _mask_idx(mask_p, SY, SX * SY)
+    vals = np.full(len(idx), NEG, dtype)
+    vals[:n_in] = _clamp(np.asarray(dp.absorb[:nx, :ny])[env], dtype)
+    scatter_absorb, gather_cells = _device_io()
+    idx_d = jnp.asarray(idx)
+    absorb_d, mask_d = scatter_absorb(jnp.asarray(vals), idx_d, SX, SY)
+
+    cells_dev = dag_pair_forward_cells(
+        absorb_d, jnp.asarray(rsx), jnp.asarray(isx),
+        jnp.asarray(rsy), jnp.asarray(isy),
+        mask_d, jnp.asarray(trans),
+        jnp.asarray(x_src), jnp.asarray(x_lp),
+        jnp.asarray(x_null), jnp.asarray(x_eos), jnp.asarray(x_ready),
+        jnp.asarray(y_src), jnp.asarray(y_lp),
+        jnp.asarray(y_null), jnp.asarray(y_ready),
+        jnp.asarray(y_chain), jnp.asarray(govq),
+        jnp.asarray(jidx), jnp.asarray(nidx),
+        jnp.int32(ay["n_null_iters"]),
     )
-    cells = cells_full[:nx, :ny].astype(np.float64)
-    return np.where(cells < NEG_CUTOFF, -np.inf, cells)
+    out = np.asarray(gather_cells(cells_dev, idx_d))
+    return _expand_cells(out, mask_p, n_in, nx, ny)
 
 
 def chain_forward_cells(dp) -> np.ndarray | None:
@@ -224,9 +291,6 @@ def chain_forward_cells(dp) -> np.ndarray | None:
     tx = ex[:nx]  # transition lp into x state i (tx[0] = 0 for START)
     ty = ey[:ny]
 
-    absorb = np.full((X1, Y1), NEG, dtype)
-    absorb[:nx, :ny] = _clamp(dp.absorb[:nx, :ny] + tx[:, None] + ty[None, :], dtype)
-
     def pad1(vals, n, size):
         out = np.full(size, NEG, dtype)
         out[:n] = _clamp(vals, dtype)
@@ -237,8 +301,6 @@ def chain_forward_cells(dp) -> np.ndarray | None:
     rsy = pad1(dp.rootsuby[:ny] + ty, ny, Y1)
     isy = pad1(dp.insy[:ny] + ty, ny, Y1)
 
-    mask = np.zeros((X1, Y1), dtype=bool)
-    mask[:nx, :ny] = dp.env_mask[:nx, :ny]
     x_ready = np.zeros(X1, dtype=bool)
     x_ready[:nx] = dp.x_ready[:nx]
     y_ready = np.zeros(Y1, dtype=bool)
@@ -246,14 +308,23 @@ def chain_forward_cells(dp) -> np.ndarray | None:
 
     trans = _clamp(pack_transitions(dp.hmm), dtype)
 
-    # materialize the full padded tensor, slice on host: an eager device
-    # slice would compile a fresh XLA program per (padded, true) shape pair
-    cells_full = np.asarray(
-        chain_pair_forward_cells(
-            jnp.asarray(absorb), jnp.asarray(rsx), jnp.asarray(rsy),
-            jnp.asarray(isx), jnp.asarray(isy), jnp.asarray(mask),
-            jnp.asarray(trans), jnp.asarray(x_ready), jnp.asarray(y_ready),
-        )
+    # band-compacted IO (see _mask_idx): absorb ships as in-band values,
+    # the mask is derived on device, and only in-band cells come back
+    env = np.asarray(dp.env_mask[:nx, :ny], dtype=bool)
+    mask_p = np.zeros((X1, Y1), dtype=bool)
+    mask_p[:nx, :ny] = env
+    idx, n_in = _mask_idx(mask_p, Y1, X1 * Y1)
+    absorb_full = dp.absorb[:nx, :ny] + tx[:, None] + ty[None, :]
+    vals = np.full(len(idx), NEG, dtype)
+    vals[:n_in] = _clamp(absorb_full[env], dtype)
+    scatter_absorb, gather_cells = _device_io()
+    idx_d = jnp.asarray(idx)
+    absorb_d, mask_d = scatter_absorb(jnp.asarray(vals), idx_d, X1, Y1)
+
+    cells_dev = chain_pair_forward_cells(
+        absorb_d, jnp.asarray(rsx), jnp.asarray(rsy),
+        jnp.asarray(isx), jnp.asarray(isy), mask_d,
+        jnp.asarray(trans), jnp.asarray(x_ready), jnp.asarray(y_ready),
     )
-    cells = cells_full[:nx, :ny].astype(np.float64)
-    return np.where(cells < NEG_CUTOFF, -np.inf, cells)
+    out = np.asarray(gather_cells(cells_dev, idx_d))
+    return _expand_cells(out, mask_p, n_in, nx, ny)

@@ -19,6 +19,16 @@ def lse(*xs):
     return out
 
 
+def cumsum(x):
+    """Inclusive prefix sum via associative_scan.
+
+    jnp.cumsum lowers to a padded reduce-window on TPU, whose scratch
+    scales with length^2 and blows the scoped-VMEM limit around length
+    ~512 (XLA "should not be possible to run out of scoped vmem" bug);
+    associative_scan lowers to log-depth slice/concat and stays small."""
+    return jax.lax.associative_scan(jnp.add, x)
+
+
 def affine_scan(a, b):
     """u[j] = logaddexp(a[j], u[j-1] + b[j]), u[-1] = -inf."""
 

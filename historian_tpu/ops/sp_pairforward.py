@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from historian_tpu.ops.semiring import affine_scan as _affine_scan, lse as _lse
+from historian_tpu.ops.semiring import affine_scan as _affine_scan, cumsum as _cumsum, lse as _lse
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -161,7 +161,7 @@ def _sp_kernel(absorb, rootsub_x, rootsub_y, ins_x, ins_y, mask, trans,
     def global_affine(a, b):
         """Distributed u[j] = a[j] lse (u[j-1] + b[j]) over the full row."""
         u_local = _affine_scan(a, b)
-        cumb = jnp.cumsum(b)
+        cumb = _cumsum(b)
         u_in = _ring_affine_carry(u_local[-1], cumb[-1], axis_name, n_dev)
         return jnp.logaddexp(u_local, u_in + cumb)
 
