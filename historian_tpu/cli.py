@@ -93,6 +93,8 @@ MCMC (mcmc command or -mcmc):
 Counts / EM:
   -counts <file>  prior pseudocounts      -nolaplace  no +1 pseudocounts
   -fixsubrates / -fixgaprates             -mininc <x> -maxiter <n>  EM stopping
+  -checkpoint <file>  snapshot EM/MCMC state + resume from it if present
+  -ckptevery <n>      MCMC steps between snapshots (default 100)
 
 Misc:
   -seed <n>       mt19937 seed            -platform cpu|tpu  JAX backend
@@ -232,6 +234,11 @@ def _parse_common(recon: Reconstructor, argvec: deque) -> bool:
         recon.mcmc_samples_per_seq = int(take())
     elif arg == "-trace":
         recon.mcmc_trace_filename = take()
+    elif arg == "-checkpoint":
+        # not in the reference: periodic EM/MCMC snapshot + resume
+        recon.checkpoint_filename = take()
+    elif arg == "-ckptevery":
+        recon.checkpoint_every = int(take())
     elif arg == "-fixtree":
         argvec.popleft()
         recon.fix_tree_mcmc = True
@@ -352,6 +359,15 @@ def main(argv: list[str] | None = None) -> int:
             jax.config.update("jax_platforms", None)
             if not any(d.platform == "tpu" for d in jax.devices()):
                 raise SystemExit(f"{PROG}: no TPU devices available")
+        if platform != "cpu":
+            # accelerator compiles ride a slow remote tunnel: persist all
+            # of them, not just the >10s ones (see ops/__init__.py)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    # multi-host (DCN) bring-up before any device use; no-op unless the
+    # HISTORIAN_DIST / HISTORIAN_COORDINATOR family of env vars is set
+    from historian_tpu.parallel.dist import init_from_env
+
+    init_from_env()
     if os.environ.get("HISTORIAN_MESH"):
         from historian_tpu.parallel.pcounts import set_mesh
 

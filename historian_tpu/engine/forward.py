@@ -378,7 +378,12 @@ class ForwardMatrix(DPMatrix):
         cells_np = devicedp.chain_forward_cells(self)
         kind = "chain"
         if cells_np is None:
-            # general sampled-profile merges take the DAG kernel
+            # chain x against a sampled-profile DAG (the dominant merge
+            # shape): column-major kernel, y structure handled by gathers
+            cells_np = devicedp.col_forward_cells(self)
+            kind = "col"
+        if cells_np is None:
+            # general DAG x DAG merges take the row-major DAG kernel
             cells_np = devicedp.dag_forward_cells(self)
             kind = "dag"
         if cells_np is None:

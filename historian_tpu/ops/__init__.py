@@ -45,8 +45,15 @@ _cache_dir = os.environ.get(
 )
 if _cache_dir != "0":
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    # The 10s min-compile-time threshold keeps XLA:CPU kernels (~0.1-3s
-    # compiles) out of the cache -- their AOT entries spam feature-mismatch
-    # warnings on every load -- while still caching every TPU compile,
-    # which goes through a slow remote tunnel (~20-60s/shape).
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    # On CPU the 10s min-compile-time threshold keeps XLA:CPU kernels
+    # (~0.1-3s compiles) out of the cache -- their AOT entries spam
+    # feature-mismatch warnings on every load.  On accelerators EVERY
+    # compile goes through a slow remote tunnel (measured 3-23s per DP
+    # kernel shape, erratic), so cache all of them.  The default backend
+    # is not resolvable this early (resolving it would boot the TPU
+    # runtime); cli.py lowers the threshold once the platform is chosen,
+    # and HISTORIAN_PLATFORM=tpu covers library users.
+    _accel = os.environ.get("HISTORIAN_PLATFORM", "").lower() in ("tpu", "gpu")
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", 0.3 if _accel else 10.0
+    )

@@ -46,7 +46,15 @@ def enabled() -> bool:
 
 
 def _bucket(n: int) -> int:
-    return max(BUCKET, -(-n // BUCKET) * BUCKET)
+    """Grid dims round up to a bucket so compiled programs are reused.
+
+    On accelerators each new shape pays an erratic 3-23s compile through
+    the remote tunnel while execution scales only linearly with padding,
+    so buckets are 4x coarser there (256 vs 64)."""
+    import jax
+
+    b = 256 if jax.default_backend() in ("tpu", "gpu") else BUCKET
+    return max(b, -(-n // b) * b)
 
 
 IDX_BUCKET = 8192
@@ -183,6 +191,9 @@ def dag_forward_cells(dp) -> np.ndarray | None:
     from historian_tpu.ops.dagforward import dag_pair_forward_cells
     from historian_tpu.ops.pairforward import pack_transitions
 
+    import time as _time
+
+    t0 = _time.perf_counter()
     nx = dp.x_size - 1
     ny = dp.y_size - 1
     SX, SY = _bucket(nx), _bucket(ny)
@@ -220,10 +231,10 @@ def dag_forward_cells(dp) -> np.ndarray | None:
     govq[:ny] = ay["govq"]
     govq[ny:] = ay["govq"][-1] if ny else 0
 
-    J = max(32, -(-len(ay["jidx"]) // 32) * 32)
+    J = _bucket_pow2(len(ay["jidx"]), lo=32)
     jidx = np.full(J, SY - 1, dtype=np.int32)  # pad: a masked padding column
     jidx[: len(ay["jidx"])] = ay["jidx"]
-    JN = max(32, -(-len(ay["nidx"]) // 32) * 32)
+    JN = _bucket_pow2(len(ay["nidx"]), lo=32)
     nidx = np.full(JN, SY - 1, dtype=np.int32)
     nidx[: len(ay["nidx"])] = ay["nidx"]
 
@@ -242,6 +253,7 @@ def dag_forward_cells(dp) -> np.ndarray | None:
     vals = np.full(len(idx), NEG, dtype)
     vals[:n_in] = _clamp(np.asarray(dp.absorb[:nx, :ny])[env], dtype)
     scatter_absorb, gather_cells = _device_io()
+    t1 = _time.perf_counter()
     idx_d = jnp.asarray(idx)
     absorb_d, mask_d = scatter_absorb(jnp.asarray(vals), idx_d, SX, SY)
 
@@ -257,8 +269,110 @@ def dag_forward_cells(dp) -> np.ndarray | None:
         jnp.asarray(jidx), jnp.asarray(nidx),
         jnp.int32(ay["n_null_iters"]),
     )
+    t2 = _time.perf_counter()
     out = np.asarray(gather_cells(cells_dev, idx_d))
+    t3 = _time.perf_counter()
+    if TIMING:
+        import sys as _sys
+
+        print(
+            f"[devdp.dag] SX={SX} SY={SY} KX={x_src.shape[1]} KY={y_src.shape[1]} "
+            f"J={len(jidx)} JN={len(nidx)} prep={t1 - t0:.3f} "
+            f"dispatch={t2 - t1:.3f} wait+read={t3 - t2:.3f}",
+            file=_sys.stderr, flush=True,
+        )
     return _expand_cells(out, mask_p, n_in, nx, ny)
+
+
+def col_forward_cells(dp) -> np.ndarray | None:
+    """Run the Forward fill on device via the column-major kernel
+    (ops/colforward.py): x must be a pure emit chain, y may be any
+    profile DAG.  This is the dominant production merge shape (leaf x
+    sampled-profile); the y DAG's null/junction structure costs nothing
+    here, unlike the row-major DAG kernel.  Returns None when x is not
+    a chain (caller falls back to the DAG kernel / host fill)."""
+    if dp.x_empty or dp.y_empty:
+        return None
+    ex = dp.x.as_chain()
+    if ex is None:
+        return None
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from historian_tpu.ops.colforward import col_pair_forward_cells
+    from historian_tpu.ops.pairforward import pack_transitions
+
+    t0 = _time.perf_counter()
+    nx = dp.x_size - 1
+    ny = dp.y_size - 1
+    SX, SY = _bucket(nx), _bucket(ny)
+    dtype = np.float64 if jax.default_backend() == "cpu" else np.float32
+
+    tx = ex[:nx]  # transition lp into x state i (tx[0] = 0 for START)
+    rsx = np.full(SX, NEG, dtype); rsx[:nx] = _clamp(dp.rootsubx[:nx] + tx, dtype)
+    isx = np.full(SX, NEG, dtype); isx[:nx] = _clamp(dp.insx[:nx] + tx, dtype)
+    rsy = np.full(SY, NEG, dtype); rsy[:ny] = _clamp(dp.rootsuby[:ny], dtype)
+    isy = np.full(SY, NEG, dtype); isy[:ny] = _clamp(dp.insy[:ny], dtype)
+    trans = _clamp(pack_transitions(dp.hmm), dtype)
+
+    ay = _profile_dag_arrays(dp.y, ny)
+    KY = ay["src"].shape[1]
+    y_src = np.zeros((SY, KY), dtype=np.int32)
+    y_lp = np.full((SY, KY), NEG, dtype)
+    y_src[:ny] = ay["src"]
+    y_lp[:ny] = _clamp(ay["lp"], dtype)
+
+    def padb(vals, n, S):
+        out = np.zeros(S, dtype=bool)
+        out[:n] = vals[:n]
+        return out
+
+    x_ready = padb(dp.x_ready | dp.x_empty, nx, SX)
+    x_eos = padb(dp.x_emit_or_start, nx, SX)
+    y_null = padb(dp.y_null, ny, SY)
+    y_ready = padb(dp.y_ready | dp.y_empty, ny, SY)
+
+    # band-compacted IO over the TRANSPOSED grid (cells are column-major
+    # on device so y in-edge gathers index the leading axis)
+    env_t = np.asarray(dp.env_mask[:nx, :ny], dtype=bool).T  # [ny, nx]
+    mask_t = np.zeros((SY, SX), dtype=bool)
+    mask_t[:ny, :nx] = env_t
+    idx, n_in = _mask_idx(mask_t, SX, SY * SX)
+    absorb_t = np.asarray(dp.absorb[:nx, :ny]).T + tx[None, :]
+    vals = np.full(len(idx), NEG, dtype)
+    vals[:n_in] = _clamp(absorb_t[env_t], dtype)
+    scatter_absorb, gather_cells = _device_io()
+    t1 = _time.perf_counter()
+    idx_d = jnp.asarray(idx)
+    absorb_d, mask_d = scatter_absorb(jnp.asarray(vals), idx_d, SY, SX)
+
+    cells_dev = col_pair_forward_cells(
+        absorb_d, jnp.asarray(rsx), jnp.asarray(isx),
+        jnp.asarray(rsy), jnp.asarray(isy),
+        mask_d, jnp.asarray(trans),
+        jnp.asarray(x_ready), jnp.asarray(x_eos),
+        jnp.asarray(y_src), jnp.asarray(y_lp),
+        jnp.asarray(y_null), jnp.asarray(y_ready),
+    )
+    t2 = _time.perf_counter()
+    out = np.asarray(gather_cells(cells_dev, idx_d))
+    t3 = _time.perf_counter()
+    if TIMING:
+        import sys as _sys
+
+        print(
+            f"[devdp.col] SX={SX} SY={SY} KY={KY} prep={t1 - t0:.3f} "
+            f"dispatch={t2 - t1:.3f} wait+read={t3 - t2:.3f}",
+            file=_sys.stderr, flush=True,
+        )
+    # expand over the transposed mask, then restore row-major [nx, ny, 5]
+    tmp = np.full((ny, nx, 5), -np.inf)
+    v = out[:n_in].astype(np.float64)
+    v[v < NEG_CUTOFF] = -np.inf
+    tmp[env_t] = v
+    return tmp.transpose(1, 0, 2)
 
 
 def chain_forward_cells(dp) -> np.ndarray | None:

@@ -198,6 +198,8 @@ class Reconstructor:
         self.fix_guide_mcmc = False
         self.mcmc_samples_per_seq = DEFAULT_MCMC_SAMPLES_PER_SEQ
         self.mcmc_trace_filename = ""
+        self.checkpoint_filename = ""
+        self.checkpoint_every = 100  # MCMC steps between snapshots
         self.output_format = FORMAT_STOCKHOLM
         self.output_leaves_only = False
         self.simulator_root_seq_len = -1
@@ -699,7 +701,33 @@ class Reconstructor:
             return
         lp_last = -np.inf
         self.prior_counts.indel.lp = 0.0
-        for it in range(self.max_em_iterations):
+        it0 = 0
+        if self.checkpoint_filename:
+            from historian_tpu.utils import checkpoint as ckpt
+
+            state = ckpt.load(self.checkpoint_filename, "fit")
+            if state is not None and len(state.get("datasets", ())) == len(self.datasets):
+                self.model = ckpt.restore_model(state["model"])
+                lp_last = float(state["lp_last"])
+                it0 = int(state["iteration"]) + 1
+                ckpt.restore_rng(self.generator, state["rng"])
+                # reconstructions persist across EM iterations
+                # (recon.cpp:1375-1385: countAll only reconstructs
+                # datasets that have none), so they are optimizer state
+                for ds, st in zip(self.datasets, state["datasets"]):
+                    if st is None:
+                        continue
+                    ds.tree = Tree(st["tree"])
+                    ds.gapped_recon = [
+                        FastSeq(name=n, seq=s) for n, s in st["gapped_recon"]
+                    ]
+                    ds.reconstruction = Alignment.from_gapped(ds.gapped_recon)
+                log_this_at(
+                    1,
+                    f"Resuming EM from checkpoint {self.checkpoint_filename} "
+                    f"(completed iteration #{it0})",
+                )
+        for it in range(it0, self.max_em_iterations):
             self.count_all()
             lp_data = self.data_counts.indel.lp
             lp_prior = (
@@ -717,6 +745,28 @@ class Reconstructor:
                 self.model, self.accumulate_indel_counts, self.accumulate_subst_counts
             )
             lp_last = lp_with_prior
+            if self.checkpoint_filename:
+                from historian_tpu.utils import checkpoint as ckpt
+
+                ckpt.save_atomic(
+                    self.checkpoint_filename,
+                    {
+                        "command": "fit",
+                        "iteration": it,
+                        "lp_last": lp_last,
+                        "model": ckpt.model_state(self.model),
+                        "rng": ckpt.rng_state(self.generator),
+                        "datasets": [
+                            {
+                                "tree": ckpt.exact_newick(ds.tree),
+                                "gapped_recon": [[r.name, r.seq] for r in ds.gapped_recon],
+                            }
+                            if ds.has_reconstruction()
+                            else None
+                            for ds in self.datasets
+                        ],
+                    },
+                )
 
     # ------------------------------------------------------------------- MCMC
     def sample_all(self) -> None:

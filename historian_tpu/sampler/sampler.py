@@ -227,6 +227,48 @@ class Sampler:
         self.move_rate[NODE_HEIGHT] = 2.0
         self.move_rate[RESCALE] = 2.0
 
+    def snapshot_state(self) -> dict:
+        """JSON-able optimizer state (histories exact: repr floats in
+        branch lengths, full gapped rows; counters for the final
+        acceptance report)."""
+        from historian_tpu.utils.checkpoint import exact_newick
+
+        def hist(h: History) -> dict:
+            return {
+                "tree": exact_newick(h.tree),
+                "gapped": [[r.name, r.seq] for r in h.gapped],
+            }
+
+        return {
+            "name": self.name,
+            "current": hist(self.current_history),
+            "best": hist(self.best_history),
+            "current_lp": self.current_lp,
+            "best_lp": self.best_lp,
+            "moves_proposed": list(self.moves_proposed),
+            "moves_accepted": list(self.moves_accepted),
+            "move_seconds": list(self.move_seconds),
+        }
+
+    def restore_state(self, st: dict) -> None:
+        """Inverse of snapshot_state; assumes initialize() already ran
+        (move rates and guide state are derived from the command line,
+        not checkpointed)."""
+
+        def hist(d: dict) -> History:
+            return History(
+                gapped=[FastSeq(name=n, seq=s) for n, s in d["gapped"]],
+                tree=Tree(d["tree"]),
+            )
+
+        self.current_history = hist(st["current"])
+        self.best_history = hist(st["best"])
+        self.current_lp = float(st["current_lp"])
+        self.best_lp = float(st["best_lp"])
+        self.moves_proposed = [int(v) for v in st["moves_proposed"]]
+        self.moves_accepted = [int(v) for v in st["moves_accepted"]]
+        self.move_seconds = [float(v) for v in st["move_seconds"]]
+
     def fix_tree(self) -> None:
         self.move_rate[PRUNE_REGRAFT] = 0.0
         self.move_rate[NODE_HEIGHT] = 0.0
@@ -562,15 +604,43 @@ class Sampler:
         return move
 
     @staticmethod
-    def run(samplers: list["Sampler"], rng: MT19937, n_samples: int) -> None:
+    def run(samplers: list["Sampler"], rng: MT19937, n_samples: int,
+            checkpoint_path: str = "", checkpoint_every: int = 100) -> None:
         """Round-robin over datasets weighted by node count
-        (sampler.cpp:1711-1734)."""
+        (sampler.cpp:1711-1734).  With checkpoint_path, a snapshot of
+        every sampler + the generator is written every checkpoint_every
+        steps and the run resumes from it when it exists."""
         nodes = [s.current_history.tree.n_nodes() for s in samplers]
+        n0 = 0
+        if checkpoint_path:
+            from historian_tpu.utils import checkpoint as ckpt
+
+            state = ckpt.load(checkpoint_path, "mcmc")
+            if state is not None and len(state.get("samplers", ())) == len(samplers):
+                n0 = int(state["step"])
+                ckpt.restore_rng(rng, state["rng"])
+                for s, st in zip(samplers, state["samplers"]):
+                    s.restore_state(st)
+                log_this_at(
+                    1, f"Resuming MCMC from checkpoint {checkpoint_path} (step {n0})"
+                )
         progress = ProgressLogger("MCMC sampling run", level=2)
-        for n in range(n_samples):
+        for n in range(n0, n_samples):
             progress.update(n / max(1, n_samples - 1), f"step {n + 1}/{n_samples}")
             idx = random_index(nodes, rng)
             samplers[idx].sample(rng)
+            if checkpoint_path and (n + 1) % checkpoint_every == 0:
+                from historian_tpu.utils import checkpoint as ckpt
+
+                ckpt.save_atomic(
+                    checkpoint_path,
+                    {
+                        "command": "mcmc",
+                        "step": n + 1,
+                        "rng": ckpt.rng_state(rng),
+                        "samplers": [s.snapshot_state() for s in samplers],
+                    },
+                )
         # per-move acceptance + timing summary (sampler.cpp:1736-1746)
         for s in samplers:
             for m in range(5):
@@ -642,7 +712,11 @@ def run_mcmc_on_datasets(recon) -> None:
     n_samples = recon.mcmc_samples_per_seq * sum(
         s.current_history.tree.n_nodes() for s in samplers
     )
-    Sampler.run(samplers, recon.generator, n_samples)
+    Sampler.run(
+        samplers, recon.generator, n_samples,
+        checkpoint_path=recon.checkpoint_filename,
+        checkpoint_every=recon.checkpoint_every,
+    )
     for ds, sampler in zip(recon.datasets, samplers):
         best = sampler.best_history
         ds.tree = best.tree

@@ -141,6 +141,72 @@ def test_dag_kernel_matches_host_on_sampled_profiles(ref_data, monkeypatch):
     np.testing.assert_allclose(dx, hx, rtol=1e-9, atol=1e-9)
 
 
+def test_col_kernel_matches_host_chain_x_dag_y(ref_data, monkeypatch):
+    """Column-major kernel (chain x, sampled-profile DAG y) -- the
+    dominant production merge shape -- equals the host fill cell for
+    cell in f64."""
+    from historian_tpu.utils.rng import MT19937
+
+    monkeypatch.setenv("HISTORIAN_DEVICE_DP", "0")
+    model = RateModel.from_file(os.path.join(ref_data, "testamino.json"))
+    seqs = read_fasta(os.path.join(ref_data, "gp120.fa"))[:3]
+    for s in seqs:
+        s.seq = s.seq[:160]
+    profs = [
+        Profile.from_sequence(model.components, model.alphabet, s, i)
+        for i, s in enumerate(seqs)
+    ]
+    hmm = PairHMM(ProbModel(model, 0.6), ProbModel(model, 0.4), model.ins_prob)
+    f01 = ForwardMatrix(profs[0], profs[1], hmm, 3)
+    p01 = f01.sample_profile(MT19937(5489), 10, 0)
+    assert p01.as_chain() is None and profs[2].as_chain() is not None
+
+    hmm2 = PairHMM(ProbModel(model, 0.3), ProbModel(model, 0.7), model.ins_prob)
+    host = ForwardMatrix(profs[2], p01, hmm2, 4)
+    monkeypatch.setenv("HISTORIAN_DEVICE_DP", "1")
+    from historian_tpu.ops import devicedp
+
+    dev_cells = devicedp.col_forward_cells(host)
+    assert dev_cells is not None
+    hc = host.cells[: host.x_size - 1, : host.y_size - 1]
+    hx = np.where(np.isfinite(hc), hc, -1.0e99)
+    dx = np.where(np.isfinite(dev_cells), dev_cells, -1.0e99)
+    np.testing.assert_allclose(dx, hx, rtol=1e-9, atol=1e-9)
+
+
+def test_col_kernel_banded_full_forward(ref_data, monkeypatch):
+    """Column-major device fill under a guide envelope: the full
+    ForwardMatrix (dispatch included) matches lp_end and cells."""
+    from historian_tpu.core.alignpath import Alignment, GuideAlignmentEnvelope
+    from historian_tpu.utils.rng import MT19937
+
+    monkeypatch.setenv("HISTORIAN_DEVICE_DP", "0")
+    model = RateModel.from_file(os.path.join(ref_data, "testamino.json"))
+    gapped = read_fasta(os.path.join(ref_data, "gp120.guide.fa"))[:3]
+    for s in gapped:
+        s.seq = s.seq[:200]
+    align = Alignment.from_gapped(gapped)
+    seqs = align.ungapped
+    profs = [
+        Profile.from_sequence(model.components, model.alphabet, s, i)
+        for i, s in enumerate(seqs)
+    ]
+    hmm = PairHMM(ProbModel(model, 0.5), ProbModel(model, 0.5), model.ins_prob)
+    env01 = GuideAlignmentEnvelope(align.path, 0, 1, 12)
+    f01 = ForwardMatrix(profs[0], profs[1], hmm, 3, env01)
+    p01 = f01.sample_profile(MT19937(5489), 10, 0)
+    assert p01.as_chain() is None
+
+    env = GuideAlignmentEnvelope(align.path, 2, 0, 12)
+    host = ForwardMatrix(profs[2], p01, hmm, 4, env)
+    monkeypatch.setenv("HISTORIAN_DEVICE_DP", "1")
+    dev = ForwardMatrix(profs[2], p01, hmm, 4, env)
+    assert np.isfinite(dev.lp_end) and abs(dev.lp_end - host.lp_end) < 1e-9
+    hc = np.where(np.isfinite(host.cells), host.cells, -1.0e99)
+    dc = np.where(np.isfinite(dev.cells), dev.cells, -1.0e99)
+    np.testing.assert_allclose(dc, hc, rtol=1e-9, atol=1e-9)
+
+
 def test_dag_kernel_banded_full_forward(ref_data, monkeypatch):
     """DAG device fill under a guide envelope: lp_end and cells match."""
     from historian_tpu.core.alignpath import Alignment, GuideAlignmentEnvelope

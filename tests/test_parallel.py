@@ -266,3 +266,47 @@ def test_dp_sp_mesh_composition(ref_data):
     mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "sp"))
     lp = np.asarray(sp_pair_forward_batch(absorb, rsx, rsy, ix, iy, mask, trans, mesh=mesh))
     np.testing.assert_allclose(lp, lps, atol=1e-9)
+
+
+def test_distributed_init_single_host_count(ref_data, tmp_path):
+    """jax.distributed bring-up (single-process, loopback coordinator)
+    followed by the production mesh count path: the multi-host recipe is
+    init -> global device list -> same set_mesh/psum code.  Runs in a
+    subprocess because jax.distributed owns process-global state."""
+    import subprocess
+    import sys
+
+    script = f"""
+import os, sys
+sys.path.insert(0, "/root/repo")
+os.environ["HISTORIAN_DIST"] = "1"
+os.environ["HISTORIAN_PLATFORM"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from historian_tpu.parallel.dist import init_from_env, global_mesh, is_initialized
+assert init_from_env() and is_initialized()
+assert jax.process_count() == 1
+import numpy as np
+from historian_tpu.core.seqs import read_fasta
+from historian_tpu.core.tree import Tree
+from historian_tpu.models.ratemodel import RateModel
+from historian_tpu.parallel import pcounts
+mesh = global_mesh(4)
+pcounts._ACTIVE_MESH = mesh
+D = {str(ref_data)!r}
+model = RateModel.from_file(os.path.join(D, "testcount.jukescantor.json"))
+tree = Tree(open(os.path.join(D, "testcount.nh")).read())
+gapped = tree.reorder_seqs(read_fasta(os.path.join(D, "testcount.historian.fa")))
+rows = [s.seq for s in gapped]
+on_mesh = pcounts.sharded_alignment_eigen_counts(model, tree, rows, mesh)
+oracle = pcounts.column_sharded_eigen_counts(model, tree, rows, 1)
+np.testing.assert_allclose(on_mesh.root_count, oracle.root_count, atol=1e-9)
+np.testing.assert_allclose(on_mesh.eigen_count, oracle.eigen_count, atol=1e-9)
+print("DIST-OK")
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "DIST-OK" in proc.stdout

@@ -45,19 +45,39 @@ def run(args: list[str]) -> str:
     return proc.stdout
 
 
+#: ablation modes (doc/sim/Makefile recipe -> extra structure supplied):
+#:   ma        %.ma.json      true alignment, NJ tree        (published 0.90)
+#:   ma.tree   %.ma.tree.json true alignment + TRUE tree     (ablates tree est)
+#:   hist      %.hist.json    leaves only, EM reconstruction (published 0.70)
+#:   hist.tree (ours)         leaves + TRUE tree, EM         (ablates tree est)
+#:   histrec   %.histrec.json fixed recon -fast -norefine,
+#:             then fit -stockrecon                          (ablates the EM loop)
+MODES = ("ma", "ma.tree", "hist", "hist.tree", "histrec")
+
+
 def main() -> None:
     args = sys.argv[1:]
-    platform = []
+    # default the worker CLIs to CPU: the study is many small host-bound
+    # fits, and without a flag the image's sitecustomize would route them
+    # all at the remote TPU tunnel
+    platform = ["-platform", "cpu"]
     if "-platform" in args:
         i = args.index("-platform")
         platform = args[i : i + 2]
     n = int(args[args.index("-n") + 1]) if "-n" in args else 5
+    rep0 = int(args[args.index("-rep0") + 1]) if "-rep0" in args else 0
+    modes = (args[args.index("-modes") + 1].split(",")
+             if "-modes" in args else list(MODES))
+    csv_path = args[args.index("-csv") + 1] if "-csv" in args else None
 
     sim_flags = ["-preset", "dayhoff", "-gaprate", str(TRUE_RATE),
                  "-gapextprob", str(TRUE_EXT), "-rootlen", str(ROOT_LEN)]
-    est_ma, est_hist = [], []
+    est: dict[str, list[tuple[float, float]]] = {m: [] for m in modes}
+    csv = open(csv_path, "w") if csv_path else None
+    if csv:
+        csv.write("rep,mode,insrate,delrate\n")
     with tempfile.TemporaryDirectory() as tmp:
-        for rep in range(n):
+        for rep in range(rep0, rep0 + n):
             stock = run(["generate"] + platform + sim_flags
                         + ["-seed", str(1000 + rep), GP120_TREE])
             sim_path = os.path.join(tmp, f"sim{rep}.stock")
@@ -77,32 +97,46 @@ def main() -> None:
                     if not s.name.startswith("node"):
                         f.write(f">{s.name}\n{s.seq.replace('-', '').replace('.', '')}\n")
 
-            # "ma": true alignment (ancestors included), NJ tree, band 1
-            fitted = json.loads(run(
-                ["fit"] + platform
-                + ["-fast", "-fixsubrates", "-band", "1", ma_path]
-            ))
-            est_ma.append((fitted["insrate"], fitted["delrate"]))
+            for mode in modes:
+                if mode == "ma":
+                    cmd = ["fit", "-fast", "-fixsubrates", "-band", "1", ma_path]
+                elif mode == "ma.tree":
+                    cmd = ["fit", "-fast", "-fixsubrates", "-band", "1",
+                           ma_path, "-tree", GP120_TREE]
+                elif mode == "hist":
+                    cmd = ["fit", "-fast", "-fixsubrates", leaf_path]
+                elif mode == "hist.tree":
+                    cmd = ["fit", "-fast", "-fixsubrates", leaf_path,
+                           "-tree", GP120_TREE]
+                elif mode == "histrec":
+                    rec = run(["recon"] + platform
+                              + ["-fast", "-norefine", "-output", "stockholm",
+                                 leaf_path])
+                    rec_path = os.path.join(tmp, f"sim{rep}.rec.stk")
+                    with open(rec_path, "w") as f:
+                        f.write(rec)
+                    cmd = ["fit", "-fast", "-fixsubrates", "-stockrecon",
+                           rec_path, leaf_path]
+                else:
+                    sys.exit(f"unknown mode {mode!r}")
+                fitted = json.loads(run(["fit"][:0] + cmd[:1] + platform + cmd[1:]))
+                est[mode].append((fitted["insrate"], fitted["delrate"]))
+                if csv:
+                    csv.write(f"{rep},{mode},{fitted['insrate']!r},{fitted['delrate']!r}\n")
+                    csv.flush()
+            print(f"rep {rep}: " + "  ".join(
+                f"{m} {est[m][-1][0] / TRUE_RATE:.2f}/{est[m][-1][1] / TRUE_RATE:.2f}"
+                for m in modes), flush=True)
 
-            # "hist": unaligned leaves, EM with internal reconstruction
-            fitted = json.loads(run(
-                ["fit"] + platform + ["-fast", "-fixsubrates", leaf_path]
-            ))
-            est_hist.append((fitted["insrate"], fitted["delrate"]))
-            print(f"rep {rep}: ma ins/del = {est_ma[-1][0]:.4f}/{est_ma[-1][1]:.4f}  "
-                  f"hist ins/del = {est_hist[-1][0]:.4f}/{est_hist[-1][1]:.4f}",
-                  flush=True)
-
-    def ratios(pairs):
-        mi = sum(p[0] for p in pairs) / len(pairs) / TRUE_RATE
-        md = sum(p[1] for p in pairs) / len(pairs) / TRUE_RATE
-        return mi, md
-
-    ma_i, ma_d = ratios(est_ma)
-    h_i, h_d = ratios(est_hist)
-    print(f"recovery est/true -- ma: ins {ma_i:.2f} del {ma_d:.2f} "
-          f"(reference published 0.90/0.90); "
-          f"hist: ins {h_i:.2f} del {h_d:.2f} (reference published 0.70/0.70)")
+    print("recovery est/true (ins/del):")
+    published = {"ma": "0.90/0.90", "hist": "0.70/0.70"}
+    for m in modes:
+        mi = sum(p[0] for p in est[m]) / len(est[m]) / TRUE_RATE
+        md = sum(p[1] for p in est[m]) / len(est[m]) / TRUE_RATE
+        ref = f" (reference published {published[m]})" if m in published else ""
+        print(f"  {m}: ins {mi:.2f} del {md:.2f}{ref}")
+    if csv:
+        csv.close()
 
 
 if __name__ == "__main__":
