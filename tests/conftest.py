@@ -26,6 +26,17 @@ import pytest  # noqa: E402
 REFERENCE_DATA = "/root/reference/data"
 
 
+def pytest_collection_modifyitems(config, items):
+    """The tpu tier needs real hardware and minutes of tunnel compiles;
+    run it only when explicitly selected (pytest -m tpu)."""
+    if "tpu" in (config.getoption("-m") or ""):
+        return
+    skip = pytest.mark.skip(reason="TPU hardware tier: run with -m tpu")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def ref_data():
     return REFERENCE_DATA

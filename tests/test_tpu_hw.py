@@ -1,0 +1,162 @@
+"""Real-TPU hardware tier: compiled Mosaic/XLA kernels, not interpret
+mode (tests/test_pallas.py covers semantics on CPU; CLAUDE.md's Mosaic
+quirk list is proof that interpret mode misses real-TPU failures).
+
+Run with `python -m pytest -m tpu tests/` on a TPU host.  Every test
+drives a fresh subprocess WITHOUT the suite's forced-CPU config (the
+conftest pins jax to CPU process-globally, so in-process TPU use is
+impossible here) and skips when no TPU is reachable.
+
+These tests trade coverage breadth for wall-clock: each subprocess pays
+the ~10s remote-backend boot plus compiles, so they assert the
+load-bearing device paths only -- the production Forward kernels
+(chain / column-major / DAG) against the host f64 oracle, the pallas
+batched kernel against the XLA scan kernel, and the band-compacted
+scatter/gather IO.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+_PROBE_RESULT = {}
+
+
+def _tpu_available() -> bool:
+    if "ok" not in _PROBE_RESULT:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); "
+             "assert any(x.platform == 'tpu' for x in d), d; print('TPU-OK')"],
+            capture_output=True, text=True, timeout=180,
+            env={k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"},
+        )
+        _PROBE_RESULT["ok"] = probe.returncode == 0 and "TPU-OK" in probe.stdout
+    return _PROBE_RESULT["ok"]
+
+
+def _run_on_tpu(body: str, timeout: int = 600) -> str:
+    """Run a python snippet in a TPU-enabled subprocess; returns stdout."""
+    if not _tpu_available():
+        pytest.skip("no TPU device reachable")
+    script = (
+        "import sys, os\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "os.environ.pop('JAX_PLATFORMS', None)\n"
+        "import historian_tpu.ops  # x64 + compile-cache config\n"
+        "import jax\n"
+        "assert jax.default_backend() == 'tpu', jax.default_backend()\n"
+        + body
+    )
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=timeout, env=env, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, (proc.stdout[-1000:] + "\n" + proc.stderr[-3000:])
+    return proc.stdout
+
+
+def test_pallas_pair_forward_compiles_and_matches_scan():
+    """The benched pallas kernel, COMPILED on real TPU, agrees with the
+    XLA scan kernel (f32, both on device)."""
+    out = _run_on_tpu(
+        """
+import numpy as np, jax.numpy as jnp
+from historian_tpu.models.presets import named_model
+from historian_tpu.ops.pairforward import chain_pair_forward_arrays, pair_forward
+from historian_tpu.ops.pallas_pairforward import pallas_pair_forward_lp
+model = named_model('lg')
+rng = np.random.RandomState(0)
+alpha = model.alphabet.symbols
+mk = lambda n: ''.join(alpha[i] for i in rng.randint(0, 20, size=n))
+arrs = [chain_pair_forward_arrays(model, mk(160), mk(160), .5, .5, dtype=np.float32)[0]
+        for _ in range(8)]
+absorb = jnp.stack([a[0] for a in arrs]); rsx = jnp.stack([a[1] for a in arrs])
+rsy = jnp.stack([a[2] for a in arrs]); ix = jnp.stack([a[3] for a in arrs])
+iy = jnp.stack([a[4] for a in arrs]); mask, trans = arrs[0][5], arrs[0][6]
+lp_pallas = np.asarray(pallas_pair_forward_lp(absorb, rsx, rsy, ix, iy, trans))
+import jax
+lp_scan = np.asarray(jax.vmap(
+    lambda a, r1, r2, j1, j2: pair_forward(a, r1, r2, j1, j2, mask, trans)[1]
+)(absorb, rsx, rsy, ix, iy))
+assert np.all(np.isfinite(lp_pallas)), lp_pallas
+np.testing.assert_allclose(lp_pallas, lp_scan, rtol=2e-4, atol=2e-3)
+print('PALLAS-MATCH', lp_pallas[:2])
+"""
+    )
+    assert "PALLAS-MATCH" in out
+
+
+def test_production_forward_kernels_on_tpu():
+    """chain / column-major / DAG device fills on real TPU (f32) vs the
+    host f64 oracle: lp_end within f32 tolerance, banded cells close."""
+    out = _run_on_tpu(
+        """
+import numpy as np, os
+from historian_tpu.core.seqs import read_fasta
+from historian_tpu.engine.forward import ForwardMatrix
+from historian_tpu.engine.pairhmm import PairHMM
+from historian_tpu.engine.profile import Profile
+from historian_tpu.models.ratemodel import ProbModel, RateModel
+from historian_tpu.utils.rng import MT19937
+from historian_tpu.ops import devicedp
+model = RateModel.from_file('/root/reference/data/testamino.json')
+seqs = read_fasta('/root/reference/data/gp120.fa')[:3]
+for s in seqs: s.seq = s.seq[:120]
+profs = [Profile.from_sequence(model.components, model.alphabet, s, i)
+         for i, s in enumerate(seqs)]
+hmm = PairHMM(ProbModel(model, .6), ProbModel(model, .4), model.ins_prob)
+os.environ['HISTORIAN_DEVICE_DP'] = '0'
+host01 = ForwardMatrix(profs[0], profs[1], hmm, 3)
+p01 = host01.sample_profile(MT19937(5489), 10, 0)
+hmm2 = PairHMM(ProbModel(model, .3), ProbModel(model, .7), model.ins_prob)
+for name, x, y, fn in [
+    ('chain', profs[0], profs[1], devicedp.chain_forward_cells),
+    ('col', profs[2], p01, devicedp.col_forward_cells),
+    ('dag', p01, profs[2], devicedp.dag_forward_cells),
+]:
+    os.environ['HISTORIAN_DEVICE_DP'] = '0'
+    host = ForwardMatrix(x, y, hmm2, 4)
+    os.environ['HISTORIAN_DEVICE_DP'] = '1'
+    cells = fn(host)
+    assert cells is not None, name
+    hc = host.cells[: host.x_size - 1, : host.y_size - 1]
+    both = np.isfinite(hc) & np.isfinite(cells)
+    # f32 device vs f64 host: relative tolerance on in-band log-probs
+    diff = np.abs(cells[both] - hc[both]) / np.maximum(1.0, np.abs(hc[both]))
+    assert diff.max() < 1e-4, (name, diff.max())
+    # no spurious finites where the host has none reachable
+    assert np.isfinite(cells).sum() <= np.isfinite(hc).sum() + 0, name
+    print('KERNEL-OK', name, float(diff.max()))
+"""
+    )
+    assert out.count("KERNEL-OK") == 3
+
+
+def test_band_io_roundtrip_on_tpu():
+    """Band-compacted scatter/gather device IO: values survive the
+    round trip exactly (f32 identity, no Mosaic lowering surprises)."""
+    out = _run_on_tpu(
+        """
+import numpy as np, jax.numpy as jnp
+from historian_tpu.ops.devicedp import _device_io, _mask_idx
+rng = np.random.default_rng(3)
+SX = SY = 256
+mask = rng.random((SX, SY)) < 0.2
+idx, n = _mask_idx(mask, SY, SX * SY)
+vals = rng.normal(-10, 3, len(idx)).astype(np.float32)
+scatter, gather = _device_io()
+grid, m = scatter(jnp.asarray(vals), jnp.asarray(idx), SX, SY)
+assert np.array_equal(np.asarray(m), mask)
+cells = jnp.stack([grid] * 5, axis=-1)
+back = np.asarray(gather(cells, jnp.asarray(idx)))
+np.testing.assert_array_equal(back[:n, 0], vals[:n])
+print('BAND-IO-OK')
+"""
+    )
+    assert "BAND-IO-OK" in out
