@@ -42,7 +42,13 @@ def enabled() -> bool:
         return True
     import jax
 
-    return jax.default_backend() in ("tpu", "gpu")
+    accel = jax.default_backend() in ("tpu", "gpu")
+    if accel:
+        # library users reach device kernels without going through
+        # cli.py's platform handling: make sure every tunnel compile is
+        # persisted (see ops/__init__.py for the threshold rationale)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    return accel
 
 
 def _bucket(n: int) -> int:
@@ -392,11 +398,14 @@ def chain_forward_cells(dp) -> np.ndarray | None:
     ey = dp.y.as_chain()
     if ex is None or ey is None:
         return None
+    import time as _time
+
     import jax
     import jax.numpy as jnp
 
     from historian_tpu.ops.pairforward import chain_pair_forward_cells, pack_transitions
 
+    t0 = _time.perf_counter()
     nx = dp.x_size - 1  # kernel rows: states 0..n (START + emits; END excluded)
     ny = dp.y_size - 1
     X1, Y1 = _bucket(nx), _bucket(ny)
@@ -432,13 +441,26 @@ def chain_forward_cells(dp) -> np.ndarray | None:
     vals = np.full(len(idx), NEG, dtype)
     vals[:n_in] = _clamp(absorb_full[env], dtype)
     scatter_absorb, gather_cells = _device_io()
+    t1 = _time.perf_counter()
     idx_d = jnp.asarray(idx)
     absorb_d, mask_d = scatter_absorb(jnp.asarray(vals), idx_d, X1, Y1)
+    t2 = _time.perf_counter()
 
     cells_dev = chain_pair_forward_cells(
         absorb_d, jnp.asarray(rsx), jnp.asarray(rsy),
         jnp.asarray(isx), jnp.asarray(isy), mask_d,
         jnp.asarray(trans), jnp.asarray(x_ready), jnp.asarray(y_ready),
     )
+    t3 = _time.perf_counter()
     out = np.asarray(gather_cells(cells_dev, idx_d))
+    t4 = _time.perf_counter()
+    if TIMING:
+        import sys as _sys
+
+        print(
+            f"[devdp.chain] X1={X1} Y1={Y1} prep={t1 - t0:.3f} "
+            f"scatter={t2 - t1:.3f} dispatch={t3 - t2:.3f} "
+            f"wait+read={t4 - t3:.3f}",
+            file=_sys.stderr, flush=True,
+        )
     return _expand_cells(out, mask_p, n_in, nx, ny)
