@@ -382,8 +382,13 @@ class ForwardMatrix(DPMatrix):
             # shape): column-major kernel, y structure handled by gathers
             cells_np = devicedp.col_forward_cells(self)
             kind = "col"
-        if cells_np is None:
-            # general DAG x DAG merges take the row-major DAG kernel
+        if cells_np is None and devicedp.dag_on_device():
+            # DAG x DAG merges: the row kernel's cost is SX sequential
+            # rows x 2 junction scans over y's non-chain states (J =
+            # 150-600 on gp120 sampled profiles), which loses to the
+            # host OpenMP fill at every realistic size -- so in auto
+            # mode these 2-of-9 merges stay host-side and
+            # HISTORIAN_DEVICE_DP=1 forces them onto the device
             cells_np = devicedp.dag_forward_cells(self)
             kind = "dag"
         if cells_np is None:

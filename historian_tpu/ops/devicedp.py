@@ -51,6 +51,15 @@ def enabled() -> bool:
     return accel
 
 
+def dag_on_device() -> bool:
+    """Whether DAG x DAG merges run the device row kernel.  Forced on
+    with HISTORIAN_DEVICE_DP=1 (tests, benches, kernels-first runs);
+    in auto mode the engine keeps them on the host fill, which beats
+    the row kernel's SX x 2J sequential junction scans at every
+    measured size (see engine/forward.py::_fill_device)."""
+    return os.environ.get("HISTORIAN_DEVICE_DP", "auto") == "1"
+
+
 def _bucket(n: int) -> int:
     """Grid dims round up to a bucket so compiled programs are reused.
 
