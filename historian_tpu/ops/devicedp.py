@@ -120,6 +120,29 @@ def _device_io():
     return _SCATTER_ABSORB, _GATHER_CELLS
 
 
+def _maskgate():
+    """jitted bool mask -> additive gate (0 in-band, NEG outside)."""
+    import jax
+    import jax.numpy as jnp
+
+    global _MASKGATE
+    if "_MASKGATE" not in globals():
+        _MASKGATE = jax.jit(
+            lambda m: jnp.where(m, jnp.float32(0), jnp.float32(NEG))
+        )
+    return _MASKGATE
+
+
+def _gather_planes():
+    """jitted in-band gather from [5, SY, SX] planes -> [P, 5]."""
+    import jax
+
+    global _GATHER_PLANES
+    if "_GATHER_PLANES" not in globals():
+        _GATHER_PLANES = jax.jit(lambda p, idx: p.reshape(5, -1).T[idx])
+    return _GATHER_PLANES
+
+
 def _expand_cells(vals: np.ndarray, mask2d: np.ndarray, n: int, nx: int, ny: int) -> np.ndarray:
     """Scatter gathered in-band cell values back into a dense [-inf] grid
     (exactly what a full readback would have produced: out-of-envelope and
@@ -185,10 +208,15 @@ def _profile_dag_arrays(profile, n: int):
             q += 1
         govq[s] = q
     nidx = np.nonzero(is_null)[0].astype(np.int32)
+    real = lp > NEG / 2
+    dist = np.arange(n)[:, None] - src
     out = {
         "K": K, "src": src, "lp": lp, "chain": chain, "jidx": jidx,
         "govq": govq, "nidx": nidx,
         "n_null_iters": int(null_depth.max(initial=0)),
+        # longest in-edge reach; the pallas column kernel's VMEM ring
+        # holds RING columns of look-back, so this gates that route
+        "maxdist": int(dist[real].max(initial=0)),
     }
     profile.__dict__["_dag_arrays"] = out
     return out
@@ -359,26 +387,60 @@ def col_forward_cells(dp) -> np.ndarray | None:
     vals = np.full(len(idx), NEG, dtype)
     vals[:n_in] = _clamp(absorb_t[env_t], dtype)
     scatter_absorb, gather_cells = _device_io()
+
+    # pallas route: single-kernel column scan with a VMEM ring of the
+    # last RING columns -- only when every y in-edge fits the ring
+    from historian_tpu.ops.pallas_colforward import RING
+
+    use_pallas = (
+        dtype == np.float32
+        and jax.default_backend() in ("tpu", "gpu")
+        and ay["maxdist"] <= RING - 1
+        and os.environ.get("HISTORIAN_PALLAS_COL", "1") == "1"
+    )
     t1 = _time.perf_counter()
     idx_d = jnp.asarray(idx)
     absorb_d, mask_d = scatter_absorb(jnp.asarray(vals), idx_d, SY, SX)
 
-    cells_dev = col_pair_forward_cells(
-        absorb_d, jnp.asarray(rsx), jnp.asarray(isx),
-        jnp.asarray(rsy), jnp.asarray(isy),
-        mask_d, jnp.asarray(trans),
-        jnp.asarray(x_ready), jnp.asarray(x_eos),
-        jnp.asarray(y_src), jnp.asarray(y_lp),
-        jnp.asarray(y_null), jnp.asarray(y_ready),
-    )
-    t2 = _time.perf_counter()
-    out = np.asarray(gather_cells(cells_dev, idx_d))
+    if use_pallas:
+        from historian_tpu.ops.pallas_colforward import pallas_col_forward_cells
+
+        y_flags = np.zeros((SY, 4), np.float32)
+        y_flags[:, 0] = y_null
+        y_flags[:, 1] = y_ready
+        y_flags[:, 2] = rsy
+        y_flags[:, 3] = isy
+        xvec = np.stack([
+            rsx, isx,
+            np.where(x_ready, 0.0, NEG).astype(dtype),
+            np.where(x_eos, 0.0, NEG).astype(dtype),
+        ])
+        maskg_d = _maskgate()(mask_d)
+        planes = pallas_col_forward_cells(
+            jnp.asarray(y_src), jnp.asarray(y_lp), jnp.asarray(y_flags),
+            absorb_d, maskg_d, jnp.asarray(xvec), jnp.asarray(trans),
+        )
+        t2 = _time.perf_counter()
+        out = np.asarray(_gather_planes()(planes, idx_d))
+    else:
+        planes = None
+        cells_dev = col_pair_forward_cells(
+            absorb_d, jnp.asarray(rsx), jnp.asarray(isx),
+            jnp.asarray(rsy), jnp.asarray(isy),
+            mask_d, jnp.asarray(trans),
+            jnp.asarray(x_ready), jnp.asarray(x_eos),
+            jnp.asarray(y_src), jnp.asarray(y_lp),
+            jnp.asarray(y_null), jnp.asarray(y_ready),
+        )
+        t2 = _time.perf_counter()
+        out = np.asarray(gather_cells(cells_dev, idx_d))
     t3 = _time.perf_counter()
     if TIMING:
         import sys as _sys
 
         print(
-            f"[devdp.col] SX={SX} SY={SY} KY={KY} prep={t1 - t0:.3f} "
+            f"[devdp.col{'.pl' if use_pallas else ''}] SX={SX} SY={SY} "
+            f"KY={KY} prep={t1 - t0:.3f} "
             f"dispatch={t2 - t1:.3f} wait+read={t3 - t2:.3f}",
             file=_sys.stderr, flush=True,
         )

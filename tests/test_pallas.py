@@ -58,3 +58,65 @@ def test_pallas_tiled_single_partial_tile(ref_data, interpret_pallas):
         absorb[None], rsx[None], rsy[None], ix[None], iy[None], trans, x_tile=64
     )
     assert abs(float(lp_scan) - float(lp[0])) < 1e-3
+
+
+def test_pallas_col_forward_matches_xla_kernel(ref_data, interpret_pallas):
+    """Pallas column-major kernel (interpret mode) vs the XLA column
+    kernel on a synthetic chain-x x DAG-y pair with nulls, forks, and a
+    banded envelope."""
+    import jax.numpy as jnp
+
+    from historian_tpu.ops.colforward import col_pair_forward_cells
+    from historian_tpu.ops.pallas_colforward import pallas_col_forward_cells
+
+    SX, SY, KY = 128, 256, 4
+    rng = np.random.default_rng(17)
+    dt = np.float32
+    absorb_t = rng.normal(-5, 1, (SY, SX)).astype(dt)
+    rsx = rng.normal(-2, 1, SX).astype(dt)
+    isx = rng.normal(-2, 1, SX).astype(dt)
+    rsy = rng.normal(-2, 1, SY).astype(dt)
+    isy = rng.normal(-2, 1, SY).astype(dt)
+    mask = np.zeros((SY, SX), bool)
+    for j in range(SY):  # diagonal band
+        lo = max(0, j * SX // SY - 24)
+        hi = min(SX, j * SX // SY + 24)
+        mask[j, lo:hi] = True
+    trans = rng.normal(-1, 0.5, 23).astype(dt)
+    x_ready = np.ones(SX, bool); x_ready[-1] = False
+    x_eos = np.ones(SX, bool)
+    y_src = np.clip(
+        np.arange(SY)[:, None] - 1 - rng.integers(0, 6, (SY, KY)), 0, None
+    ).astype(np.int32)
+    y_src[:, 0] = np.maximum(np.arange(SY) - 1, 0)
+    y_lp = rng.normal(-1, 0.5, (SY, KY)).astype(dt)
+    y_lp[:, 2:] = np.float32(-1e30)
+    y_null = np.zeros(SY, bool)
+    y_null[rng.choice(np.arange(1, SY), 12, replace=False)] = True
+    y_ready = np.ones(SY, bool); y_ready[0] = False
+
+    ref_cells = np.asarray(col_pair_forward_cells(
+        jnp.asarray(absorb_t), jnp.asarray(rsx), jnp.asarray(isx),
+        jnp.asarray(rsy), jnp.asarray(isy), jnp.asarray(mask),
+        jnp.asarray(trans), jnp.asarray(x_ready), jnp.asarray(x_eos),
+        jnp.asarray(y_src), jnp.asarray(y_lp),
+        jnp.asarray(y_null), jnp.asarray(y_ready),
+    ))  # [SY, SX, 5]
+
+    y_flags = np.zeros((SY, 4), np.float32)
+    y_flags[:, 0] = y_null; y_flags[:, 1] = y_ready
+    y_flags[:, 2] = rsy; y_flags[:, 3] = isy
+    xvec = np.stack([rsx, isx,
+                     np.where(x_ready, 0.0, -1e30).astype(dt),
+                     np.where(x_eos, 0.0, -1e30).astype(dt)])
+    maskg = np.where(mask, 0.0, -1e30).astype(dt)
+    planes = np.asarray(pallas_col_forward_cells(
+        jnp.asarray(y_src), jnp.asarray(y_lp), jnp.asarray(y_flags),
+        jnp.asarray(absorb_t), jnp.asarray(maskg), jnp.asarray(xvec),
+        jnp.asarray(trans), interpret=True,
+    ))  # [5, SY, SX]
+    got = np.moveaxis(planes, 0, -1)  # [SY, SX, 5]
+
+    live = ref_cells > -1e25
+    assert np.all((got > -1e25) == live)
+    np.testing.assert_allclose(got[live], ref_cells[live], rtol=2e-5, atol=1e-3)
