@@ -67,7 +67,7 @@ def dag_pair_forward_cells(
     y_null, y_ready,  # [SY] bool (ready|empty)
     y_chain,  # [SY] bool: emit with a single in-edge from y-1
     y_govq,  # [SY] int32: 1-based id of the junction governing each state
-    jidx,  # [J] int32 junction state indices (pad: a masked padding column)
+    jidx,  # [J] int32 junction state indices (pad: out-of-range SY)
     nidx,  # [JN] int32 null-y state indices (pad likewise)
     n_null_iters,  # scalar int32: null->null IMM chain depth
 ):
@@ -169,7 +169,10 @@ def dag_pair_forward_cells(
         def null_iter(_, imm_r):
             vals = _lse_last(imm_r[y_src[nidx]] + y_lp[nidx], neg)
             vals = jnp.where(mask_row[nidx], vals, neg)
-            return imm_r.at[nidx].set(vals)
+            # padded nidx entries carry the out-of-range sentinel SY and
+            # must not touch any real column (gathers above clamp, which
+            # is fine: the result is dropped here)
+            return imm_r.at[nidx].set(vals, mode="drop")
 
         imm_prop = jax.lax.fori_loop(0, n_null_iters, null_iter, imm_row)
         imm_prop = jnp.where((i == 0) & (col_ix == 0), 0.0, imm_prop)

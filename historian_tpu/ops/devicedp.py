@@ -274,11 +274,15 @@ def dag_forward_cells(dp) -> np.ndarray | None:
     govq[:ny] = ay["govq"]
     govq[ny:] = ay["govq"][-1] if ny else 0
 
+    # pad index lists with the out-of-range sentinel SY: the kernel's
+    # null-propagation scatter drops it, and junction writes land in
+    # uvec slots no y state governs.  (SY-1 is NOT safe -- when ny is an
+    # exact bucket multiple that column is a real state.)
     J = _bucket_pow2(len(ay["jidx"]), lo=32)
-    jidx = np.full(J, SY - 1, dtype=np.int32)  # pad: a masked padding column
+    jidx = np.full(J, SY, dtype=np.int32)
     jidx[: len(ay["jidx"])] = ay["jidx"]
     JN = _bucket_pow2(len(ay["nidx"]), lo=32)
-    nidx = np.full(JN, SY - 1, dtype=np.int32)
+    nidx = np.full(JN, SY, dtype=np.int32)
     nidx[: len(ay["nidx"])] = ay["nidx"]
 
     rsx = np.full(SX, NEG, dtype); rsx[:nx] = _clamp(dp.rootsubx[:nx], dtype)
@@ -390,12 +394,13 @@ def col_forward_cells(dp) -> np.ndarray | None:
 
     # pallas route: single-kernel column scan with a VMEM ring of the
     # last RING columns -- only when every y in-edge fits the ring
-    from historian_tpu.ops.pallas_colforward import RING
+    from historian_tpu.ops.pallas_colforward import MAX_SX, RING
 
     use_pallas = (
         dtype == np.float32
         and jax.default_backend() in ("tpu", "gpu")
         and ay["maxdist"] <= RING - 1
+        and SX <= MAX_SX  # VMEM ring budget; larger falls back to XLA
         and os.environ.get("HISTORIAN_PALLAS_COL", "1") == "1"
     )
     t1 = _time.perf_counter()

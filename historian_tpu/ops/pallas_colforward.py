@@ -41,6 +41,11 @@ NEG = -1e30
 F32_NEG = np.float32(NEG)
 RING = 128  # columns of look-back held in VMEM (>= max in-edge distance + 1)
 CPB = 8  # columns per grid step (Mosaic block sublane minimum for f32)
+#: largest SX the kernel fits in VMEM: the ring scratch alone is
+#: RING*8*SX*4 B = 4096*SX (12.6 MB at 3072) and the in/out blocks add
+#: ~240*SX more against the ~16 MB budget; the bridge falls back to the
+#: XLA kernel above this instead of failing Mosaic compilation at runtime
+MAX_SX = 3072
 
 
 def _affine_scan_lanes(a, b, length):

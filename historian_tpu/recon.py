@@ -702,10 +702,21 @@ class Reconstructor:
         lp_last = -np.inf
         self.prior_counts.indel.lp = 0.0
         it0 = 0
+        fp = ""
         if self.checkpoint_filename:
             from historian_tpu.utils import checkpoint as ckpt
 
-            state = ckpt.load(self.checkpoint_filename, "fit")
+            # identity of the run's inputs, computed at fit() entry (before
+            # any EM iteration mutates dataset state) on both save and resume
+            fp = ckpt.input_fingerprint(
+                [self.model.alphabet.symbols, str(len(self.datasets))]
+                + [
+                    f"{r.name}\n{r.seq}"
+                    for ds in self.datasets
+                    for r in (ds.gapped_recon or ds.seqs)
+                ]
+            )
+            state = ckpt.load(self.checkpoint_filename, "fit", fingerprint=fp)
             if state is not None and len(state.get("datasets", ())) == len(self.datasets):
                 self.model = ckpt.restore_model(state["model"])
                 lp_last = float(state["lp_last"])
@@ -752,6 +763,7 @@ class Reconstructor:
                     self.checkpoint_filename,
                     {
                         "command": "fit",
+                        "fingerprint": fp,
                         "iteration": it,
                         "lp_last": lp_last,
                         "model": ckpt.model_state(self.model),

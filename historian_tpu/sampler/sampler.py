@@ -612,10 +612,21 @@ class Sampler:
         steps and the run resumes from it when it exists."""
         nodes = [s.current_history.tree.n_nodes() for s in samplers]
         n0 = 0
+        fp = ""
         if checkpoint_path:
             from historian_tpu.utils import checkpoint as ckpt
 
-            state = ckpt.load(checkpoint_path, "mcmc")
+            # identity of the initial histories, computed at run() entry on
+            # both save and resume, so a stale snapshot for other inputs on
+            # the same -checkpoint path never silently resumes
+            fp = ckpt.input_fingerprint(
+                [
+                    f"{s.name}\n{ckpt.exact_newick(s.current_history.tree)}\n"
+                    + "\n".join(f"{r.name} {r.seq}" for r in s.current_history.gapped)
+                    for s in samplers
+                ]
+            )
+            state = ckpt.load(checkpoint_path, "mcmc", fingerprint=fp)
             if state is not None and len(state.get("samplers", ())) == len(samplers):
                 n0 = int(state["step"])
                 ckpt.restore_rng(rng, state["rng"])
@@ -636,6 +647,7 @@ class Sampler:
                     checkpoint_path,
                     {
                         "command": "mcmc",
+                        "fingerprint": fp,
                         "step": n + 1,
                         "rng": ckpt.rng_state(rng),
                         "samplers": [s.snapshot_state() for s in samplers],

@@ -19,9 +19,10 @@ from the same snapshot file independently.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
-from typing import Any
+from typing import Any, Iterable
 
 import numpy as np
 
@@ -42,9 +43,12 @@ def save_atomic(path: str, state: dict) -> None:
     os.replace(tmp, path)
 
 
-def load(path: str, command: str) -> dict | None:
+def load(path: str, command: str, fingerprint: str | None = None) -> dict | None:
     """Snapshot dict, or None when absent / unreadable / wrong command
-    or format (all treated as 'start fresh')."""
+    or format (all treated as 'start fresh').  With `fingerprint`, a
+    snapshot written for DIFFERENT inputs (a leftover file from another
+    run sharing the -checkpoint path) is likewise ignored, with a
+    warning -- silently resuming it would emit output for the old data."""
     try:
         with open(path) as f:
             state = json.load(f)
@@ -52,7 +56,26 @@ def load(path: str, command: str) -> dict | None:
         return None
     if state.get("format") != FORMAT or state.get("command") != command:
         return None
+    if fingerprint is not None and state.get("fingerprint") != fingerprint:
+        from historian_tpu.utils.logging import log_this_at
+
+        log_this_at(
+            0,
+            f"Checkpoint {path} was written for different inputs; starting fresh",
+        )
+        return None
     return state
+
+
+def input_fingerprint(parts: Iterable[str]) -> str:
+    """Order-sensitive digest of the run's inputs (dataset rows, trees,
+    model identity), stored in snapshots so a resume can detect that the
+    checkpoint file belongs to a different run."""
+    h = hashlib.sha256()
+    for p in parts:
+        h.update(p.encode())
+        h.update(b"\x00")
+    return h.hexdigest()
 
 
 def model_state(model) -> dict:

@@ -86,6 +86,38 @@ def test_mcmc_checkpoint_resume_reproduces_uninterrupted(ref_data, tmp_path):
     assert resumed.stdout == full.stdout
 
 
+def test_checkpoint_for_different_inputs_ignored(ref_data, tmp_path):
+    """A leftover snapshot on the same -checkpoint path but written for
+    DIFFERENT input sequences must start fresh (with a warning), never
+    silently resume the stale model (round-2 advisor finding)."""
+    seqs_a = str(tmp_path / "a.fa")
+    seqs_b = str(tmp_path / "b.fa")
+    _ungapped_copy(os.path.join(ref_data, "testcount.fa"), seqs_a)
+    # same names, different residues
+    rows = open(seqs_a).read()
+    open(seqs_b, "w").write(rows.replace("A", "G", 3))
+    ck = str(tmp_path / "fit.ckpt.json")
+    base = [
+        "fit", "-fixsubrates",
+        "-model", os.path.join(ref_data, "testcount.jukescantor.json"),
+        "-tree", os.path.join(ref_data, "testcount.nh"),
+        "-maxiter", "2", "-seed", "7", "-checkpoint", ck,
+    ]
+    first = _run_cli(base + ["-seqs", seqs_a], tmp_path)
+    assert first.returncode == 0, first.stderr[-2000:]
+    assert os.path.exists(ck)
+
+    second = _run_cli(base + ["-seqs", seqs_b, "-v"], tmp_path)
+    assert second.returncode == 0, second.stderr[-2000:]
+    assert "Resuming" not in second.stderr
+    assert "different inputs" in second.stderr
+
+    # and a matching rerun DOES resume
+    third = _run_cli(base + ["-seqs", seqs_b, "-v"], tmp_path)
+    assert third.returncode == 0, third.stderr[-2000:]
+    assert "Resuming EM" in third.stderr
+
+
 def test_stale_checkpoint_ignored(ref_data, tmp_path):
     """A snapshot from a different command must not poison a run."""
     ck = str(tmp_path / "x.ckpt.json")

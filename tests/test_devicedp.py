@@ -141,6 +141,43 @@ def test_dag_kernel_matches_host_on_sampled_profiles(ref_data, monkeypatch):
     np.testing.assert_allclose(dx, hx, rtol=1e-9, atol=1e-9)
 
 
+def test_dag_kernel_exact_bucket_size(ref_data, monkeypatch):
+    """When the padded grid dim equals the real state count (SY == ny),
+    the index-list padding must stay a no-op: padding entries carry the
+    out-of-range sentinel SY, never a real column.  Regression for the
+    round-2 advisor finding (padding with SY-1 scattered null-propagation
+    values over the real last y column)."""
+    from historian_tpu.utils.rng import MT19937
+
+    monkeypatch.setenv("HISTORIAN_DEVICE_DP", "0")
+    model = RateModel.from_file(os.path.join(ref_data, "testamino.json"))
+    seqs = read_fasta(os.path.join(ref_data, "gp120.fa"))[:4]
+    for s in seqs:
+        s.seq = s.seq[:160]
+    profs = [
+        Profile.from_sequence(model.components, model.alphabet, s, i)
+        for i, s in enumerate(seqs)
+    ]
+    hmm = PairHMM(ProbModel(model, 0.6), ProbModel(model, 0.4), model.ins_prob)
+    f01 = ForwardMatrix(profs[0], profs[1], hmm, 4)
+    f23 = ForwardMatrix(profs[2], profs[3], hmm, 5)
+    p01 = f01.sample_profile(MT19937(5489), 10, 0)
+    p23 = f23.sample_profile(MT19937(99), 10, 0)
+
+    hmm2 = PairHMM(ProbModel(model, 0.3), ProbModel(model, 0.7), model.ins_prob)
+    host = ForwardMatrix(p01, p23, hmm2, 6)
+    monkeypatch.setenv("HISTORIAN_DEVICE_DP", "1")
+    from historian_tpu.ops import devicedp
+
+    monkeypatch.setattr(devicedp, "_bucket", lambda n: n)  # force SY == ny
+    dev_cells = devicedp.dag_forward_cells(host)
+    assert dev_cells is not None
+    hc = host.cells[: host.x_size - 1, : host.y_size - 1]
+    hx = np.where(np.isfinite(hc), hc, -1.0e99)
+    dx = np.where(np.isfinite(dev_cells), dev_cells, -1.0e99)
+    np.testing.assert_allclose(dx, hx, rtol=1e-9, atol=1e-9)
+
+
 def test_col_kernel_matches_host_chain_x_dag_y(ref_data, monkeypatch):
     """Column-major kernel (chain x, sampled-profile DAG y) -- the
     dominant production merge shape -- equals the host fill cell for
