@@ -52,7 +52,9 @@ def run(args: list[str]) -> str:
 #:   hist.tree (ours)         leaves + TRUE tree, EM         (ablates tree est)
 #:   histrec   %.histrec.json fixed recon -fast -norefine,
 #:             then fit -stockrecon                          (ablates the EM loop)
-MODES = ("ma", "ma.tree", "hist", "hist.tree", "histrec")
+#:   histslow  %.histslow.json posterior profiles instead of -fast's
+#:             best-trace chains (ablates MAP indel labeling)
+MODES = ("ma", "ma.tree", "hist", "hist.tree", "histrec", "histslow")
 
 
 def main() -> None:
@@ -108,6 +110,9 @@ def main() -> None:
                 elif mode == "hist.tree":
                     cmd = ["fit", "-fast", "-fixsubrates", leaf_path,
                            "-tree", GP120_TREE]
+                elif mode == "histslow":
+                    cmd = ["fit", "-fixsubrates", "-profminpost", ".001",
+                           "-profmaxstates", "12000", leaf_path]
                 elif mode == "histrec":
                     rec = run(["recon"] + platform
                               + ["-fast", "-norefine", "-output", "stockholm",
