@@ -36,6 +36,21 @@ def _get_batched_fill():
     return _batched_fill
 
 
+def device_guide_enabled() -> bool:
+    """Whether guide fills+tracebacks run fully device-resident
+    (ops/guidedp.py).  HISTORIAN_DEVICE_GUIDE=1/0 forces; default
+    'auto' = on exactly when the backend is an accelerator, where the
+    legacy route's full-matrix readback dominates the guide stage."""
+    env = os.environ.get("HISTORIAN_DEVICE_GUIDE", "auto")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    import jax
+
+    return jax.default_backend() in ("tpu", "gpu")
+
+
 class QuickAligner:
     """Reusable scoring context for one (model, time)."""
 
@@ -80,6 +95,8 @@ class QuickAligner:
         called as fills complete."""
         import jax
 
+        if device_guide_enabled():
+            return self._align_batch_device(jobs, progress)
         results = [QuickAlignResult(self, x, y, env, defer_fill=True) for x, y, env in jobs]
         if jax.default_backend() == "cpu" and not force_batch:
             # serial backend: batching only adds vmap-compile cost
@@ -114,9 +131,68 @@ class QuickAligner:
                 results[k]._finish(mats[slot], inss[slot], dels[slot])
         return results
 
+    def _align_batch_device(self, jobs, progress=None):
+        """Fully device-resident guide stage (ops/guidedp.py): tokens and
+        envelope diagonals go up, traceback step codes and scores come
+        back; the score matrices never cross the host-device link."""
+        import jax
+
+        from historian_tpu.ops.guidedp import guide_align_device
+
+        dtype = (
+            np.float32 if jax.default_backend() in ("tpu", "gpu") else self.dtype
+        )
+        results = [
+            QuickAlignResult(self, x, y, env, device_route=True) for x, y, env in jobs
+        ]
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for k, r in enumerate(results):
+            if not r.trivial:
+                buckets.setdefault(r._padded_shape, []).append(k)
+        trans = np.array(
+            [self.m2m, self.m2i, self.m2d, self.i2i, self.i2m,
+             self.i2d, self.d2d, self.d2m, 0.0, 0.0], dtype=dtype,
+        )
+        gaps = np.array([self.no_gap, self.gap_open, self.gap_extend], dtype=dtype)
+        submat = self.submat.astype(dtype)
+        done = 0
+        total = sum(len(v) for v in buckets.values())
+        for (px, py), idxs in buckets.items():
+            b = -(-len(idxs) // 8) * 8  # reuse compiles across bucket sizes
+            pick = idxs + [idxs[-1]] * (b - len(idxs))
+            x_tok = np.full((b, px), -1, dtype=np.int32)
+            y_tok = np.full((b, py), -1, dtype=np.int32)
+            lut = np.zeros((b, px + py + 1), dtype=bool)
+            x_len = np.zeros(b, dtype=np.int32)
+            y_len = np.zeros(b, dtype=np.int32)
+            for slot, k in enumerate(pick):
+                r = results[k]
+                x_tok[slot, : r.x_len] = r.x_tok
+                y_tok[slot, : r.y_len] = r.y_tok
+                x_len[slot], y_len[slot] = r.x_len, r.y_len
+                lut[slot, np.asarray(r.envelope.diagonals, dtype=np.int64) + py] = True
+            steps, n_steps, x_end, y_end, lead_i, lead_j, score = (
+                np.asarray(a)
+                for a in guide_align_device(
+                    jnp.asarray(x_tok), jnp.asarray(y_tok), jnp.asarray(lut),
+                    jnp.asarray(x_len), jnp.asarray(y_len),
+                    jnp.asarray(submat), jnp.asarray(trans), jnp.asarray(gaps),
+                )
+            )
+            for slot, k in enumerate(idxs):
+                results[k]._finish_device(
+                    steps[slot], int(n_steps[slot]), int(x_end[slot]),
+                    int(y_end[slot]), int(lead_i[slot]), int(lead_j[slot]),
+                    float(score[slot]),
+                )
+                done += 1
+                if progress is not None:
+                    progress(done - 1, total)
+        return results
+
 
 class QuickAlignResult:
-    def __init__(self, aligner: QuickAligner, x: FastSeq, y: FastSeq, envelope: DiagonalEnvelope | None, defer_fill: bool = False):
+    def __init__(self, aligner: QuickAligner, x: FastSeq, y: FastSeq, envelope: DiagonalEnvelope | None, defer_fill: bool = False, device_route: bool = False):
         self.aligner = aligner
         self.x = x
         self.y = y
@@ -126,6 +202,7 @@ class QuickAlignResult:
         if envelope is None:
             envelope = DiagonalEnvelope(x_len, y_len).init_full()
         self.envelope = envelope
+        self._steps = None  # device-traceback step codes (device route)
 
         if x_len == 0 or y_len == 0:
             # trivial alignment: the nonempty sequence is one long gap run
@@ -142,6 +219,15 @@ class QuickAlignResult:
         x_tok = model.alphabet.tokenize(x.seq)
         y_tok = model.alphabet.tokenize(y.seq)
         self.x_tok, self.y_tok = x_tok, y_tok
+
+        if device_route:
+            # emit/start/mask are built ON DEVICE from tokens + diagonals
+            # (ops/guidedp.py); only the bucket shape is needed here
+            self.mat = self.ins = self.del_ = None
+            self._padded_shape = (
+                -(-x_len // 128) * 128, -(-y_len // 128) * 128
+            )
+            return
 
         dtype = aligner.dtype
         # emit[i, j] for i in 1..X, j in 1..Y; 0 where either token invalid
@@ -269,6 +355,16 @@ class QuickAlignResult:
         self.x_end, self.y_end = int(best_i) + 1, int(best_j) + 1
         self.result = self.end
 
+    def _finish_device(self, steps: np.ndarray, n_steps: int, x_end: int,
+                       y_end: int, lead_i: int, lead_j: int, score: float) -> None:
+        """Store the device traceback (ops/guidedp.py outputs): step codes
+        end->start, the best end cell, and the (i, j) where the walk hit
+        Start.  align_path() decodes these without any score matrix."""
+        self._steps = np.asarray(steps[:n_steps])
+        self.x_end, self.y_end = x_end, y_end
+        self._lead = (lead_i, lead_j)
+        self.end = self.result = score
+
     @property
     def finite(self) -> bool:
         return self.result > NEG_INF / 2
@@ -282,6 +378,8 @@ class QuickAlignResult:
             }
         if not self.finite:
             raise ValueError("can't do Viterbi traceback: final score is -infinity")
+        if self._steps is not None:
+            return self._align_path_from_steps(row1, row2)
         al = self.aligner
         i, j = self.x_end, self.y_end
         state = "M"
@@ -332,6 +430,28 @@ class QuickAlignResult:
         path: AlignPath = {
             row1: np.array(lead_x + mid_x + x_steps, dtype=bool),
             row2: np.array(lead_y + mid_y + y_steps, dtype=bool),
+        }
+        assert int(path[row1].sum()) == self.x_len
+        assert int(path[row2].sum()) == self.y_len
+        return path
+
+    def _align_path_from_steps(self, row1: int, row2: int) -> AlignPath:
+        """Decode the device traceback's step codes into the same
+        AlignPath the host walk builds: leading free gap, the mid
+        section (steps arrive end->start, exactly the order the host
+        appends before reversing), trailing free gap."""
+        steps = self._steps[::-1]  # start -> end
+        mid_x = (steps == 0) | (steps == 2)  # M and D consume x
+        mid_y = (steps == 0) | (steps == 1)  # M and I consume y
+        li, lj = self._lead
+        lead_x = np.concatenate([np.ones(li, bool), np.zeros(lj, bool)])
+        lead_y = np.concatenate([np.zeros(li, bool), np.ones(lj, bool)])
+        tx, ty = self.x_len - self.x_end, self.y_len - self.y_end
+        tail_x = np.concatenate([np.ones(tx, bool), np.zeros(ty, bool)])
+        tail_y = np.concatenate([np.zeros(tx, bool), np.ones(ty, bool)])
+        path: AlignPath = {
+            row1: np.concatenate([lead_x, mid_x, tail_x]),
+            row2: np.concatenate([lead_y, mid_y, tail_y]),
         }
         assert int(path[row1].sum()) == self.x_len
         assert int(path[row2].sum()) == self.y_len
