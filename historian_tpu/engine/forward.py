@@ -344,13 +344,21 @@ class DPMatrix:
 class ForwardMatrix(DPMatrix):
     _pool_role = "fwd-cells"
 
-    def __init__(self, x, y, hmm, parent_row: int, env=None, sumprod=None):
+    def __init__(self, x, y, hmm, parent_row: int, env=None, sumprod=None,
+                 defer_cells: bool = False):
         super().__init__(x, y, hmm, env)
         self.parent_row = parent_row
         self.sumprod = sumprod  # SumProductEngine over the subtree (counts)
         self.x_insert_counts: dict[int, EigenCounts] = {}
         self.y_insert_counts: dict[int, EigenCounts] = {}
         self._cell_counts: dict = {}  # absorbing cell -> EigenCounts
+        #: defer_cells: the caller will only sample/best-trace profiles, so
+        #: the fill may stay device-resident (ops/devicedp.DeviceTraceFill)
+        #: with tracebacks walked on device; cells stays None unless a
+        #: full-band consumer calls ensure_cells()
+        self._defer_cells = defer_cells
+        self._trace_handle = None
+        self._trace_values: dict = {}
         self._fill()
 
     def _trans18(self) -> np.ndarray:
@@ -375,6 +383,22 @@ class ForwardMatrix(DPMatrix):
         if not devicedp.enabled():
             return False
         t0 = time.perf_counter() if devicedp.TIMING else 0.0
+        if self._defer_cells and devicedp.trace_enabled() and self.sumprod is None:
+            handle = devicedp.col_forward_device(self)
+            if handle is not None:
+                self._trace_handle = handle
+                self.cells = None
+                self.lp_end = handle.lp_end
+                self.start_cell = (0, 0, IMM)
+                self.end_cell = (self.x_size - 1, self.y_size - 1, EEE)
+                if devicedp.TIMING:
+                    print(
+                        f"[devdp] keep {self.x_size - 1}x{self.y_size - 1} "
+                        f"band={int(np.count_nonzero(self.env_mask))} "
+                        f"{time.perf_counter() - t0:.3f}s",
+                        file=sys.stderr, flush=True,
+                    )
+                return True
         cells_np = devicedp.chain_forward_cells(self)
         kind = "chain"
         if cells_np is None:
@@ -664,6 +688,44 @@ class ForwardMatrix(DPMatrix):
 
         self._finish_fill()
 
+    # ------------------------------------------------- device-resident fills
+    def ensure_cells(self) -> None:
+        """Materialize host cells from a device-resident fill, for
+        full-band consumers (BackwardMatrix, host traceback walks)."""
+        if self.cells is not None or self._trace_handle is None:
+            return
+        cells_np = self._trace_handle.readback()
+        self.cells = bufpool.get(self._pool_role, (self.x_size, self.y_size, 5), self)
+        self.cells.fill(NEG_INF)
+        self.cells[: self.x_size - 1, : self.y_size - 1] = cells_np
+
+    def _cell_value(self, c) -> float:
+        """cells[c], answered from the device-trace readback when the
+        fill never left the device (make_profile reads values only at
+        retained trace cells)."""
+        if self.cells is not None:
+            return self.cells[c[0], c[1], c[2]]
+        return self._trace_values[c]
+
+    def _device_traces(self, n_samples: int, include_best: bool, rng) -> list:
+        """Walk traces on device (ops/tracedp.py).  Returns host paths in
+        the host layout: [(i, j, s), ..., end_cell], start->end.  Visited
+        cell values land in _trace_values for make_profile.  Consumes ONE
+        mt19937 draw to key the device RNG (deterministic per seed; not
+        draw-for-draw identical to the host walk, which an f32
+        accelerator fill could not be anyway)."""
+        seed = rng.next_u32() if (rng is not None and n_samples) else 0
+        _, traces = self._trace_handle.lp_end_and_traces(
+            n_samples, include_best, seed
+        )
+        out = []
+        for cells_, vals in traces:
+            path = [tuple(c) for c in cells_] + [self.end_cell]
+            for c, v in zip(path, vals):
+                self._trace_values[c] = float(v)
+            out.append(path)
+        return out
+
     # --------------------------------------------------------- source lookups
     def source_transitions_without_emit_or_absorb(self, dest) -> dict:
         """Reference sourceTransitionsWithoutEmitOrAbsorb (forward.cpp:326-398)."""
@@ -741,6 +803,7 @@ class ForwardMatrix(DPMatrix):
         the mt19937 draw sequence -- and thus every sampled profile -- is
         bit-identical to the uncached walk.
         """
+        self.ensure_cells()  # host walks need the full band
         cache = self._trace_cache
         entry = cache.get(dest)
         if entry is None:
@@ -801,6 +864,8 @@ class ForwardMatrix(DPMatrix):
         return path
 
     def best_align_path(self) -> AlignPath:
+        if self._trace_handle is not None:
+            return self.trace_align_path(self._device_best_path())
         return self.trace_align_path(self.best_trace())
 
     # --------------------------------------------------------- cell -> paths
@@ -1140,7 +1205,7 @@ class ForwardMatrix(DPMatrix):
                 from historian_tpu.engine.profile import _cpp_to_string
 
                 st.meta["fwdLogProb"] = _cpp_to_string(
-                    self.lp_end if c[2] == EEE else self.cells[c[0], c[1], c[2]]
+                    self.lp_end if c[2] == EEE else self._cell_value(c)
                 )
                 prof.states.append(st)
 
@@ -1243,26 +1308,64 @@ class ForwardMatrix(DPMatrix):
         cell_count: dict = {}
         assert (strategy & INCLUDE_BEST_TRACE) or profile_samples > 0
         n_traces = 0
-        if strategy & INCLUDE_BEST_TRACE:
-            for c in self.best_trace():
-                cell_count[c] = 2
-            n_traces += 1
-        n_accepted = 0
-        while n_accepted < profile_samples and (max_cells == 0 or len(cell_count) < max_cells):
-            sampled = self.sample_trace(rng)
-            anc_len = sum(1 for c in sampled if c[2] in (IMM, IDM, IMD))
-            if anc_len < min_len or anc_len > max_len:
-                break
-            for c in sampled:
-                cell_count[c] = cell_count.get(c, 0) + 1
-            n_traces += 1
-            n_accepted += 1
+        if self._trace_handle is not None:
+            # device-resident fill: all traces walked in one dispatch,
+            # then the host accumulation below is applied in trace order
+            # (same accept/threshold semantics; the max_cells early-stop
+            # discards surplus traces instead of never walking them)
+            include_best = bool(strategy & INCLUDE_BEST_TRACE)
+            paths = self._device_traces(profile_samples, include_best, rng)
+            k0 = 0
+            if include_best:
+                for c in paths[0]:
+                    cell_count[c] = 2
+                n_traces += 1
+                k0 = 1
+            n_accepted = 0
+            for sampled in paths[k0:]:
+                if n_accepted >= profile_samples or (
+                    max_cells != 0 and len(cell_count) >= max_cells
+                ):
+                    break
+                anc_len = sum(1 for c in sampled if c[2] in (IMM, IDM, IMD))
+                if anc_len < min_len or anc_len > max_len:
+                    break
+                for c in sampled:
+                    cell_count[c] = cell_count.get(c, 0) + 1
+                n_traces += 1
+                n_accepted += 1
+        else:
+            if strategy & INCLUDE_BEST_TRACE:
+                for c in self.best_trace():
+                    cell_count[c] = 2
+                n_traces += 1
+            n_accepted = 0
+            while n_accepted < profile_samples and (max_cells == 0 or len(cell_count) < max_cells):
+                sampled = self.sample_trace(rng)
+                anc_len = sum(1 for c in sampled if c[2] in (IMM, IDM, IMD))
+                if anc_len < min_len or anc_len > max_len:
+                    break
+                for c in sampled:
+                    cell_count[c] = cell_count.get(c, 0) + 1
+                n_traces += 1
+                n_accepted += 1
         threshold = 2 if (n_traces > 1 and max_cells > 0 and len(cell_count) >= max_cells) else 1
         prof_cells = {c for c, n in cell_count.items() if n >= threshold}
         return self.make_profile(prof_cells, strategy)
 
     def best_profile(self, strategy: int = COLLAPSE_CHAINS) -> Profile:
+        if self._trace_handle is not None:
+            return self.make_profile(set(self._device_best_path()), strategy)
         return self.make_profile(set(self.best_trace()), strategy)
+
+    def _device_best_path(self) -> list:
+        """Best trace via the device walker, cached (best_align_path and
+        best_profile both want it at the root)."""
+        cached = self.__dict__.get("_best_path")
+        if cached is None:
+            cached = self._device_traces(0, True, None)[0]
+            self.__dict__["_best_path"] = cached
+        return cached
 
 
 class _EffectiveTransition:
@@ -1281,6 +1384,7 @@ class BackwardMatrix(DPMatrix):
     _pool_role = "bwd-cells"
 
     def __init__(self, fwd: ForwardMatrix):
+        fwd.ensure_cells()  # posterior consumers read the full fwd band
         super().__init__(fwd.x, fwd.y, fwd.hmm, fwd.env, share_from=fwd)
         self.fwd = fwd
         self._best_dest_cache: dict = {}

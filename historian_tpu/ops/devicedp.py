@@ -331,13 +331,39 @@ def dag_forward_cells(dp) -> np.ndarray | None:
     return _expand_cells(out, mask_p, n_in, nx, ny)
 
 
-def col_forward_cells(dp) -> np.ndarray | None:
+def _to_planes_col():
+    """jitted [SY, SX, 5] -> [5, SY, SX] canonicalizer (device-side)."""
+    import jax
+    import jax.numpy as jnp
+
+    global _TO_PLANES_COL
+    if "_TO_PLANES_COL" not in globals():
+        _TO_PLANES_COL = jax.jit(lambda c: jnp.moveaxis(c, -1, 0))
+    return _TO_PLANES_COL
+
+
+def col_forward_device(dp) -> "DeviceTraceFill | None":
+    """Device-resident variant of col_forward_cells: the fill stays on
+    device as [5, SY, SX] planes wrapped in a DeviceTraceFill whose
+    tracebacks run on device too (ops/tracedp.py).  Routing conditions
+    are col_forward_cells' plus a single chain-x END in-edge."""
+    if dp.x_empty or dp.y_empty:
+        return None
+    if dp.x.as_chain() is None or len(dp.x.end.in_trans) != 1:
+        return None
+    return col_forward_cells(dp, keep=True)
+
+
+def col_forward_cells(dp, keep: bool = False):
     """Run the Forward fill on device via the column-major kernel
     (ops/colforward.py): x must be a pure emit chain, y may be any
     profile DAG.  This is the dominant production merge shape (leaf x
     sampled-profile); the y DAG's null/junction structure costs nothing
     here, unlike the row-major DAG kernel.  Returns None when x is not
-    a chain (caller falls back to the DAG kernel / host fill)."""
+    a chain (caller falls back to the DAG kernel / host fill).
+
+    With keep=True, returns a DeviceTraceFill (planes stay on device, no
+    cell readback) instead of the [nx, ny, 5] host tensor."""
     if dp.x_empty or dp.y_empty:
         return None
     ex = dp.x.as_chain()
@@ -426,6 +452,8 @@ def col_forward_cells(dp) -> np.ndarray | None:
             absorb_d, maskg_d, jnp.asarray(xvec), jnp.asarray(trans),
         )
         t2 = _time.perf_counter()
+        if keep:
+            return DeviceTraceFill(dp, planes, nx, ny, idx_d, mask_t, n_in)
         out = np.asarray(_gather_planes()(planes, idx_d))
     else:
         planes = None
@@ -438,6 +466,10 @@ def col_forward_cells(dp) -> np.ndarray | None:
             jnp.asarray(y_null), jnp.asarray(y_ready),
         )
         t2 = _time.perf_counter()
+        if keep:
+            return DeviceTraceFill(
+                dp, _to_planes_col()(cells_dev), nx, ny, idx_d, mask_t, n_in
+            )
         out = np.asarray(gather_cells(cells_dev, idx_d))
     t3 = _time.perf_counter()
     if TIMING:
@@ -455,6 +487,154 @@ def col_forward_cells(dp) -> np.ndarray | None:
     v[v < NEG_CUTOFF] = -np.inf
     tmp[env_t] = v
     return tmp.transpose(1, 0, 2)
+
+
+def trace_enabled() -> bool:
+    """Whether merge fills stay device-resident with tracebacks walked on
+    device (ops/tracedp.py).  HISTORIAN_DEVICE_TRACE=1/0 forces; default
+    'auto' = on exactly when the backend is an accelerator, where the
+    banded-cell readback dominates per-merge cost."""
+    env = os.environ.get("HISTORIAN_DEVICE_TRACE", "auto")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    import jax
+
+    return jax.default_backend() in ("tpu", "gpu")
+
+
+def _sorted_walk_edges(src: np.ndarray, lp: np.ndarray):
+    """Per-row copies of the in-edge tables sorted by source index with
+    padding slots last -- the device walker's candidate order must match
+    the host's sorted-by-cell order (engine/forward.py::_trace_entry)."""
+    pad = lp <= NEG / 2
+    order = np.argsort(np.where(pad, np.iinfo(np.int32).max, src), axis=1, kind="stable")
+    rows = np.arange(src.shape[0])[:, None]
+    return src[rows, order], lp[rows, order]
+
+
+class DeviceTraceFill:
+    """Device-resident fill handle: the [5, SY, SX] cell planes plus the
+    walk structure, with tracebacks run by ops/tracedp.py.  Created by
+    col/chain_forward_device; consumed by engine/forward.py when
+    trace_enabled().  `readback()` materializes host cells on demand
+    (BackwardMatrix and other full-band consumers)."""
+
+    def __init__(self, dp, planes, nx: int, ny: int, idx, mask_t, n_in):
+        import jax.numpy as jnp
+
+        self.dp = dp
+        self.planes = planes  # [5, SY, SX] device
+        self.nx, self.ny = nx, ny
+        self._idx, self._mask_t, self._n_in = idx, mask_t, n_in
+        self._cells_np = None
+
+        ay = _profile_dag_arrays(dp.y, ny)
+        SY = planes.shape[1]
+        dtype = np.float32 if planes.dtype == jnp.float32 else np.float64
+        KY = ay["src"].shape[1]
+        y_src = np.zeros((SY, KY), np.int32)
+        y_lp = np.full((SY, KY), NEG, dtype)
+        y_src[:ny], y_lp[:ny] = _sorted_walk_edges(
+            ay["src"], _clamp(ay["lp"], dtype)
+        )
+        y_null = np.zeros(SY, bool)
+        y_null[:ny] = dp.y_null[:ny]
+        ex = dp.x.as_chain()
+        tx = np.zeros(planes.shape[2], dtype)
+        tx[:nx] = _clamp(ex[:nx], dtype)
+
+        # end in-edges: chain x has exactly one (callers verified by
+        # routing), y's are sorted by source like the walk edges
+        x_end = dp.x.end
+        assert len(x_end.in_trans) == 1, "chain x END must have one in-edge"
+        xt = dp.x.trans[x_end.in_trans[0]]
+        ye = sorted(
+            (dp.y.trans[t].src, dp.y.trans[t].lp) for t in dp.y.end.in_trans
+        )
+        KE = _bucket_pow2(len(ye), lo=8)
+        ye_src = np.zeros(KE, np.int32)
+        ye_lp = np.full(KE, NEG, dtype)
+        for k, (s, v) in enumerate(ye):
+            ye_src[k] = s
+            ye_lp[k] = v if np.isfinite(v) else NEG
+
+        t6 = np.array(dp.hmm.trans_table, dtype=dtype, copy=True)
+        t6[~np.isfinite(t6)] = NEG
+
+        self._walk_args = (
+            jnp.asarray(y_src), jnp.asarray(y_lp), jnp.asarray(y_null),
+            jnp.asarray(tx), jnp.asarray(t6),
+            jnp.int32(xt.src), jnp.asarray(dtype(xt.lp if np.isfinite(xt.lp) else NEG)),
+            jnp.asarray(ye_src), jnp.asarray(ye_lp),
+        )
+        self.n_steps_max = int(planes.shape[1] + planes.shape[2])
+        self._lp_end = None
+
+    @property
+    def lp_end(self) -> float:
+        """Host _finish_fill's end gather, computed on device (the engine
+        needs it right after the fill for the band-doubling retry)."""
+        if self._lp_end is None:
+            from historian_tpu.ops.tracedp import end_lp_device
+
+            _, _, _, _, t6, xe_src, xe_lp, ye_src, ye_lp = self._walk_args
+            v = float(end_lp_device(self.planes, t6, xe_src, xe_lp, ye_src, ye_lp))
+            self._lp_end = -np.inf if v < NEG_CUTOFF else v
+        return self._lp_end
+
+    def lp_end_and_traces(self, n_samples: int, include_best: bool, seed: int):
+        """Run include_best + n_samples walks in one dispatch.  Returns
+        (lp_end, traces) where traces is a list of (path, vals): path a
+        list of (i, j, s) cells START->END-SOURCE order (the END cell
+        itself is appended by the engine), vals the matching cell values.
+        The first trace is the best trace when include_best."""
+        import jax
+        import jax.numpy as jnp
+
+        from historian_tpu.ops.tracedp import pair_trace_device
+
+        T = n_samples + (1 if include_best else 0)
+        key = jax.random.PRNGKey(np.uint32(seed))
+        u = jax.random.uniform(key, (max(T, 1), self.n_steps_max), jnp.float32)
+        best = np.zeros(max(T, 1), bool)
+        if include_best:
+            best[0] = True
+        pi, pj, ps, vals, n_steps, lp_end = pair_trace_device(
+            self.planes, *self._walk_args,
+            u.astype(self.planes.dtype), jnp.asarray(best), self.n_steps_max,
+        )
+        pi, pj, ps = np.asarray(pi), np.asarray(pj), np.asarray(ps)
+        vals = np.array(vals, dtype=np.float64)
+        vals[vals < NEG_CUTOFF] = -np.inf
+        n_steps = np.asarray(n_steps)
+        lp_end = float(lp_end)
+        if lp_end < NEG_CUTOFF:
+            lp_end = -np.inf
+        traces = []
+        for t in range(T):
+            n = int(n_steps[t])
+            cells = [(int(pi[t, k]), int(pj[t, k]), int(ps[t, k])) for k in range(n)]
+            cells.reverse()  # walker emits end->start
+            traces.append((cells, vals[t, :n][::-1]))
+        return lp_end, traces
+
+    def readback(self) -> np.ndarray:
+        """Full banded cell tensor [nx, ny, 5] (host layout), for
+        consumers that need the whole band (BackwardMatrix)."""
+        if self._cells_np is None:
+            _, gather_cells = _device_io()
+            import jax.numpy as jnp
+
+            cells_t = jnp.moveaxis(self.planes, 0, -1)  # [SY, SX, 5]
+            out = np.asarray(gather_cells(cells_t, self._idx))
+            tmp = np.full((self.ny, self.nx, 5), -np.inf)
+            v = out[: self._n_in].astype(np.float64)
+            v[v < NEG_CUTOFF] = -np.inf
+            tmp[self._mask_t[: self.ny, : self.nx]] = v
+            self._cells_np = tmp.transpose(1, 0, 2)
+        return self._cells_np
 
 
 def chain_forward_cells(dp) -> np.ndarray | None:

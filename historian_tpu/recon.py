@@ -515,6 +515,17 @@ class Reconstructor:
             log_this_at(2, f"Aligning node #{l_child} ({l_prof.size} states) and node #{r_child} ({r_prof.size} states) to build profile for node #{node}")
 
             max_dist = self.max_distance_from_guide
+            # when no full-band consumer (BackwardMatrix) will run on this
+            # node, the device fill may stay resident with tracebacks
+            # walked on device (ops/devicedp.trace_enabled)
+            want_backward = (
+                (
+                    self.accumulate_subst_counts
+                    or self.accumulate_indel_counts
+                    or self.dot_save_filename
+                )
+                and node == tree.root()
+            ) or (self.use_posteriors_for_profile and node != tree.root())
             # Drop the previous merge's matrices BEFORE building the next
             # ForwardMatrix: backward holds forward, and a live previous
             # owner makes bufpool fall back to fresh (cold-page) storage.
@@ -531,7 +542,10 @@ class Reconstructor:
                         max_dist,
                     )
                 )
-                forward = ForwardMatrix(l_prof, r_prof, hmm, node, env, sumprod)
+                forward = ForwardMatrix(
+                    l_prof, r_prof, hmm, node, env, sumprod,
+                    defer_cells=not want_backward,
+                )
                 if forward.lp_end > -np.inf:
                     break
                 # band-doubling retry (recon.cpp:954-975)
