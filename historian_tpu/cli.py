@@ -347,8 +347,14 @@ def main(argv: list[str] | None = None) -> int:
     if platform:
         import jax
 
+        # multi-host (DCN) bring-up must precede the jax.devices() probe
+        # below -- jax.distributed.initialize rejects an already-booted
+        # backend.  The platform config update itself is safe first.
+        jax.config.update("jax_platforms", platform)
+        from historian_tpu.parallel.dist import init_from_env as _dist_init
+
+        _dist_init()
         try:
-            jax.config.update("jax_platforms", platform)
             jax.devices()
         except RuntimeError:
             if platform != "tpu":

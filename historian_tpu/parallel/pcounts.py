@@ -131,18 +131,22 @@ def sharded_alignment_eigen_counts(model, tree, gapped_rows: list[str], mesh: Me
         )
     e = engine.eigen
     j = engine.branch_eigen_sub_count
+    # Inputs stay host numpy: multi-process meshes reject arrays committed
+    # to one process's local device (jnp.asarray), while numpy inputs are
+    # treated as fully replicated -- every process loads the same files,
+    # so replication holds by construction and shard_map's in_specs slice
+    # each process's dp block locally.
     root, eig_r, eig_i, lp = _sharded_count_step(
-        jnp.asarray(tokens),
-        jnp.asarray(arr.parent), jnp.asarray(arr.left),
-        jnp.asarray(arr.right), jnp.asarray(arr.sibling),
-        jnp.asarray(engine.branch_sub), jnp.asarray(engine.ins_prob),
-        jnp.asarray(engine.log_cpt_weight),
-        jnp.asarray(np.ascontiguousarray(e.evec.real)),
-        jnp.asarray(np.ascontiguousarray(e.evec.imag)),
-        jnp.asarray(np.ascontiguousarray(e.evec_inv.real)),
-        jnp.asarray(np.ascontiguousarray(e.evec_inv.imag)),
-        jnp.asarray(np.ascontiguousarray(j.real)),
-        jnp.asarray(np.ascontiguousarray(j.imag)),
+        tokens,
+        arr.parent, arr.left, arr.right, arr.sibling,
+        engine.branch_sub, engine.ins_prob,
+        engine.log_cpt_weight,
+        np.ascontiguousarray(e.evec.real),
+        np.ascontiguousarray(e.evec.imag),
+        np.ascontiguousarray(e.evec_inv.real),
+        np.ascontiguousarray(e.evec_inv.imag),
+        np.ascontiguousarray(j.real),
+        np.ascontiguousarray(j.imag),
         mesh=mesh, n_nodes=arr.n_nodes, alphabet_size=model.alphabet_size,
     )
     out = EigenCounts(model.components, model.alphabet_size)

@@ -1,0 +1,76 @@
+"""Two-process DCN dryrun: jax.distributed across two localhost CPU
+processes (4 virtual devices each -> an 8-device global mesh), running
+the production `count -mesh` path on reference data.
+
+This is the cross-machine analogue of the reference's file MapReduce
+(README.md:201-208): each process computes its dp shard of the E-step
+and an in-jit psum reduces over DCN.  Counts must match the
+single-process result (the count algebra is associative; float
+reassociation only), and both processes must agree exactly."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_count(ref_data, extra_env, mesh: int, timeout=600):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    env.update(
+        HISTORIAN_PLATFORM="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+    )
+    env.update(extra_env)
+    return subprocess.Popen(
+        [
+            sys.executable, "-m", "historian_tpu", "count",
+            "-model", os.path.join(ref_data, "testcount.jukescantor.json"),
+            "-recon", os.path.join(ref_data, "testcount.fa"),
+            "-tree", os.path.join(ref_data, "testcount.nh"),
+            "-mesh", str(mesh),
+        ],
+        env=env, cwd="/root/repo", text=True,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+    )
+
+
+def test_two_process_count_matches_single(ref_data):
+    single = _run_count(ref_data, {}, mesh=4)
+    out_single, err_single = single.communicate(timeout=600)
+    assert single.returncode == 0, err_single[-2000:]
+
+    port = _free_port()
+    common = {
+        "HISTORIAN_COORDINATOR": f"127.0.0.1:{port}",
+        "HISTORIAN_NUM_PROCESSES": "2",
+    }
+    p0 = _run_count(ref_data, {**common, "HISTORIAN_PROCESS_ID": "0"}, mesh=8)
+    p1 = _run_count(ref_data, {**common, "HISTORIAN_PROCESS_ID": "1"}, mesh=8)
+    out0, err0 = p0.communicate(timeout=600)
+    out1, err1 = p1.communicate(timeout=600)
+    assert p0.returncode == 0, err0[-3000:]
+    assert p1.returncode == 0, err1[-3000:]
+
+    def payload(s: str) -> str:
+        # Gloo's connection chatter shares stdout; the counts JSON starts
+        # at the first brace
+        return s[s.index("{"):]
+
+    # psum leaves every process with the same replicated totals
+    assert payload(out0) == payload(out1)
+
+    from tests.golden import assert_text_match
+
+    assert_text_match(payload(out0), payload(out_single), sig_figs=4)
