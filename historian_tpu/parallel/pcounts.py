@@ -215,6 +215,21 @@ def psum_counts(shard_counts: list[EventCounts], alphabet, mesh: Mesh | None = N
     return arrays_to_counts(reduced, alphabet)
 
 
+def allreduce_counts(partial: EventCounts, alphabet) -> EventCounts:
+    """Sum per-PROCESS partial EventCounts across a multi-process launch
+    (each process counted its round-robin dataset shard).  Rides the
+    jax.distributed coordination channel; every process returns the same
+    global totals."""
+    from jax.experimental import multihost_utils
+
+    arrs = counts_to_arrays(partial)
+    gathered = multihost_utils.process_allgather(
+        jax.tree.map(np.asarray, arrs)
+    )
+    summed = jax.tree.map(lambda x: np.asarray(x).sum(axis=0), gathered)
+    return arrays_to_counts(summed, alphabet)
+
+
 def column_sharded_eigen_counts(model, tree, gapped_rows: list[str], n_shards: int):
     """Host-loop reference implementation of the column-sharded E-step:
     used by tests as the algebra oracle for the shard_map path above

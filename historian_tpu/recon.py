@@ -692,11 +692,58 @@ class Reconstructor:
         if not self.datasets:
             raise ValueError("please supply some data")
         self.data_counts = EventCounts(self.model.alphabet, self.model.components)
+        # Multi-process launches shard DATASETS round-robin and allreduce
+        # the partial counts -- the in-memory form of the reference's
+        # count-files + `sum` MapReduce (README.md:201-208).  Safe for the
+        # reconstruct path too: the generator reseeds per dataset, so each
+        # dataset's trajectory is independent of which process runs it.
+        # EXCEPT: an aligned dataset under a multi-process -mesh runs a
+        # COLLECTIVE column-sharded E-step (in-jit psum over the global
+        # mesh) -- every process must participate, and the replicated
+        # result must not be reduced a second time.
+        nproc, pid = 1, 0
+        from historian_tpu.parallel import dist
+
+        if dist.is_initialized():
+            import jax
+
+            nproc, pid = jax.process_count(), jax.process_index()
+        mesh_collective = False
+        if nproc > 1:
+            from historian_tpu.parallel.pcounts import active_mesh
+
+            mesh = active_mesh()
+            mesh_collective = mesh is not None and (
+                len({d.process_index for d in mesh.devices.flat}) > 1
+            )
+
+        def is_collective(ds: Dataset) -> bool:
+            return mesh_collective and ds.has_reconstruction()
+
         for ds in self.datasets:
-            if ds.has_reconstruction():
-                self.count(ds)
-            else:
-                self.reconstruct(ds)
+            if is_collective(ds):
+                self.count(ds)  # every process; psum replicates the result
+        if nproc > 1:
+            shared = self.data_counts
+            self.data_counts = EventCounts(self.model.alphabet, self.model.components)
+            for k, ds in enumerate(self.datasets):
+                if is_collective(ds) or k % nproc != pid:
+                    continue
+                if ds.has_reconstruction():
+                    self.count(ds)
+                else:
+                    self.reconstruct(ds)
+            from historian_tpu.parallel.pcounts import allreduce_counts
+
+            self.data_counts = shared + allreduce_counts(
+                self.data_counts, self.model.alphabet
+            )
+        else:
+            for ds in self.datasets:
+                if ds.has_reconstruction():
+                    self.count(ds)
+                else:
+                    self.reconstruct(ds)
         if self.prior_counts is not None:
             self.data_plus_prior_counts = self.data_counts + self.prior_counts
         else:
@@ -717,7 +764,19 @@ class Reconstructor:
         self.prior_counts.indel.lp = 0.0
         it0 = 0
         fp = ""
-        if self.checkpoint_filename:
+        ckpt_path = self.checkpoint_filename
+        if ckpt_path:
+            from historian_tpu.parallel import dist
+
+            if dist.is_initialized():
+                import jax
+
+                # each process snapshots its OWN dataset shard's
+                # reconstructions (count_all shards datasets round-robin);
+                # model/rng state is identical across processes
+                if jax.process_index() > 0:
+                    ckpt_path += f".p{jax.process_index()}"
+        if ckpt_path:
             from historian_tpu.utils import checkpoint as ckpt
 
             # identity of the run's inputs, computed at fit() entry (before
@@ -730,7 +789,7 @@ class Reconstructor:
                     for r in (ds.gapped_recon or ds.seqs)
                 ]
             )
-            state = ckpt.load(self.checkpoint_filename, "fit", fingerprint=fp)
+            state = ckpt.load(ckpt_path, "fit", fingerprint=fp)
             if state is not None and len(state.get("datasets", ())) == len(self.datasets):
                 self.model = ckpt.restore_model(state["model"])
                 lp_last = float(state["lp_last"])
@@ -749,7 +808,7 @@ class Reconstructor:
                     ds.reconstruction = Alignment.from_gapped(ds.gapped_recon)
                 log_this_at(
                     1,
-                    f"Resuming EM from checkpoint {self.checkpoint_filename} "
+                    f"Resuming EM from checkpoint {ckpt_path} "
                     f"(completed iteration #{it0})",
                 )
         for it in range(it0, self.max_em_iterations):
@@ -770,11 +829,11 @@ class Reconstructor:
                 self.model, self.accumulate_indel_counts, self.accumulate_subst_counts
             )
             lp_last = lp_with_prior
-            if self.checkpoint_filename:
+            if ckpt_path:
                 from historian_tpu.utils import checkpoint as ckpt
 
                 ckpt.save_atomic(
-                    self.checkpoint_filename,
+                    ckpt_path,
                     {
                         "command": "fit",
                         "fingerprint": fp,

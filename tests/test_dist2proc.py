@@ -46,6 +46,73 @@ def _run_count(ref_data, extra_env, mesh: int, timeout=600):
     )
 
 
+def _run_cli(args, extra_env, timeout=600):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    env.update(
+        HISTORIAN_PLATFORM="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+    )
+    env.update(extra_env)
+    return subprocess.Popen(
+        [sys.executable, "-m", "historian_tpu", *args],
+        env=env, cwd="/root/repo", text=True,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+    )
+
+
+def test_two_process_dataset_sharding(ref_data, tmp_path):
+    """count with TWO datasets across two processes: each process counts
+    its round-robin shard and the partials allreduce -- the in-memory
+    form of `historian count f1 & count f2; historian sum` (the
+    reference's README.md:201-208 recipe)."""
+    import re
+
+    fa = open(os.path.join(ref_data, "testcount.fa")).read()
+    nh = open(os.path.join(ref_data, "testcount.nh")).read().strip()
+    stk_rows = "\n".join(
+        f"{name} {seq}"
+        for name, seq in re.findall(r">(\S+)\n([^>]+)", fa)
+        for seq in [seq.replace("\n", "")]
+    )
+    a = tmp_path / "a.stk"
+    b = tmp_path / "b.stk"
+    a.write_text(f"# STOCKHOLM 1.0\n#=GF NH {nh}\n{stk_rows}\n//\n")
+    # second dataset: same rows renamed so the counts differ from 2x(a)
+    b.write_text(
+        f"# STOCKHOLM 1.0\n#=GF NH {nh}\n{stk_rows.replace('G', 'A', 1)}\n//\n"
+    )
+    args = [
+        "count",
+        "-model", os.path.join(ref_data, "testcount.jukescantor.json"),
+        "-stockrecon", str(a), "-stockrecon", str(b),
+    ]
+    single = _run_cli(args, {})
+    out_single, err_single = single.communicate(timeout=600)
+    assert single.returncode == 0, err_single[-2000:]
+
+    port = _free_port()
+    common = {
+        "HISTORIAN_COORDINATOR": f"127.0.0.1:{port}",
+        "HISTORIAN_NUM_PROCESSES": "2",
+    }
+    p0 = _run_cli(args, {**common, "HISTORIAN_PROCESS_ID": "0"})
+    p1 = _run_cli(args, {**common, "HISTORIAN_PROCESS_ID": "1"})
+    out0, err0 = p0.communicate(timeout=600)
+    out1, err1 = p1.communicate(timeout=600)
+    assert p0.returncode == 0, err0[-3000:]
+    assert p1.returncode == 0, err1[-3000:]
+
+    def payload(s: str) -> str:
+        return s[s.index("{"):]
+
+    assert payload(out0) == payload(out1)
+    from tests.golden import assert_text_match
+
+    assert_text_match(payload(out0), payload(out_single), sig_figs=6)
+
+
 def test_two_process_count_matches_single(ref_data):
     single = _run_count(ref_data, {}, mesh=4)
     out_single, err_single = single.communicate(timeout=600)
