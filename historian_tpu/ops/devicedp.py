@@ -331,6 +331,59 @@ def dag_forward_cells(dp) -> np.ndarray | None:
     return _expand_cells(out, mask_p, n_in, nx, ny)
 
 
+def col_kernel_inputs(dp, dtype=np.float64, bucket=None):
+    """Dense input bundle for the column-major kernel, exactly as the
+    production route's in-band scatter materializes it on device (NEG
+    outside the envelope and the true sizes).  Used by the SP
+    (mesh-sharded) fill and the multichip dryrun, which need the dense
+    arrays host-side to shard them."""
+    from historian_tpu.ops.pairforward import pack_transitions
+
+    ex = dp.x.as_chain()
+    assert ex is not None, "col kernel needs a chain x"
+    nx = dp.x_size - 1
+    ny = dp.y_size - 1
+    SX = bucket(nx) if bucket else _bucket(nx)
+    SY = bucket(ny) if bucket else _bucket(ny)
+
+    tx = ex[:nx]
+    rsx = np.full(SX, NEG, dtype); rsx[:nx] = _clamp(dp.rootsubx[:nx] + tx, dtype)
+    isx = np.full(SX, NEG, dtype); isx[:nx] = _clamp(dp.insx[:nx] + tx, dtype)
+    rsy = np.full(SY, NEG, dtype); rsy[:ny] = _clamp(dp.rootsuby[:ny], dtype)
+    isy = np.full(SY, NEG, dtype); isy[:ny] = _clamp(dp.insy[:ny], dtype)
+    trans = _clamp(pack_transitions(dp.hmm), dtype)
+
+    ay = _profile_dag_arrays(dp.y, ny)
+    KY = ay["src"].shape[1]
+    y_src = np.zeros((SY, KY), dtype=np.int32)
+    y_lp = np.full((SY, KY), NEG, dtype)
+    y_src[:ny] = ay["src"]
+    y_lp[:ny] = _clamp(ay["lp"], dtype)
+
+    def padb(vals, n, S):
+        out = np.zeros(S, dtype=bool)
+        out[:n] = vals[:n]
+        return out
+
+    x_ready = padb(dp.x_ready | dp.x_empty, nx, SX)
+    x_eos = padb(dp.x_emit_or_start, nx, SX)
+    y_null = padb(dp.y_null, ny, SY)
+    y_ready = padb(dp.y_ready | dp.y_empty, ny, SY)
+
+    env_t = np.asarray(dp.env_mask[:nx, :ny], dtype=bool).T
+    mask_t = np.zeros((SY, SX), dtype=bool)
+    mask_t[:ny, :nx] = env_t
+    absorb_t = np.full((SY, SX), NEG, dtype)
+    dense = np.asarray(dp.absorb[:nx, :ny]).T + tx[None, :]
+    absorb_t[:ny, :nx][env_t] = _clamp(dense[env_t], dtype)
+    return dict(
+        absorb_t=absorb_t, rootsub_x=rsx, ins_x=isx, rootsub_y=rsy,
+        ins_y=isy, mask_t=mask_t, trans=trans, x_ready=x_ready,
+        x_eos=x_eos, y_src=y_src, y_lp=y_lp, y_null=y_null,
+        y_ready=y_ready, nx=nx, ny=ny,
+    )
+
+
 def _to_planes_col():
     """jitted [SY, SX, 5] -> [5, SY, SX] canonicalizer (device-side)."""
     import jax

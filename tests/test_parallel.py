@@ -310,3 +310,60 @@ print("DIST-OK")
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "DIST-OK" in proc.stdout
+
+
+def test_sp_col_forward_production_merge(ref_data):
+    """The SP (x-sharded ring-wavefront) column-major fill equals the
+    single-device kernel on a REAL production merge: a gp120 leaf chain
+    composed against a sampled-profile DAG under the guide envelope --
+    the dominant merge shape `recon` dispatches."""
+    import os
+
+    from historian_tpu.core.alignpath import Alignment, GuideAlignmentEnvelope
+    from historian_tpu.core.seqs import read_fasta
+    from historian_tpu.engine.forward import ForwardMatrix
+    from historian_tpu.engine.pairhmm import PairHMM
+    from historian_tpu.engine.profile import Profile
+    from historian_tpu.models.ratemodel import ProbModel, RateModel
+    from historian_tpu.ops import devicedp
+    from historian_tpu.ops.colforward import col_pair_forward_cells
+    from historian_tpu.ops.sp_colforward import sp_col_forward_cells
+    from historian_tpu.utils.rng import MT19937
+
+    model = RateModel.from_file(os.path.join(ref_data, "testamino.json"))
+    gapped = read_fasta(os.path.join(ref_data, "gp120.guide.fa"))[:3]
+    align = Alignment.from_gapped(gapped)
+    seqs = align.ungapped
+    profs = [
+        Profile.from_sequence(model.components, model.alphabet, s, i)
+        for i, s in enumerate(seqs)
+    ]
+    hmm = PairHMM(ProbModel(model, 0.5), ProbModel(model, 0.5), model.ins_prob)
+    env01 = GuideAlignmentEnvelope(align.path, 0, 1, 12)
+    f01 = ForwardMatrix(profs[0], profs[1], hmm, 3, env01)
+    p01 = f01.sample_profile(MT19937(5489), 10, 0)
+    assert p01.as_chain() is None  # a genuine sampled-profile DAG
+
+    env = GuideAlignmentEnvelope(align.path, 2, 0, 12)
+    dp = ForwardMatrix(profs[2], p01, hmm, 4, env)
+    inp = devicedp.col_kernel_inputs(dp)
+    args = (
+        inp["absorb_t"], inp["rootsub_x"], inp["ins_x"], inp["rootsub_y"],
+        inp["ins_y"], inp["mask_t"], inp["trans"], inp["x_ready"],
+        inp["x_eos"], inp["y_src"], inp["y_lp"], inp["y_null"], inp["y_ready"],
+    )
+    single = np.asarray(col_pair_forward_cells(*args))
+
+    import jax
+    from jax.sharding import Mesh
+
+    devices = np.array(jax.devices()[:8])
+    mesh = Mesh(devices, ("sp",))
+    sp = np.asarray(sp_col_forward_cells(*args, mesh=mesh))
+    np.testing.assert_allclose(sp, single, rtol=1e-9, atol=1e-9)
+    # and the kernel agrees with the host fill on the real cells
+    host = dp.cells[: dp.x_size - 1, : dp.y_size - 1]
+    got = sp[: inp["ny"], : inp["nx"]].transpose(1, 0, 2)
+    hx = np.where(np.isfinite(host), host, -1e99)
+    gx = np.where(got < -1e25, -1e99, got)
+    np.testing.assert_allclose(gx, hx, rtol=1e-9, atol=1e-9)
