@@ -181,60 +181,126 @@ def bench_device() -> float:
     return max(measure(scan_kernel, reps=4 * REPS) for _ in range(3))
 
 
-def bench_production_col_kernel() -> float:
-    """The SHIPPED column-major Forward kernel (ops/colforward.py, what
-    `recon -platform tpu` runs for chain x DAG merges) at gp120 scale:
-    SX=512 x SY=768, KY=8 in-edges, ~30% junction-ish structure.
-    Returns state-cells/s steady-state (distinct inputs per rep,
-    on-device reduction)."""
-    import jax
-    import jax.numpy as jnp
+def _production_merge():
+    """Build the real production merge workload: gp120 leaf chain x
+    sampled-profile DAG under LG (the dominant `recon -platform tpu`
+    merge shape; reference hot loop forward.cpp:78-203).  Host fill
+    (native) so the returned ForwardMatrix doubles as the baseline
+    oracle.  Returns (dp, n_cells_in_band)."""
+    import os
 
-    from historian_tpu.ops.colforward import col_pair_forward_cells
+    from historian_tpu.core.seqs import read_fasta
+    from historian_tpu.engine.forward import ForwardMatrix
+    from historian_tpu.engine.pairhmm import PairHMM
+    from historian_tpu.engine.profile import Profile
+    from historian_tpu.models.presets import named_model
+    from historian_tpu.models.ratemodel import ProbModel
+    from historian_tpu.utils.rng import MT19937
 
-    SX, SY, KY = 512, 768, 8
-    dt = np.float32
-    rng = np.random.default_rng(7)
-    absorb_t = rng.normal(-5, 1, (SY, SX)).astype(dt)
-    rsx = rng.normal(-2, 1, SX).astype(dt)
-    isx = rng.normal(-2, 1, SX).astype(dt)
-    rsy = rng.normal(-2, 1, SY).astype(dt)
-    isy = rng.normal(-2, 1, SY).astype(dt)
-    mask = np.ones((SY, SX), bool)
-    trans = rng.normal(-1, 0.5, 23).astype(dt)
-    x_ready = np.ones(SX, bool)
-    x_eos = np.ones(SX, bool)
-    # DAG y: mostly chain edges plus short-range skips and forks
-    y_src = np.clip(
-        np.arange(SY)[:, None] - 1 - rng.integers(0, 8, (SY, KY)), 0, None
-    ).astype(np.int32)
-    y_src[:, 0] = np.maximum(np.arange(SY) - 1, 0)
-    y_lp = rng.normal(-1, 0.5, (SY, KY)).astype(dt)
-    y_lp[:, 2:] = -1e30  # in-degree ~2 on average
-    y_null = np.zeros(SY, bool)
-    y_null[rng.choice(SY, SY // 20, replace=False)] = True
-    y_ready = np.ones(SY, bool)
+    prev = os.environ.get("HISTORIAN_DEVICE_DP")
+    os.environ["HISTORIAN_DEVICE_DP"] = "0"
+    try:
+        model = named_model("lg")
+        seqs = read_fasta("/root/reference/data/gp120.fa")[:3]
+        profs = [
+            Profile.from_sequence(model.components, model.alphabet, s, i)
+            for i, s in enumerate(seqs)
+        ]
+        hmm = PairHMM(ProbModel(model, 0.6), ProbModel(model, 0.4), model.ins_prob)
+        fwd01 = ForwardMatrix(profs[0], profs[1], hmm, 3)
+        p01 = fwd01.sample_profile(MT19937(5489), 10, 0)
+        hmm2 = PairHMM(ProbModel(model, 0.3), ProbModel(model, 0.7), model.ins_prob)
+        dp = ForwardMatrix(profs[2], p01, hmm2, 4)
+    finally:
+        if prev is None:
+            os.environ.pop("HISTORIAN_DEVICE_DP", None)
+        else:
+            os.environ["HISTORIAN_DEVICE_DP"] = prev
+    n_cells = int(np.count_nonzero(dp.env_mask[: dp.x_size - 1, : dp.y_size - 1])) * 5
+    return dp, n_cells
 
-    args = [jnp.asarray(a) for a in (
-        absorb_t, rsx, isx, rsy, isy, mask, trans, x_ready, x_eos,
-        y_src, y_lp, y_null, y_ready)]
-    red = jax.jit(lambda *a: col_pair_forward_cells(*a).sum())
-    float(red(*args))  # compile + warm
-    reps = 16
+
+def bench_production_col_kernel() -> dict:
+    """The SHIPPED production merge route (ops/devicedp.col_forward_cells:
+    pallas/XLA column kernel + band-compacted IO + host prep), measured
+    end-to-end per merge on a REAL captured gp120 merge (leaf chain x
+    10-trace sampled profile).  Two variants:
+
+    - full-readback (what BackwardMatrix-consuming merges pay),
+      reported as state-cells/s including host prep + readback;
+    - device-resident (keep=True + lp_end + 11 traces on device, what
+      default `-platform tpu` recon pays per merge).
+
+    Baseline: the host-native (C++ OpenMP) fill of the SAME merge in
+    this process, same boundary (absorb precompute excluded from both).
+    Distinct inputs per rep (absorb shift) defeat tunnel result caching.
+    """
+    from historian_tpu.ops import devicedp
+
+    dp, n_cells = _production_merge()
+    base_absorb = dp.absorb.copy()
+
+    # -- baseline: host native fill of the same merge
+    host_reps = 4
+    dp._fill_native()  # warm (arena, pages)
     t0 = time.perf_counter()
-    accs = []
+    for k in range(host_reps):
+        dp.absorb = base_absorb + np.float64(1e-4 * (k + 1))
+        assert dp._fill_native()
+    t_host = (time.perf_counter() - t0) / host_reps
+    host_rate = n_cells / t_host
+
+    # -- device full-readback route
+    out = devicedp.col_forward_cells(dp)
+    assert out is not None, "col route not taken on the captured merge"
+    reps = 8
+    t0 = time.perf_counter()
     for k in range(reps):
-        args[0] = jnp.asarray(absorb_t + np.float32(1e-4 * (k + 1)))
-        accs.append(red(*args))
-    total = float(jnp.sum(jnp.stack(accs)))
-    t1 = time.perf_counter()
-    assert np.isfinite(total)
-    return SX * SY * 5 * reps / (t1 - t0)
+        dp.absorb = base_absorb + np.float64(1e-4 * (k + 1))
+        out = devicedp.col_forward_cells(dp)
+    t_dev = (time.perf_counter() - t0) / reps
+    assert np.isfinite(out[np.asarray(dp.env_mask[: dp.x_size - 1, : dp.y_size - 1])]).any()
+    prep_s, dispatch_s, readback_s = devicedp.LAST_SPLIT
+    dev_rate = n_cells / t_dev
+
+    # -- device-resident route (fill + lp_end + best + 10 sampled traces)
+    def resident(k):
+        dp.absorb = base_absorb + np.float64(1e-4 * (k + 1))
+        h = devicedp.col_forward_device(dp)
+        assert h is not None
+        lp, traces = h.lp_end_and_traces(10, True, 1000 + k)
+        assert np.isfinite(lp) and len(traces) == 11
+        return lp
+
+    resident(0)  # warm/compile
+    res_reps = 8
+    t0 = time.perf_counter()
+    for k in range(res_reps):
+        resident(k + 1)
+    t_res = (time.perf_counter() - t0) / res_reps
+
+    return {
+        "unit": "state-cells/s",
+        "workload": f"gp120 merge x={dp.x_size - 1} y={dp.y_size - 1} states",
+        "value": round(dev_rate),
+        "baseline": round(host_rate),
+        "baseline_src": "host native (C++ OpenMP) fill, same merge, this host",
+        "vs_baseline": round(dev_rate / host_rate, 3),
+        "merge_wall_s": round(t_dev, 4),
+        "split_s": {
+            "prep": round(prep_s, 4),
+            "dispatch": round(dispatch_s, 4),
+            "readback": round(readback_s, 4),
+        },
+        "resident_merge_s": round(t_res, 4),
+        "host_merge_wall_s": round(t_host, 4),
+    }
 
 
-def bench_codon() -> float:
+def bench_codon() -> dict:
     """Headline kernel at codon scale (C*A = 61; the emission einsum --
-    not timed here -- is where the MXU share grows).  Returns cells/s."""
+    not timed here -- is where the MXU share grows).  Baseline: the
+    single-core C++ loop on the same 61-letter workload."""
     import jax
     import jax.numpy as jnp
 
@@ -279,10 +345,28 @@ def bench_codon() -> float:
     total = float(jnp.sum(jnp.stack(accs)))
     t1 = time.perf_counter()
     assert np.isfinite(total)
-    return batch * (xl + 1) * (yl + 1) * 5 * reps / (t1 - t0)
+    rate = batch * (xl + 1) * (yl + 1) * 5 * reps / (t1 - t0)
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    exe = os.path.join(here, "tools", "bench_baseline")
+    base = 0.0
+    for _ in range(3):
+        out = subprocess.run(
+            [exe, str(xl), str(yl), "61", "1", "3"],
+            check=True, capture_output=True, text=True, timeout=600,
+        )
+        base = max(base, float(out.stdout.strip()))
+    return {
+        "unit": "state-cells/s",
+        "workload": f"ECMrest batch={batch} {xl}x{yl}",
+        "value": round(rate),
+        "baseline": round(base),
+        "baseline_src": "single-core C++ (tools/bench_baseline.cpp), A=61, this host",
+        "vs_baseline": round(rate / base, 3) if base else None,
+    }
 
 
-def bench_fit_estep() -> float:
+def bench_fit_estep() -> dict:
     """The fit/count hot loop (reference forward.cpp:1183-1214 analogue):
     Felsenstein up/down fill + eigencount contraction over alignment
     columns on device (parallel/pcounts, the -mesh production path).
@@ -327,7 +411,69 @@ def bench_fit_estep() -> float:
         c = pcounts.sharded_alignment_eigen_counts(model, tree, row_sets[k % 3], mesh)
     t1 = time.perf_counter()
     a = model.alphabet.size
-    return L * (tree.n_nodes() - 1) * a * a * reps / (t1 - t0)
+    rate = L * (tree.n_nodes() - 1) * a * a * reps / (t1 - t0)
+
+    # baseline: the host (engine/sumprod, CPU backend) count path on the
+    # SAME workload, in a fresh CPU subprocess so backend state cannot leak
+    script = (
+        "import sys, os\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "import time, numpy as np\n"
+        "from historian_tpu.models.presets import named_model\n"
+        "from historian_tpu.core.tree import Tree\n"
+        "from historian_tpu.engine.sumprod import SumProductEngine\n"
+        "model = named_model('lg')\n"
+        "def nwk(d):\n"
+        "    if d == 0:\n"
+        "        nwk.i += 1; return f'L{nwk.i}:0.3'\n"
+        "    return f'({nwk(d-1)},{nwk(d-1)}):0.3'\n"
+        "nwk.i = 0\n"
+        "tree = Tree(nwk(4) + ';')\n"
+        "L = 1024\n"
+        "rng = np.random.RandomState(5)\n"
+        "alpha = model.alphabet.symbols\n"
+        "row_sets = []\n"
+        "for s in range(3):\n"
+        "    lr = [''.join(alpha[i] for i in rng.randint(0, 20, size=L)) for _ in range(16)]\n"
+        "    rows = []; li = 0\n"
+        "    for n in range(tree.n_nodes()):\n"
+        "        if tree.is_leaf(n): rows.append(lr[li]); li += 1\n"
+        "        else: rows.append('*' * L)\n"
+        "    row_sets.append(rows)\n"
+        "eng = SumProductEngine(model, tree)\n"
+        "C, A = model.components, model.alphabet.size\n"
+        "def count(rows):\n"
+        "    f = eng.fill(rows)\n"
+        "    rc = np.zeros((C, A)); ec = np.zeros((C, A, A), complex)\n"
+        "    f.accumulate_root_counts(rc); f.accumulate_eigen_counts(rc, ec)\n"
+        "    return ec\n"
+        "count(row_sets[0])\n"
+        "reps = 3\n"
+        "t0 = time.perf_counter()\n"
+        "for k in range(reps): count(row_sets[k % 3])\n"
+        "t1 = time.perf_counter()\n"
+        "print(L * (tree.n_nodes() - 1) * A * A * reps / (t1 - t0))\n"
+    )
+    base = None
+    try:
+        env = {k: v for k, v in os.environ.items()}
+        env["JAX_PLATFORMS"] = "cpu"
+        proc = subprocess.run(
+            [sys.executable, "-c", script], capture_output=True, text=True,
+            timeout=900, env=env,
+        )
+        base = float(proc.stdout.strip().splitlines()[-1])
+    except Exception:
+        pass
+    return {
+        "unit": "column-cells/s (columns x branches x A^2)",
+        "workload": "31-node tree, L=1024, LG",
+        "value": round(rate),
+        "baseline": round(base) if base else None,
+        "baseline_src": "host engine/sumprod count path, CPU subprocess, this host",
+        "vs_baseline": round(rate / base, 3) if base else None,
+    }
 
 
 def main() -> None:
@@ -340,14 +486,18 @@ def main() -> None:
     flops = device_rate * DP_FLOPS_PER_CELL
     extras = {}
     for name, fn in (
-        ("production_col_forward_cells_per_sec", bench_production_col_kernel),
-        ("codon_pair_forward_cells_per_sec", bench_codon),
-        ("fit_estep_cellsq_per_sec", bench_fit_estep),
+        ("production_col_forward", bench_production_col_kernel),
+        ("codon_pair_forward", bench_codon),
+        ("fit_estep", bench_fit_estep),
     ):
         try:
-            extras[name] = round(fn())
+            extras[name] = fn()
         except Exception as e:  # report, never break the headline line
             extras[name] = f"error: {type(e).__name__}: {e}"[:200]
+    e2e = os.path.join(os.path.dirname(os.path.abspath(__file__)), "E2E_TPU.json")
+    if os.path.exists(e2e):  # recorded end-to-end walls (tools/bench_e2e.py)
+        with open(e2e) as f:
+            extras["end_to_end_recorded"] = json.load(f)
     print(
         json.dumps(
             {

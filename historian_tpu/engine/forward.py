@@ -359,7 +359,39 @@ class ForwardMatrix(DPMatrix):
         self._defer_cells = defer_cells
         self._trace_handle = None
         self._trace_values: dict = {}
+        self._prefetched = None  # (n_samples, include_best, raw device tuple)
         self._fill()
+
+    #: lp_end is a plain attribute on every path except the device-
+    #: resident one, where it stays lazy so a caller can dispatch a whole
+    #: tree level of fills before blocking on any one end-gather
+    #: (recon.py level pipeline)
+    @property
+    def lp_end(self) -> float:
+        if self._lp_end is None:
+            self._lp_end = self._trace_handle.lp_end
+        return self._lp_end
+
+    @lp_end.setter
+    def lp_end(self, v) -> None:
+        self._lp_end = v
+
+    def dispatch_lp_end(self) -> None:
+        """Enqueue the device end-gather without blocking (no-op unless
+        the fill is device-resident)."""
+        if self._lp_end is None:
+            self._trace_handle.dispatch_lp_end()
+
+    def prefetch_traces(self, n_samples: int, include_best: bool, rng) -> None:
+        """Enqueue this merge's traceback walk on device without reading
+        it back, consuming the merge's single mt19937 draw NOW (so draw
+        order is fixed by prefetch order).  sample_profile/_device_traces
+        pick the walk up when they run."""
+        if self._trace_handle is None:
+            return
+        seed = rng.next_u32() if (rng is not None and n_samples) else 0
+        raw = self._trace_handle.dispatch_traces(n_samples, include_best, seed)
+        self._prefetched = (n_samples, include_best, raw)
 
     def _trans18(self) -> np.ndarray:
         h = self.hmm
@@ -388,7 +420,7 @@ class ForwardMatrix(DPMatrix):
             if handle is not None:
                 self._trace_handle = handle
                 self.cells = None
-                self.lp_end = handle.lp_end
+                self._lp_end = None  # lazy: handle.lp_end on first access
                 self.start_cell = (0, 0, IMM)
                 self.end_cell = (self.x_size - 1, self.y_size - 1, EEE)
                 if devicedp.TIMING:
@@ -714,10 +746,15 @@ class ForwardMatrix(DPMatrix):
         mt19937 draw to key the device RNG (deterministic per seed; not
         draw-for-draw identical to the host walk, which an f32
         accelerator fill could not be anyway)."""
-        seed = rng.next_u32() if (rng is not None and n_samples) else 0
-        _, traces = self._trace_handle.lp_end_and_traces(
-            n_samples, include_best, seed
-        )
+        pre = self._prefetched
+        if pre is not None and pre[0] == n_samples and pre[1] == include_best:
+            self._prefetched = None  # one-shot (draw already consumed)
+            traces = self._trace_handle.collect_traces(pre[2], n_samples, include_best)
+        else:
+            seed = rng.next_u32() if (rng is not None and n_samples) else 0
+            _, traces = self._trace_handle.lp_end_and_traces(
+                n_samples, include_best, seed
+            )
         out = []
         for cells_, vals in traces:
             path = [tuple(c) for c in cells_] + [self.end_cell]

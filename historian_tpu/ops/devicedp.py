@@ -33,6 +33,10 @@ BUCKET = 64
 #: HISTORIAN_DEVICE_DP_TIME=1 prints per-merge device fill timings to stderr
 TIMING = os.environ.get("HISTORIAN_DEVICE_DP_TIME", "0") == "1"
 
+#: last col-route fill's wall split, (prep_s, dispatch_s, readback_s),
+#: recorded unconditionally (bench.py reports it per merge)
+LAST_SPLIT: tuple = (0.0, 0.0, 0.0)
+
 
 def enabled() -> bool:
     env = os.environ.get("HISTORIAN_DEVICE_DP", "auto")
@@ -525,6 +529,8 @@ def col_forward_cells(dp, keep: bool = False):
             )
         out = np.asarray(gather_cells(cells_dev, idx_d))
     t3 = _time.perf_counter()
+    global LAST_SPLIT
+    LAST_SPLIT = (t1 - t0, t2 - t1, t3 - t2)
     if TIMING:
         import sys as _sys
 
@@ -624,25 +630,34 @@ class DeviceTraceFill:
         )
         self.n_steps_max = int(planes.shape[1] + planes.shape[2])
         self._lp_end = None
+        self._lp_end_dev = None
+
+    def dispatch_lp_end(self) -> None:
+        """Enqueue the end gather on device without blocking; lp_end
+        reads the resulting scalar back later (level pipelining)."""
+        if self._lp_end is None and self._lp_end_dev is None:
+            from historian_tpu.ops.tracedp import end_lp_device
+
+            _, _, _, _, t6, xe_src, xe_lp, ye_src, ye_lp = self._walk_args
+            self._lp_end_dev = end_lp_device(
+                self.planes, t6, xe_src, xe_lp, ye_src, ye_lp
+            )
 
     @property
     def lp_end(self) -> float:
         """Host _finish_fill's end gather, computed on device (the engine
         needs it right after the fill for the band-doubling retry)."""
         if self._lp_end is None:
-            from historian_tpu.ops.tracedp import end_lp_device
-
-            _, _, _, _, t6, xe_src, xe_lp, ye_src, ye_lp = self._walk_args
-            v = float(end_lp_device(self.planes, t6, xe_src, xe_lp, ye_src, ye_lp))
+            self.dispatch_lp_end()
+            v = float(self._lp_end_dev)
+            self._lp_end_dev = None
             self._lp_end = -np.inf if v < NEG_CUTOFF else v
         return self._lp_end
 
-    def lp_end_and_traces(self, n_samples: int, include_best: bool, seed: int):
-        """Run include_best + n_samples walks in one dispatch.  Returns
-        (lp_end, traces) where traces is a list of (path, vals): path a
-        list of (i, j, s) cells START->END-SOURCE order (the END cell
-        itself is appended by the engine), vals the matching cell values.
-        The first trace is the best trace when include_best."""
+    def dispatch_traces(self, n_samples: int, include_best: bool, seed: int):
+        """Enqueue include_best + n_samples walks in one device dispatch;
+        returns the raw device tuple without blocking.  collect_traces
+        reads it back."""
         import jax
         import jax.numpy as jnp
 
@@ -654,10 +669,16 @@ class DeviceTraceFill:
         best = np.zeros(max(T, 1), bool)
         if include_best:
             best[0] = True
-        pi, pj, ps, vals, n_steps, lp_end = pair_trace_device(
+        return pair_trace_device(
             self.planes, *self._walk_args,
             u.astype(self.planes.dtype), jnp.asarray(best), self.n_steps_max,
         )
+
+    def collect_traces(self, raw, n_samples: int, include_best: bool):
+        """Read a dispatch_traces result back; returns the traces list
+        (see lp_end_and_traces) and caches lp_end as a side effect."""
+        T = n_samples + (1 if include_best else 0)
+        pi, pj, ps, vals, n_steps, lp_end = raw
         pi, pj, ps = np.asarray(pi), np.asarray(pj), np.asarray(ps)
         vals = np.array(vals, dtype=np.float64)
         vals[vals < NEG_CUTOFF] = -np.inf
@@ -665,13 +686,25 @@ class DeviceTraceFill:
         lp_end = float(lp_end)
         if lp_end < NEG_CUTOFF:
             lp_end = -np.inf
+        if self._lp_end is None:
+            self._lp_end = lp_end
         traces = []
         for t in range(T):
             n = int(n_steps[t])
             cells = [(int(pi[t, k]), int(pj[t, k]), int(ps[t, k])) for k in range(n)]
             cells.reverse()  # walker emits end->start
             traces.append((cells, vals[t, :n][::-1]))
-        return lp_end, traces
+        return traces
+
+    def lp_end_and_traces(self, n_samples: int, include_best: bool, seed: int):
+        """Run include_best + n_samples walks in one dispatch.  Returns
+        (lp_end, traces) where traces is a list of (path, vals): path a
+        list of (i, j, s) cells START->END-SOURCE order (the END cell
+        itself is appended by the engine), vals the matching cell values.
+        The first trace is the best trace when include_best."""
+        raw = self.dispatch_traces(n_samples, include_best, seed)
+        traces = self.collect_traces(raw, n_samples, include_best)
+        return self.lp_end, traces
 
     def readback(self) -> np.ndarray:
         """Full banded cell tensor [nx, ny, 5] (host layout), for

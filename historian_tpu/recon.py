@@ -499,117 +499,90 @@ class Reconstructor:
         prof: dict[int, Profile] = {}
         lp_final_fwd = -np.inf
         backward = None
-        for node in range(tree.n_nodes()):
-            if tree.is_leaf(node):
-                prof[node] = Profile.from_sequence(
-                    model.components, model.alphabet,
-                    dataset.seqs[dataset.node_to_seq_index[node]], node,
-                )
-                prof[node].name = tree.node_name(node)
-                continue
-            l_child, r_child = tree.children(node)
-            l_prof, r_prof = prof[l_child], prof[r_child]
-            l_probs = ProbModel(model, tree.branch_length(l_child))
-            r_probs = ProbModel(model, tree.branch_length(r_child))
-            hmm = PairHMM(l_probs, r_probs, model.ins_prob)
-            log_this_at(2, f"Aligning node #{l_child} ({l_prof.size} states) and node #{r_child} ({r_prof.size} states) to build profile for node #{node}")
 
-            max_dist = self.max_distance_from_guide
-            # when no full-band consumer (BackwardMatrix) will run on this
-            # node, the device fill may stay resident with tracebacks
-            # walked on device (ops/devicedp.trace_enabled)
-            want_backward = (
-                (
-                    self.accumulate_subst_counts
-                    or self.accumulate_indel_counts
-                    or self.dot_save_filename
-                )
-                and node == tree.root()
-            ) or (self.use_posteriors_for_profile and node != tree.root())
-            # Drop the previous merge's matrices BEFORE building the next
+        # ---- schedule: strict postorder on the host path; tree LEVELS
+        # on the device-resident path, so every level's fills, end
+        # gathers, and traceback walks are enqueued on device before any
+        # readback blocks (the §2.7 batch-parallel design: independent
+        # same-level merges overlap in the device queue and amortize the
+        # remote round trips that dominate small-merge wall time)
+        from historian_tpu.ops import devicedp
+
+        pipelined = devicedp.enabled() and devicedp.trace_enabled()
+        level = [0] * tree.n_nodes()
+        groups: list[list[int]] = []
+        if pipelined:
+            by_level: dict[int, list[int]] = {}
+            for node in range(tree.n_nodes()):
+                if tree.is_leaf(node):
+                    lv = 0
+                else:
+                    lv = 1 + max(level[c] for c in tree.children(node))
+                level[node] = lv
+                by_level.setdefault(lv, []).append(node)
+            groups = [by_level[lv] for lv in sorted(by_level)]
+        else:
+            groups = [[node] for node in range(tree.n_nodes())]
+
+        for group in groups:
+            # Drop the previous group's matrices BEFORE building the next
             # ForwardMatrix: backward holds forward, and a live previous
             # owner makes bufpool fall back to fresh (cold-page) storage.
-            forward = None
             backward = None
-            while True:
-                env = (
-                    GuideAlignmentEnvelope()
-                    if not dataset.guide or max_dist < 0
-                    else GuideAlignmentEnvelope(
-                        dataset.guide,
-                        dataset.closest_leaf[l_child],
-                        dataset.closest_leaf[r_child],
-                        max_dist,
-                    )
-                )
-                forward = ForwardMatrix(
-                    l_prof, r_prof, hmm, node, env, sumprod,
-                    defer_cells=not want_backward,
-                )
-                if forward.lp_end > -np.inf:
-                    break
-                # band-doubling retry (recon.cpp:954-975)
-                if max_dist < 0:
-                    raise RuntimeError(
-                        "zero forward likelihood even without guide constraints"
-                    )
-                if dataset.guide and max_dist * 2 > align_path_columns(dataset.guide):
-                    max_dist = -1
-                elif max_dist == 0:
-                    max_dist = 1
-                else:
-                    max_dist *= 2
+            fwd_of: dict[int, ForwardMatrix] = {}
+            want_bwd_of: dict[int, bool] = {}
 
-            backward = None
-            need_backward_root = (
-                (self.accumulate_subst_counts or self.accumulate_indel_counts or self.dot_save_filename)
-                and node == tree.root()
-            )
-            if need_backward_root or (self.use_posteriors_for_profile and node != tree.root()):
-                backward = BackwardMatrix(forward)
-
-            if node == tree.root():
-                if self.dot_save_filename:
-                    from historian_tpu.engine.seqgraph import SeqGraph
-
-                    dot_strategy = INCLUDE_BEST_TRACE | (
-                        KEEP_GAPS_OPEN if self.keep_dot_gaps_open else 0
+            # phase A: enqueue every merge fill in the group
+            for node in group:
+                if tree.is_leaf(node):
+                    prof[node] = Profile.from_sequence(
+                        model.components, model.alphabet,
+                        dataset.seqs[dataset.node_to_seq_index[node]], node,
                     )
-                    dot_prof = (
-                        backward.post_prob_profile(self.min_dot_post_prob, 0, dot_strategy)
-                        if self.use_posteriors_for_dot
-                        else backward.best_profile(dot_strategy)
-                    )
-                    min_sub = (
-                        self.min_dot_sub_post_prob
-                        if self.use_separate_sub_posteriors_for_dot
-                        else (self.min_dot_post_prob if self.use_posteriors_for_dot else self.min_post_prob)
-                    )
-                    with np.errstate(divide="ignore"):
-                        graph = SeqGraph.from_profile(
-                            dot_prof, model.alphabet.symbols,
-                            np.log(model.cpt_weight), np.log(model.ins_prob),
-                            min_sub,
-                        )
-                    with open(self.dot_save_filename, "w") as f:
-                        f.write(graph.simplify().to_dot())
-                if self.reconstruct_root:
-                    path = forward.best_align_path()
-                    prof[node] = forward.best_profile()
-                lp_final_fwd = forward.lp_end
-                if self.accumulate_subst_counts or self.accumulate_indel_counts:
-                    dataset.eigen_counts = backward.get_counts()
-            elif self.use_posteriors_for_profile:
-                prof[node] = backward.post_prob_profile(
-                    self.min_post_prob, self.max_profile_states(), strategy
+                    prof[node].name = tree.node_name(node)
+                    continue
+                fwd_of[node], want_bwd_of[node] = self._merge_forward(
+                    dataset, tree, model, sumprod, prof, node, block=False
                 )
-            else:
-                prof[node] = forward.sample_profile(
-                    self.generator, self.profile_samples, self.max_profile_states(), strategy
+
+            # phase B: end gathers (band-doubling retries rebuild inline)
+            for node in group:
+                if node not in fwd_of:
+                    continue
+                fwd_of[node].dispatch_lp_end()
+            for node in group:
+                if node not in fwd_of:
+                    continue
+                if not (fwd_of[node].lp_end > -np.inf):
+                    fwd_of[node], want_bwd_of[node] = self._merge_forward(
+                        dataset, tree, model, sumprod, prof, node, block=True,
+                        first=fwd_of[node],
+                    )
+
+            # phase C: enqueue every traceback walk (one mt19937 draw per
+            # merge, consumed here in group order -- deterministic per seed)
+            if not self.use_posteriors_for_profile:
+                for node in group:
+                    fwd = fwd_of.get(node)
+                    if fwd is None or node == tree.root():
+                        continue
+                    fwd.prefetch_traces(
+                        self.profile_samples,
+                        bool(strategy & INCLUDE_BEST_TRACE),
+                        self.generator,
+                    )
+
+            # phase D: read back, build profiles, free children
+            for node in group:
+                if node not in fwd_of:
+                    continue
+                forward, want_backward = fwd_of.pop(node), want_bwd_of[node]
+                lp_final_fwd, backward, new_path = self._merge_profile(
+                    dataset, tree, model, strategy, prof, node,
+                    forward, want_backward, lp_final_fwd,
                 )
-            # free children
-            prof.pop(l_child, None)
-            prof.pop(r_child, None)
+                if new_path is not None:
+                    path = new_path
 
         log_this_at(2, f"Final Forward log-likelihood is {lp_final_fwd}")
 
@@ -623,6 +596,130 @@ class Reconstructor:
             self.data_counts += dataset.eigen_counts.transform(model)
         elif self.accumulate_indel_counts:
             self.data_counts.indel += dataset.eigen_counts.indel
+
+    def _merge_forward(self, dataset, tree, model, sumprod, prof, node,
+                       block: bool, first=None):
+        """Build one internal node's ForwardMatrix.  block=False returns
+        after the (possibly async, device-resident) fill is enqueued;
+        block=True runs the band-doubling retry loop to a finite lp_end
+        (recon.cpp:954-975).  `first` is a zero-likelihood matrix from a
+        non-blocking attempt, so the retry starts at the doubled band."""
+        from historian_tpu.core.alignpath import GuideAlignmentEnvelope
+
+        l_child, r_child = tree.children(node)
+        l_prof, r_prof = prof[l_child], prof[r_child]
+        l_probs = ProbModel(model, tree.branch_length(l_child))
+        r_probs = ProbModel(model, tree.branch_length(r_child))
+        hmm = PairHMM(l_probs, r_probs, model.ins_prob)
+        log_this_at(2, f"Aligning node #{l_child} ({l_prof.size} states) and node #{r_child} ({r_prof.size} states) to build profile for node #{node}")
+
+        max_dist = self.max_distance_from_guide
+        # when no full-band consumer (BackwardMatrix) will run on this
+        # node, the device fill may stay resident with tracebacks
+        # walked on device (ops/devicedp.trace_enabled)
+        want_backward = (
+            (
+                self.accumulate_subst_counts
+                or self.accumulate_indel_counts
+                or self.dot_save_filename
+            )
+            and node == tree.root()
+        ) or (self.use_posteriors_for_profile and node != tree.root())
+        if first is not None:
+            # resume the retry ladder above the band that just failed
+            if dataset.guide and max_dist * 2 > align_path_columns(dataset.guide):
+                max_dist = -1
+            elif max_dist == 0:
+                max_dist = 1
+            else:
+                max_dist *= 2
+            first = None
+        while True:
+            env = (
+                GuideAlignmentEnvelope()
+                if not dataset.guide or max_dist < 0
+                else GuideAlignmentEnvelope(
+                    dataset.guide,
+                    dataset.closest_leaf[l_child],
+                    dataset.closest_leaf[r_child],
+                    max_dist,
+                )
+            )
+            forward = ForwardMatrix(
+                l_prof, r_prof, hmm, node, env, sumprod,
+                defer_cells=not want_backward,
+            )
+            if not block:
+                return forward, want_backward
+            if forward.lp_end > -np.inf:
+                return forward, want_backward
+            # band-doubling retry (recon.cpp:954-975)
+            if max_dist < 0:
+                raise RuntimeError(
+                    "zero forward likelihood even without guide constraints"
+                )
+            if dataset.guide and max_dist * 2 > align_path_columns(dataset.guide):
+                max_dist = -1
+            elif max_dist == 0:
+                max_dist = 1
+            else:
+                max_dist *= 2
+            forward = None
+
+    def _merge_profile(self, dataset, tree, model, strategy, prof,
+                       node, forward, want_backward, lp_final_fwd):
+        """Consume one finished merge: backward pass if needed, profile
+        construction, child cleanup.  Returns (lp_final_fwd, backward,
+        root_align_path_or_None)."""
+        l_child, r_child = tree.children(node)
+        new_path = None
+        backward = None
+        if want_backward:
+            backward = BackwardMatrix(forward)
+
+        if node == tree.root():
+            if self.dot_save_filename:
+                from historian_tpu.engine.seqgraph import SeqGraph
+
+                dot_strategy = INCLUDE_BEST_TRACE | (
+                    KEEP_GAPS_OPEN if self.keep_dot_gaps_open else 0
+                )
+                dot_prof = (
+                    backward.post_prob_profile(self.min_dot_post_prob, 0, dot_strategy)
+                    if self.use_posteriors_for_dot
+                    else backward.best_profile(dot_strategy)
+                )
+                min_sub = (
+                    self.min_dot_sub_post_prob
+                    if self.use_separate_sub_posteriors_for_dot
+                    else (self.min_dot_post_prob if self.use_posteriors_for_dot else self.min_post_prob)
+                )
+                with np.errstate(divide="ignore"):
+                    graph = SeqGraph.from_profile(
+                        dot_prof, model.alphabet.symbols,
+                        np.log(model.cpt_weight), np.log(model.ins_prob),
+                        min_sub,
+                    )
+                with open(self.dot_save_filename, "w") as f:
+                    f.write(graph.simplify().to_dot())
+            if self.reconstruct_root:
+                new_path = forward.best_align_path()
+                prof[node] = forward.best_profile()
+            lp_final_fwd = forward.lp_end
+            if self.accumulate_subst_counts or self.accumulate_indel_counts:
+                dataset.eigen_counts = backward.get_counts()
+        elif self.use_posteriors_for_profile:
+            prof[node] = backward.post_prob_profile(
+                self.min_post_prob, self.max_profile_states(), strategy
+            )
+        else:
+            prof[node] = forward.sample_profile(
+                self.generator, self.profile_samples, self.max_profile_states(), strategy
+            )
+        # free children
+        prof.pop(l_child, None)
+        prof.pop(r_child, None)
+        return lp_final_fwd, backward, new_path
 
     def reconstruct_all(self) -> None:
         if not self.datasets:

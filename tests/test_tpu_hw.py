@@ -160,3 +160,122 @@ print('BAND-IO-OK')
 """
     )
     assert "BAND-IO-OK" in out
+
+
+def test_pallas_col_ring_boundary_on_tpu():
+    """The default-on pallas column kernel COMPILED on real TPU, at the
+    VMEM-ring look-back boundary: in-edge distances of exactly RING-1
+    (the longest the route admits) on a grid taller than the ring, so
+    every gather wraps the scratch ring.  Compared against the compiled
+    XLA column kernel on identical inputs (the routing gate in
+    ops/devicedp.py admits maxdist <= RING-1 only)."""
+    out = _run_on_tpu(
+        """
+import numpy as np, jax.numpy as jnp
+from historian_tpu.ops.colforward import col_pair_forward_cells
+from historian_tpu.ops.pallas_colforward import (
+    RING, pallas_col_forward_cells)
+NEG = np.float32(-1e30)
+SX, SY, KY = 256, 512, 4
+assert SY > RING  # ring must wrap
+rng = np.random.default_rng(23)
+for maxdist in (RING - 1, 63):
+    absorb_t = rng.normal(-5, 1, (SY, SX)).astype(np.float32)
+    rsx = rng.normal(-2, 1, SX).astype(np.float32)
+    isx = rng.normal(-2, 1, SX).astype(np.float32)
+    rsy = rng.normal(-2, 1, SY).astype(np.float32)
+    isy = rng.normal(-2, 1, SY).astype(np.float32)
+    mask = np.ones((SY, SX), bool)
+    trans = rng.normal(-1, 0.5, 23).astype(np.float32)
+    x_ready = np.ones(SX, bool)
+    x_eos = np.ones(SX, bool)
+    # chain edge + one edge at EXACTLY maxdist for every eligible row
+    y_src = np.zeros((SY, KY), np.int32)
+    y_lp = np.full((SY, KY), NEG, np.float32)
+    y_src[:, 0] = np.maximum(np.arange(SY) - 1, 0)
+    y_lp[:, 0] = rng.normal(-1, 0.5, SY)
+    far = np.arange(SY) >= maxdist
+    y_src[far, 1] = np.arange(SY)[far] - maxdist
+    y_lp[far, 1] = rng.normal(-2, 0.5, far.sum())
+    y_null = np.zeros(SY, bool)
+    y_null[rng.choice(np.arange(1, SY), 20, replace=False)] = True
+    y_ready = np.ones(SY, bool); y_ready[0] = False
+    ref = np.asarray(col_pair_forward_cells(
+        jnp.asarray(absorb_t), jnp.asarray(rsx), jnp.asarray(isx),
+        jnp.asarray(rsy), jnp.asarray(isy), jnp.asarray(mask),
+        jnp.asarray(trans), jnp.asarray(x_ready), jnp.asarray(x_eos),
+        jnp.asarray(y_src), jnp.asarray(y_lp),
+        jnp.asarray(y_null), jnp.asarray(y_ready)))
+    y_flags = np.zeros((SY, 4), np.float32)
+    y_flags[:, 0] = y_null; y_flags[:, 1] = y_ready
+    y_flags[:, 2] = rsy; y_flags[:, 3] = isy
+    xvec = np.stack([rsx, isx,
+                     np.where(x_ready, 0.0, NEG).astype(np.float32),
+                     np.where(x_eos, 0.0, NEG).astype(np.float32)])
+    maskg = np.where(mask, 0.0, NEG).astype(np.float32)
+    planes = np.asarray(pallas_col_forward_cells(
+        jnp.asarray(y_src), jnp.asarray(y_lp), jnp.asarray(y_flags),
+        jnp.asarray(absorb_t), jnp.asarray(maskg), jnp.asarray(xvec),
+        jnp.asarray(trans)))
+    got = np.moveaxis(planes, 0, -1)
+    live = ref > -1e25
+    assert np.all((got > -1e25) == live), maxdist
+    np.testing.assert_allclose(got[live], ref[live], rtol=2e-5, atol=2e-3)
+    print('RING-OK', maxdist, float(np.abs(got[live] - ref[live]).max()))
+"""
+    )
+    assert out.count("RING-OK") == 2
+
+
+def test_device_trace_fill_on_tpu():
+    """The device-resident merge path (`-platform tpu` recon default):
+    col-route fill kept on device + tracebacks walked on device
+    (ops/tracedp).  lp_end and the BEST trace must match the host f64
+    walk; sampled traces must be structurally valid paths whose cell
+    values match the host fill."""
+    out = _run_on_tpu(
+        """
+import numpy as np, os
+from historian_tpu.core.seqs import read_fasta
+from historian_tpu.engine.forward import ForwardMatrix
+from historian_tpu.engine.pairhmm import PairHMM
+from historian_tpu.engine.profile import Profile
+from historian_tpu.models.ratemodel import ProbModel, RateModel
+from historian_tpu.utils.rng import MT19937
+model = RateModel.from_file('/root/reference/data/testamino.json')
+seqs = read_fasta('/root/reference/data/gp120.fa')[:3]
+for s in seqs: s.seq = s.seq[:150]
+profs = [Profile.from_sequence(model.components, model.alphabet, s, i)
+         for i, s in enumerate(seqs)]
+hmm = PairHMM(ProbModel(model, .6), ProbModel(model, .4), model.ins_prob)
+os.environ['HISTORIAN_DEVICE_DP'] = '0'
+os.environ['HISTORIAN_DEVICE_TRACE'] = '0'
+host01 = ForwardMatrix(profs[0], profs[1], hmm, 3)
+p01 = host01.sample_profile(MT19937(5489), 10, 0)
+hmm2 = PairHMM(ProbModel(model, .3), ProbModel(model, .7), model.ins_prob)
+host = ForwardMatrix(profs[2], p01, hmm2, 4)
+os.environ['HISTORIAN_DEVICE_DP'] = '1'
+os.environ['HISTORIAN_DEVICE_TRACE'] = '1'
+dev = ForwardMatrix(profs[2], p01, hmm2, 4, defer_cells=True)
+assert dev._trace_handle is not None, 'col route did not stay resident'
+assert abs(dev.lp_end - host.lp_end) < 1e-3 * max(1, abs(host.lp_end)), (
+    dev.lp_end, host.lp_end)
+paths = [dev._device_best_path()] + dev._device_traces(4, False, MT19937(11))
+hc = host.cells
+for path in paths:
+    assert path[0][:2] == (0, 0) and path[-1] == dev.end_cell, path[:2]
+    # every step a legal traceback candidate of the host DP, every
+    # visited cell reachable in the host f64 fill, recorded values
+    # within f32 tolerance of the host cells (an f32 device fill may
+    # legitimately pick a different BEST path at near-ties, so the
+    # assertion is validity + value agreement, not path identity)
+    for a, b in zip(path[:-1], path[1:]):
+        assert a in host.source_transitions_without_emit_or_absorb(b), (a, b)
+    for c in path[:-1]:
+        assert np.isfinite(hc[c[0], c[1], c[2]]), c
+        assert abs(dev._trace_values[c] - hc[c[0], c[1], c[2]]) < 1e-3 * max(
+            1, abs(hc[c[0], c[1], c[2]])), c
+print('TRACE-OK', float(dev.lp_end), len(paths))
+"""
+    )
+    assert "TRACE-OK" in out
