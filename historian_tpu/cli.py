@@ -98,7 +98,8 @@ Counts / EM:
 
 Misc:
   -seed <n>       mt19937 seed            -platform cpu|tpu  JAX backend
-  -mesh <n>       shard count/fit E-steps over an n-device mesh (psum reduce)
+  -mesh <n|DxE>   shard count/fit E-steps over a device mesh (psum reduce);
+                  DxE also shards mixture components over an ep axis
   -profile <dir>  write a jax.profiler trace of the run
   -v .. -v9, -log <tag>, -nocolor         logging
   -abort          raw tracebacks on errors
@@ -315,7 +316,7 @@ def _parse_common(recon: Reconstructor, argvec: deque) -> bool:
     elif arg == "-mesh":
         from historian_tpu.parallel.pcounts import set_mesh
 
-        set_mesh(int(take()))
+        set_mesh(take())
     elif arg == "-seed":
         recon.rnd_seed = int(take())
         recon.seed_generator()
@@ -377,7 +378,7 @@ def main(argv: list[str] | None = None) -> int:
     if os.environ.get("HISTORIAN_MESH"):
         from historian_tpu.parallel.pcounts import set_mesh
 
-        set_mesh(int(os.environ["HISTORIAN_MESH"]))
+        set_mesh(os.environ["HISTORIAN_MESH"])
     argv = logger.parse_args(argv)
     if not argv:
         sys.stderr.write(BRIEF)

@@ -28,16 +28,36 @@ from historian_tpu.models.counts import EigenCounts, EventCounts
 _ACTIVE_MESH: Mesh | None = None
 
 
-def set_mesh(n_devices: int) -> Mesh:
-    """Build and activate a dp mesh over the first n devices."""
+def set_mesh(spec) -> Mesh:
+    """Build and activate the count/fit mesh over the first devices.
+
+    spec is an int ("-mesh 8": dp only) or "DxE" ("-mesh 4x2": a (dp, ep)
+    mesh -- alignment columns shard over dp, mixture/gamma components
+    over ep; the model's component count must be divisible by E)."""
     global _ACTIVE_MESH
     devices = jax.devices()
-    if n_devices > len(devices):
+    dp, ep = (int(spec), 1) if not (isinstance(spec, str) and "x" in spec) else (
+        int(spec.split("x")[0]), int(spec.split("x")[1])
+    )
+    if dp * ep > len(devices):
         raise ValueError(
-            f"-mesh {n_devices} requested but only {len(devices)} devices are visible"
+            f"-mesh {spec} requests {dp * ep} devices but only {len(devices)} are visible"
         )
-    _ACTIVE_MESH = Mesh(np.array(devices[:n_devices]), ("dp",))
+    if ep > 1:
+        _ACTIVE_MESH = Mesh(
+            np.array(devices[: dp * ep]).reshape(dp, ep), ("dp", "ep")
+        )
+    else:
+        _ACTIVE_MESH = Mesh(np.array(devices[:dp]), ("dp",))
     return _ACTIVE_MESH
+
+
+def _mesh_dp(mesh: Mesh) -> int:
+    return mesh.shape["dp"] if "dp" in mesh.axis_names else mesh.devices.size
+
+
+def _mesh_ep(mesh: Mesh) -> int:
+    return mesh.shape["ep"] if "ep" in mesh.axis_names else 1
 
 
 def clear_mesh() -> None:
@@ -64,28 +84,44 @@ def _sharded_count_step(
 ):
     """One fused multi-device E-step over an alignment: each dp shard
     fills its column block (up + down passes) and contracts its
-    eigencount partials; a psum inside the jit reduces them.  Returns
-    replicated (root [C, A], eigen_r, eigen_i [C, A, A], logLik)."""
+    eigencount partials; a psum inside the jit reduces them.  On a 2-D
+    (dp, ep) mesh the mixture/gamma component axis C additionally shards
+    over ep -- the per-component fills are independent, and the single
+    cross-component coupling (col_ll = logsumexp_c(lcw + cpt_ll)) becomes
+    a pmax + psum over the ep axis.  Returns (root [C, A], eigen_r,
+    eigen_i [C, A, A], logLik), replicated over dp and gathered over ep."""
     from historian_tpu.ops.felsenstein import (
         _eigen_counts_core_cplx,
         _fill_down_batch,
         _fill_up_batch_tokens,
     )
 
-    def shard(tokens_s):
-        (F, logF, E, logE, _cpt_ll, col_ll), is_gap = _fill_up_batch_tokens(
-            tokens_s, parent, left, right, sub, ins, lcw, n_nodes, alphabet_size
+    has_ep = "ep" in mesh.axis_names and mesh.shape["ep"] > 1
+
+    def shard(tokens_s, sub_s, ins_s, lcw_s, evr_s, evi_s, eir_s, eii_s, jr_s, ji_s):
+        (F, logF, E, logE, cpt_ll, col_ll), is_gap = _fill_up_batch_tokens(
+            tokens_s, parent, left, right, sub_s, ins_s, lcw_s, n_nodes, alphabet_size
         )
-        G, logG = _fill_down_batch(E, logE, is_gap, parent, sibling, sub, ins, n_nodes)
+        if has_ep:
+            # the local fill normalized over this shard's components only;
+            # rebuild the global column likelihood across the ep axis
+            scores = lcw_s[None, :] + cpt_ll  # [L, C_local]
+            lmax = jnp.max(scores, axis=1)
+            gmax = jax.lax.pmax(lmax, "ep")
+            sums = jax.lax.psum(
+                jnp.sum(jnp.exp(scores - gmax[:, None]), axis=1), "ep"
+            )
+            col_ll = jnp.where(jnp.all(is_gap, axis=1), 0.0, gmax + jnp.log(sums))
+        G, logG = _fill_down_batch(E, logE, is_gap, parent, sibling, sub_s, ins_s, n_nodes)
         parent_safe = jnp.maximum(parent, 0)
         sib_safe = jnp.maximum(sibling, 0)
         has_parent = parent >= 0
         gap_parent = jnp.where(has_parent[None, :], is_gap[:, parent_safe], True)
         mask = (~is_gap) & has_parent[None, :] & ~gap_parent  # branch-count sites
-        w_col = jnp.ones(tokens_s.shape[1], sub.dtype)
+        w_col = jnp.ones(tokens_s.shape[1], sub_s.dtype)
         eig_r, eig_i = _eigen_counts_core_cplx(
             F, logF, E, logE, G, logG, col_ll, parent_safe, sib_safe,
-            mask, w_col, lcw, evr, evi, eir, eii, jr, ji,
+            mask, w_col, lcw_s, evr_s, evi_s, eir_s, eii_s, jr_s, ji_s,
         )
         # root counts (sumprod.cpp:264-271): every ungapped node whose
         # parent is gapped/absent contributes insProb * F * exp(lcw +
@@ -93,22 +129,28 @@ def _sharded_count_step(
         is_root = (~is_gap) & gap_parent  # [L, N]
         norm = jnp.where(
             is_root[:, :, None],
-            jnp.exp(lcw[None, None, :] + logF - col_ll[:, None, None]),
+            jnp.exp(lcw_s[None, None, :] + logF - col_ll[:, None, None]),
             0.0,
-        )  # [L, N, C]
-        root = jnp.einsum("lnc,ci,lnci->ci", norm, ins, F)
+        )  # [L, N, C_local]
+        root = jnp.einsum("lnc,ci,lnci->ci", norm, ins_s, F)
         lp = jnp.sum(col_ll)
         return jax.lax.psum((root, eig_r, eig_i, lp), "dp")
 
+    ep = "ep" if has_ep else None
     # check_vma=False: the fill's lax.scan seeds its carry with replicated
     # constants while the scanned tokens vary over dp, which the static
     # varying-axes checker rejects; the computation itself is per-shard
     return jax.shard_map(
         shard, mesh=mesh,
-        in_specs=P(None, "dp"),
-        out_specs=(P(), P(), P(), P()),
+        in_specs=(
+            P(None, "dp"),          # tokens: columns over dp
+            P(None, ep), P(ep), P(ep),   # sub, ins, lcw: components over ep
+            P(ep), P(ep), P(ep), P(ep),  # evr, evi, eir, eii
+            P(None, ep), P(None, ep),    # jr, ji
+        ),
+        out_specs=(P(ep), P(ep), P(ep), P()),
         check_vma=False,
-    )(tokens)
+    )(tokens, sub, ins, lcw, evr, evi, eir, eii, jr, ji)
 
 
 def sharded_alignment_eigen_counts(model, tree, gapped_rows: list[str], mesh: Mesh, weight: float = 1.0) -> EigenCounts:
@@ -123,7 +165,13 @@ def sharded_alignment_eigen_counts(model, tree, gapped_rows: list[str], mesh: Me
     engine = SumProductEngine(model, tree)
     arr = engine.arrays
     tokens = tokenize_alignment(model.alphabet, gapped_rows)  # [N, L]
-    n_dp = mesh.devices.size
+    n_ep = _mesh_ep(mesh)
+    if model.components % n_ep:
+        raise ValueError(
+            f"-mesh ep={n_ep} requires the model's component count "
+            f"({model.components}) to be divisible by it"
+        )
+    n_dp = _mesh_dp(mesh)
     pad = (-tokens.shape[1]) % n_dp
     if pad:
         tokens = np.concatenate(
@@ -194,7 +242,7 @@ def psum_counts(shard_counts: list[EventCounts], alphabet, mesh: Mesh | None = N
         for c in shard_counts[1:]:
             total += c
         return total
-    n_dp = mesh.devices.size
+    n_dp = _mesh_dp(mesh)
     if len(shard_counts) > n_dp:
         # fold the tail onto the first shards so one psum suffices
         folded = [c.copy() for c in shard_counts[:n_dp]]

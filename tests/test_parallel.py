@@ -90,6 +90,39 @@ def test_shard_map_counts_mixture_model(ref_data):
     assert abs(dev.indel.lp - host.indel.lp) < 1e-9
 
 
+@pytest.mark.parametrize("spec", ["4x2", "2x2", "1x2"])
+def test_shard_map_counts_ep_mesh(ref_data, spec):
+    """2-D (dp, ep) mesh: mixture components shard over the ep axis (the
+    production ep path, SURVEY section 2.7) -- the per-component fills are
+    independent and the column-likelihood logsumexp becomes a pmax+psum,
+    so results must match the host oracle bit-for-bit up to reassociation."""
+    from historian_tpu.parallel.pcounts import set_mesh, clear_mesh
+
+    model, tree, rows = load_mix2(ref_data)
+    host = column_sharded_eigen_counts(model, tree, rows, 1)
+    try:
+        mesh = set_mesh(spec)
+        dev = sharded_alignment_eigen_counts(model, tree, rows, mesh)
+    finally:
+        clear_mesh()
+    np.testing.assert_allclose(dev.root_count, host.root_count, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(dev.eigen_count, host.eigen_count, rtol=1e-9, atol=1e-12)
+    assert abs(dev.indel.lp - host.indel.lp) < 1e-9
+
+
+def test_ep_mesh_rejects_indivisible_components(ref_data):
+    """A 2-component model cannot shard over ep=3."""
+    from historian_tpu.parallel.pcounts import set_mesh, clear_mesh
+
+    model, tree, rows = load_mix2(ref_data)
+    try:
+        mesh = set_mesh("2x3")
+        with pytest.raises(ValueError, match="divisible"):
+            sharded_alignment_eigen_counts(model, tree, rows, mesh)
+    finally:
+        clear_mesh()
+
+
 def test_cli_count_mesh_matches_reference_golden(ref_data, tmp_path, monkeypatch):
     """`count -mesh 8` produces the same counts JSON as the meshless run
     (which is golden-tested against the reference's testcount.out.json)."""

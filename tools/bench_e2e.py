@@ -38,8 +38,7 @@ WORKLOADS = {
     "recon_gp120_fast": ["recon", "-fast", f"{REF}/data/gp120.fa"],
     "count_gp120": [
         "count", "-model", f"{REF}/doc/sim/gp120.json",
-        "-recon", f"{REF}/doc/sim/gp120.recon.fa",
-        "-tree", f"{REF}/data/gp120.tree.nh",
+        "-stockrecon", f"{REF}/doc/sim/gp120.recon.fa",
     ],
 }
 
