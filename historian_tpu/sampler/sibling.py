@@ -95,11 +95,25 @@ class SiblingMatrix:
         mask[0, :] = mask[:, 0] = mask[-1, :] = mask[:, -1] = True
         self.mask = mask
 
-        # match emission matrix [X, Y] (1-based positions)
+        # match emission matrix [X, Y] (1-based positions):
+        # lse_{c,a}(logRoot[c,a] + lSub[x,c,a] + rSub[y,c,a]), evaluated as
+        # an exp-shifted matmul (BLAS / MXU work) instead of a logsumexp
+        # over the full [L, R, C, A] tensor -- the L x R pair axes never
+        # materialize, and the inner product rides dgemm.  Equal to the
+        # tensor logsumexp up to summation reassociation.
         self.match_emit = np.full((self.x_size, self.y_size), NEG)
         if len(l_pwm) and len(r_pwm):
-            combined = self.log_root[None, None, :, :] + self.l_sub[:, None] + self.r_sub[None, :]
-            self.match_emit[1:, 1:] = logsumexp_nd(combined, axis=(2, 3))
+            z = self.log_root[None, :, :] + self.l_sub  # [L, C, A]
+            mx = z.max(axis=(1, 2), keepdims=True)
+            my = self.r_sub.max(axis=(1, 2), keepdims=True)
+            sx = np.where(np.isfinite(mx), mx, 0.0)
+            sy = np.where(np.isfinite(my), my, 0.0)
+            ex = np.exp(z - sx).reshape(len(l_pwm), -1)
+            ey = np.exp(self.r_sub - sy).reshape(len(r_pwm), -1)
+            with np.errstate(divide="ignore"):
+                self.match_emit[1:, 1:] = (
+                    np.log(ex @ ey.T) + sx[:, 0, 0][:, None] + sy[:, 0, 0][None, :]
+                )
 
         self._t_raw: dict | None = None
         self._init_transitions()

@@ -660,9 +660,12 @@ extern "C" void sibling_fill(
   #define C(x, y) (&cells[(((x) * sy) + (y)) * sib::NST])
   C(0, 0)[sib::IMM] = 0.0;
   C(0, 0)[sib::WWW] = T(sib::IMM, sib::WWW);
-  for (int64_t x = 0; x < sx; ++x) {
-    for (int64_t y = 0; y < sy; ++y) {
-      if (!mask[x * sy + y]) continue;
+  // cell (x,y) reads only (x-1,y), (x,y-1), (x-1,y-1): cells on one
+  // anti-diagonal are independent, so the fill runs wavefront-parallel.
+  // Each cell's arithmetic is unchanged, so the result stays bit-exact
+  // with the sequential (and python) fill.
+  auto sib_cell = [&](int64_t x, int64_t y) {
+      if (!mask[x * sy + y]) return;
       double* dest = C(x, y);
       if (x > 0 && mask[(x - 1) * sy + y]) {
         const double* l_src = C(x - 1, y);
@@ -710,7 +713,14 @@ extern "C" void sibling_fill(
                              dest[sib::WXW] + T(sib::WXW, sib::IDD)};
         dest[sib::IDD] = sib::lse_list(v, 3);
       }
-    }
+  };
+  const int64_t wmax = (sx - 1) + (sy - 1);
+  for (int64_t w = 0; w <= wmax; ++w) {
+    const int64_t x_lo = w > sy - 1 ? w - (sy - 1) : 0;
+    const int64_t x_hi = w < sx - 1 ? w : sx - 1;
+    const int64_t n = x_hi - x_lo + 1;
+    #pragma omp parallel for schedule(static) if (n > 128)
+    for (int64_t x = x_lo; x <= x_hi; ++x) sib_cell(x, w - x);
   }
   const double* end = C(sx - 1, sy - 1);
   const double v[4] = {end[sib::IDD] + T(sib::IDD, sib::EEE), end[sib::WWW] + T(sib::WWW, sib::EEE),
