@@ -414,6 +414,14 @@ class ForwardMatrix(DPMatrix):
 
         if not devicedp.enabled():
             return False
+        min_cells = devicedp.min_device_cells()
+        if min_cells and int(np.count_nonzero(self.env_mask)) * 5 < min_cells:
+            # latency-aware routing: this merge's band is too small to
+            # out-compute the per-merge dispatch overhead of the attached
+            # accelerator (remote tunnels: ~1s/merge) -- the host OpenMP
+            # wavefront fill wins, so keep it there.  Large merges (long
+            # sequences, wide bands) still go to the device.
+            return False
         t0 = time.perf_counter() if devicedp.TIMING else 0.0
         if self._defer_cells and devicedp.trace_enabled() and self.sumprod is None:
             handle = devicedp.col_forward_device(self)

@@ -96,7 +96,32 @@ class QuickAligner:
         import jax
 
         if device_guide_enabled():
-            return self._align_batch_device(jobs, progress)
+            from historian_tpu.ops import devicedp
+
+            # latency-aware routing (same rule as the merge fills,
+            # devicedp.min_device_cells): the guide stage batches into a
+            # handful of dispatches, so its TOTAL banded 3-state work must
+            # out-compute the per-dispatch overhead of the attached
+            # accelerator; below that the same vectorized fill runs on the
+            # in-process CPU backend (small_work_device) with no tunnel
+            def _band_cells(x, y, env):
+                if env is not None and getattr(env, "diagonals", None) is not None:
+                    return len(env.diagonals) * min(len(x.seq), len(y.seq))
+                return len(x.seq) * len(y.seq)
+
+            total_cells = 3 * sum(_band_cells(x, y, env) for x, y, env in jobs)
+            if total_cells >= devicedp.min_device_cells():
+                return self._align_batch_device(jobs, progress)
+            with devicedp.small_work_device():
+                return self._align_batch_host_backend(jobs, force_batch, progress)
+        return self._align_batch_host_backend(jobs, force_batch, progress)
+
+    def _align_batch_host_backend(self, jobs, force_batch: bool = False, progress=None):
+        """The bucket-vmapped fill on whatever device placement is
+        current (in-process CPU under small_work_device; the default
+        backend otherwise)."""
+        import jax
+
         results = [QuickAlignResult(self, x, y, env, defer_fill=True) for x, y, env in jobs]
         if jax.default_backend() == "cpu" and not force_batch:
             # serial backend: batching only adds vmap-compile cost

@@ -365,9 +365,18 @@ class RateModel:
         dist = np.zeros((n, n))
         if use_device and n > 2:
             try:
+                from historian_tpu.ops import devicedp
                 from historian_tpu.ops.distance import batched_ml_distances
 
-                return batched_ml_distances(self, gapped_seqs, max_iterations)
+                # latency-aware placement: the all-pairs grid solve is a
+                # single small dispatch (pairs x grid x A^2 flops); below
+                # the remote-dispatch threshold it runs the same XLA code
+                # on the in-process CPU backend (devicedp.small_work_device)
+                work = (n * (n - 1) // 2) * 96 * self.alphabet_size ** 2
+                if work >= devicedp.min_device_cells():
+                    return batched_ml_distances(self, gapped_seqs, max_iterations)
+                with devicedp.small_work_device():
+                    return batched_ml_distances(self, gapped_seqs, max_iterations)
             except Exception:
                 pass
         for i in range(n):

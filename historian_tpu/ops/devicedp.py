@@ -55,6 +55,88 @@ def enabled() -> bool:
     return accel
 
 
+_DISPATCH_OVERHEAD: float | None = None
+
+#: host OpenMP fill throughput, state-cells/s (measured: BENCH_r02
+#: production baseline 3.65e7; wavefront fills since measure up to 8e7 --
+#: the conservative end keeps borderline merges on the device only when
+#: they clearly win)
+HOST_FILL_RATE = 4e7
+#: effective round trips a device merge pays beyond the raw dispatch:
+#: absorb upload, fill dispatch, lp_end gather, trace walk, visited-cell
+#: readback, plus executable-load amortization (measured ~1s per col
+#: merge against a ~40ms raw RPC through the tunnel)
+MERGE_ROUND_TRIPS = 25
+
+
+def dispatch_overhead_s() -> float:
+    """Measured host->device->host transfer round trip on the default
+    backend (run once per process, cached).  Distinguishes a locally
+    attached accelerator (~100us) from a remote-tunnel one (tens of ms),
+    so routing thresholds adapt to the actual topology instead of
+    assuming one.  Deliberately COMPILE-FREE: pure device_put/readback --
+    a jitted probe would itself sit in the remote compile queue (measured
+    minutes in bad weather), the very cost the probe exists to detect."""
+    global _DISPATCH_OVERHEAD
+    if _DISPATCH_OVERHEAD is None:
+        import time
+
+        import jax
+
+        buf = np.zeros(64, np.float32)
+        np.asarray(jax.device_put(buf))  # connection warm-up
+        t0 = time.perf_counter()
+        for _ in range(3):
+            np.asarray(jax.device_put(buf))
+        _DISPATCH_OVERHEAD = (time.perf_counter() - t0) / 3
+    return _DISPATCH_OVERHEAD
+
+
+def min_device_cells() -> int:
+    """Band state-cell count below which a merge fill stays on the host.
+
+    The device route pays a fixed per-merge overhead (RPC latency,
+    band transfer, executable load -- ~1s steady-state through the
+    remote tunnel, ~sub-ms on a locally attached chip), while the host
+    OpenMP wavefront fill streams at HOST_FILL_RATE.  Auto mode routes a
+    merge to the accelerator only when its band out-computes that
+    overhead; HISTORIAN_DEVICE_MIN_CELLS overrides, HISTORIAN_DEVICE_DP=1
+    forces every merge onto the device (tests, benches)."""
+    env = os.environ.get("HISTORIAN_DEVICE_MIN_CELLS")
+    if env is not None:
+        return int(float(env))
+    if os.environ.get("HISTORIAN_DEVICE_DP") == "1":
+        return 0
+    import jax
+
+    if jax.default_backend() not in ("tpu", "gpu"):
+        return 0  # CPU-device kernels: dispatch is in-process
+    ov = dispatch_overhead_s()
+    if ov < 2e-3:
+        return 0  # locally attached accelerator
+    return int(MERGE_ROUND_TRIPS * ov * HOST_FILL_RATE)
+
+
+def small_work_device():
+    """Context manager that pins below-threshold batched work to the
+    in-process CPU backend when the default accelerator is remote
+    (min_device_cells() > 0); a no-op otherwise.  The same vectorized
+    XLA code runs either way -- only the placement changes, so a remote
+    tunnel's per-dispatch latency is never paid for work too small to
+    amortize it."""
+    import contextlib
+
+    import jax
+
+    if jax.default_backend() in ("tpu", "gpu") and min_device_cells():
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except Exception:
+            return contextlib.nullcontext()
+        return jax.default_device(cpu)
+    return contextlib.nullcontext()
+
+
 def dag_on_device() -> bool:
     """Whether DAG x DAG merges run the device row kernel.  Forced on
     with HISTORIAN_DEVICE_DP=1 (tests, benches, kernels-first runs);

@@ -524,6 +524,8 @@ class Reconstructor:
         else:
             groups = [[node] for node in range(tree.n_nodes())]
 
+        import time as _time
+
         for group in groups:
             # Drop the previous group's matrices BEFORE building the next
             # ForwardMatrix: backward holds forward, and a live previous
@@ -531,6 +533,7 @@ class Reconstructor:
             backward = None
             fwd_of: dict[int, ForwardMatrix] = {}
             want_bwd_of: dict[int, bool] = {}
+            _t0 = _time.perf_counter()
 
             # phase A: enqueue every merge fill in the group
             for node in group:
@@ -544,6 +547,8 @@ class Reconstructor:
                 fwd_of[node], want_bwd_of[node] = self._merge_forward(
                     dataset, tree, model, sumprod, prof, node, block=False
                 )
+
+            _tA = _time.perf_counter()
 
             # phase B: end gathers (band-doubling retries rebuild inline)
             for node in group:
@@ -559,6 +564,8 @@ class Reconstructor:
                         first=fwd_of[node],
                     )
 
+            _tB = _time.perf_counter()
+
             # phase C: enqueue every traceback walk (one mt19937 draw per
             # merge, consumed here in group order -- deterministic per seed)
             if not self.use_posteriors_for_profile:
@@ -572,6 +579,8 @@ class Reconstructor:
                         self.generator,
                     )
 
+            _tC = _time.perf_counter()
+
             # phase D: read back, build profiles, free children
             for node in group:
                 if node not in fwd_of:
@@ -583,6 +592,15 @@ class Reconstructor:
                 )
                 if new_path is not None:
                     path = new_path
+            if devicedp.TIMING and len(groups) > 1:
+                import sys as _sys
+
+                _tD = _time.perf_counter()
+                _sys.stderr.write(
+                    f"[level {level[group[0]]}] n={len(group)} "
+                    f"A(fill-enqueue)={_tA - _t0:.2f}s B(lp_end)={_tB - _tA:.2f}s "
+                    f"C(trace-enqueue)={_tC - _tB:.2f}s D(readback+surgery)={_tD - _tC:.2f}s\n"
+                )
 
         log_this_at(2, f"Final Forward log-likelihood is {lp_final_fwd}")
 

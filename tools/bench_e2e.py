@@ -58,8 +58,10 @@ def run_one(args: list[str], platform: str) -> tuple[float, str]:
     if args[0] == "recon":
         assert "# STOCKHOLM" in out and "#=GF LP" in out, out[:500]
     else:
-        payload = json.loads(out)
-        assert "alphabet" in payload and "indel" in payload, out[:200]
+        # counts JSON replicates the reference's missing-comma quirk
+        # (tests/golden.py load_lenient_json), so strict json.loads fails
+        # by design -- check the payload keys structurally instead
+        assert '"alphabet"' in out and '"indel"' in out and '"sub"' in out, out[:200]
     return wall, out
 
 
@@ -95,15 +97,17 @@ def main() -> None:
             entry["lp_tpu"] = lps["tpu"]
         results[name] = entry
         print(json.dumps({name: entry}), file=sys.stderr)
-    path = os.path.join(REPO, "E2E_TPU.json")
-    existing = {}
-    if os.path.exists(path):
-        with open(path) as f:
-            existing = json.load(f)
-    existing.update(results)
-    existing["host"] = os.uname().nodename
-    with open(path, "w") as f:
-        json.dump(existing, f, indent=1)
+        # write incrementally: a crash or timeout on a later workload must
+        # not discard completed measurements
+        path = os.path.join(REPO, "E2E_TPU.json")
+        existing = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                existing = json.load(f)
+        existing.update(results)
+        existing["host"] = os.uname().nodename
+        with open(path, "w") as f:
+            json.dump(existing, f, indent=1)
     print(json.dumps(existing))
 
 
