@@ -239,13 +239,21 @@ def bench_production_col_kernel() -> dict:
 
     dp, n_cells = _production_merge()
     base_absorb = dp.absorb.copy()
+    fx0, sxs0, fy0, mys0 = dp.absorb_factors
+
+    def perturb(k):
+        # distinct inputs per rep on BOTH transports (value scatter reads
+        # dp.absorb; the factored matmul reads absorb_factors)
+        eps = np.float64(1e-4 * k)
+        dp.absorb = base_absorb + eps
+        dp.absorb_factors = (fx0, sxs0 + eps, fy0, mys0)
 
     # -- baseline: host native fill of the same merge
     host_reps = 4
     dp._fill_native()  # warm (arena, pages)
     t0 = time.perf_counter()
     for k in range(host_reps):
-        dp.absorb = base_absorb + np.float64(1e-4 * (k + 1))
+        perturb(k + 1)
         assert dp._fill_native()
     t_host = (time.perf_counter() - t0) / host_reps
     host_rate = n_cells / t_host
@@ -256,7 +264,7 @@ def bench_production_col_kernel() -> dict:
     reps = 8
     t0 = time.perf_counter()
     for k in range(reps):
-        dp.absorb = base_absorb + np.float64(1e-4 * (k + 1))
+        perturb(k + 1)
         out = devicedp.col_forward_cells(dp)
     t_dev = (time.perf_counter() - t0) / reps
     assert np.isfinite(out[np.asarray(dp.env_mask[: dp.x_size - 1, : dp.y_size - 1])]).any()
@@ -265,7 +273,7 @@ def bench_production_col_kernel() -> dict:
 
     # -- device-resident route (fill + lp_end + best + 10 sampled traces)
     def resident(k):
-        dp.absorb = base_absorb + np.float64(1e-4 * (k + 1))
+        perturb(k + 1)
         h = devicedp.col_forward_device(dp)
         assert h is not None
         lp, traces = h.lp_end_and_traces(10, True, 1000 + k)
@@ -294,6 +302,108 @@ def bench_production_col_kernel() -> dict:
         },
         "resident_merge_s": round(t_res, 4),
         "host_merge_wall_s": round(t_host, 4),
+    }
+
+
+def bench_router_crossover() -> dict:
+    """Host-vs-device per-merge wall at growing banded chain x chain
+    merge sizes: the measurement the latency-aware router
+    (ops/devicedp.min_device_cells) is calibrated against.  Each size
+    builds a real ForwardMatrix over synthetic protein chains under a
+    |i-j| <= W guide band and times (a) the host OpenMP wavefront fill
+    and (b) the device-resident route (fill + lp_end), both with
+    distinct emissions per rep.  Reports per-size walls and the first
+    size where the device wins."""
+    import jax
+
+    from historian_tpu.core.alignpath import GuideAlignmentEnvelope
+    from historian_tpu.engine.forward import ForwardMatrix
+    from historian_tpu.engine.pairhmm import PairHMM
+    from historian_tpu.engine.profile import Profile
+    from historian_tpu.models.presets import named_model
+    from historian_tpu.models.ratemodel import ProbModel
+    from historian_tpu.ops import devicedp
+
+    from historian_tpu.core.seqs import FastSeq
+
+    model = named_model("lg")
+    rng = np.random.RandomState(7)
+    alpha = model.alphabet.symbols
+    rows = []
+    crossover = None
+    for L, W in ((1500, 128), (3000, 256), (6000, 768)):
+        seq_x = FastSeq(name="x", seq="".join(alpha[i] for i in rng.randint(0, 20, size=L)))
+        seq_y = FastSeq(name="y", seq="".join(alpha[i] for i in rng.randint(0, 20, size=L)))
+        x = Profile.from_sequence(model.components, model.alphabet, seq_x, 0)
+        y = Profile.from_sequence(model.components, model.alphabet, seq_y, 1)
+        hmm = PairHMM(ProbModel(model, 0.5), ProbModel(model, 0.5), model.ins_prob)
+        ones = np.ones(L, dtype=bool)
+        env = GuideAlignmentEnvelope({0: ones, 1: ones}, 0, 1, W)
+        prev = os.environ.get("HISTORIAN_DEVICE_DP")
+        os.environ["HISTORIAN_DEVICE_DP"] = "0"
+        try:
+            dp = ForwardMatrix(x, y, hmm, 2, env)
+        finally:
+            if prev is None:
+                os.environ.pop("HISTORIAN_DEVICE_DP", None)
+            else:
+                os.environ["HISTORIAN_DEVICE_DP"] = prev
+        n_cells = int(np.count_nonzero(dp.env_mask)) * 5
+        base_absorb = dp.absorb.copy()
+        fx0, sxs0, fy0, mys0 = dp.absorb_factors
+
+        def perturb(k):
+            # distinct inputs per rep on BOTH transports (value scatter
+            # reads dp.absorb; the factored matmul reads absorb_factors)
+            eps = np.float64(1e-4 * k)
+            dp.absorb = base_absorb + eps
+            dp.absorb_factors = (fx0, sxs0 + eps, fy0, mys0)
+
+        def host_once(k):
+            perturb(k)
+            assert dp._fill_native()
+
+        host_once(0)  # warm pages
+        t0 = time.perf_counter()
+        reps = 3
+        for k in range(reps):
+            host_once(k + 1)
+        t_host = (time.perf_counter() - t0) / reps
+
+        def dev_once(k):
+            perturb(k)
+            h = devicedp.col_forward_device(dp)
+            if h is not None:
+                lp, _ = h.lp_end_and_traces(0, True, 1)
+                return lp
+            cells = devicedp.chain_forward_cells(dp)
+            assert cells is not None
+            return float(cells[0, 0, 0])
+
+        t_dev = None
+        try:
+            dev_once(0)  # compile + warm
+            t0 = time.perf_counter()
+            for k in range(reps):
+                dev_once(k + 1)
+            t_dev = (time.perf_counter() - t0) / reps
+        except Exception as e:
+            rows.append({"L": L, "W": W, "state_cells": n_cells,
+                         "host_s": round(t_host, 3), "device": f"error: {e}"[:120]})
+            continue
+        rows.append({
+            "L": L, "W": W, "state_cells": n_cells,
+            "host_s": round(t_host, 4), "device_s": round(t_dev, 4),
+            "device_wins": bool(t_dev < t_host),
+        })
+        if crossover is None and t_dev < t_host:
+            crossover = n_cells
+    return {
+        "unit": "seconds per merge (host OpenMP vs device route)",
+        "sizes": rows,
+        "crossover_state_cells": crossover,
+        "router_threshold_state_cells": devicedp.min_device_cells(),
+        "dispatch_overhead_ms": round(devicedp.dispatch_overhead_s() * 1e3, 2),
     }
 
 
@@ -487,6 +597,7 @@ def main() -> None:
     extras = {}
     for name, fn in (
         ("production_col_forward", bench_production_col_kernel),
+        ("router_crossover", bench_router_crossover),
         ("codon_pair_forward", bench_codon),
         ("fit_estep", bench_fit_estep),
     ):

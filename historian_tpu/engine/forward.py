@@ -216,6 +216,10 @@ class DPMatrix:
         my_s = np.where(np.isfinite(my), my, 0.0)
         ex = np.exp(lx - mx_s).reshape(self.x_size, -1)
         ey = np.exp(sy - my_s).reshape(self.y_size, -1)
+        # kept for the device route: ship these O(S x CA) factors and run
+        # the same exp-space matmul on the accelerator instead of
+        # uploading O(band) absorb values (ops/devicedp _factored_absorb)
+        self.absorb_factors = (ex, mx_s[:, 0, 0], ey, my_s[:, 0, 0])
         # pooled output + in-place left-fold: same operation order as
         # log(ex@ey.T) + mx + my, so bitwise-identical results
         out = bufpool.get("absorb", (self.x_size, self.y_size), self)

@@ -470,6 +470,47 @@ def col_kernel_inputs(dp, dtype=np.float64, bucket=None):
     )
 
 
+def _factored_wins(n_in: int, n_states: int, ca: int) -> bool:
+    """Whether the emission tensor ships as O(S x CA) factors (device
+    matmul) instead of O(band) precomputed values.  Factors win once the
+    band holds more numbers than the factors.  HISTORIAN_FACTORED_ABSORB
+    forces 1/0 (tests, debugging)."""
+    env = os.environ.get("HISTORIAN_FACTORED_ABSORB")
+    if env is not None:
+        return env == "1"
+    return n_in > n_states * ca
+
+
+def _factored_absorb():
+    """Jitted device-side emission build for the column-major route:
+    absorb_t[j, i] = log(ey_exp[j] . ex_exp[i]) + shift_y[j] + shift_x[i],
+    gated to NEG outside the band (idx = flat in-band indices, as in
+    _mask_idx).  Ships O(S x C*A) factors up the link instead of O(band)
+    precomputed values -- the emission inner product is MXU work that
+    belongs on the device (SURVEY section 7: fuse emission einsums)."""
+    import jax
+    import jax.numpy as jnp
+
+    global _FACTORED_ABSORB
+    if "_FACTORED_ABSORB" in globals():
+        return _FACTORED_ABSORB
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("sy", "sx"))
+    def factored(ey_e, ex_e, shift_y, shift_x, idx, sy, sx):
+        dense = jnp.log(ey_e @ ex_e.T) + shift_y[:, None] + shift_x[None, :]
+        mask = (
+            jnp.zeros((sy * sx,), bool).at[idx].set(True, mode="drop")
+        ).reshape(sy, sx)
+        neg = jnp.asarray(NEG, dense.dtype)
+        out = jnp.where(mask, jnp.maximum(dense, neg), neg)
+        return out, mask
+
+    _FACTORED_ABSORB = factored
+    return _FACTORED_ABSORB
+
+
 def _to_planes_col():
     """jitted [SY, SX, 5] -> [5, SY, SX] canonicalizer (device-side)."""
     import jax
@@ -552,10 +593,18 @@ def col_forward_cells(dp, keep: bool = False):
     mask_t = np.zeros((SY, SX), dtype=bool)
     mask_t[:ny, :nx] = env_t
     idx, n_in = _mask_idx(mask_t, SX, SY * SX)
-    absorb_t = np.asarray(dp.absorb[:nx, :ny]).T + tx[None, :]
-    vals = np.full(len(idx), NEG, dtype)
-    vals[:n_in] = _clamp(absorb_t[env_t], dtype)
     scatter_absorb, gather_cells = _device_io()
+    fx, sxs, fy, sys_ = dp.absorb_factors  # [x_size, CA], [x_size], ...
+    CA = fx.shape[1]
+    # factored upload wins when the band holds more values than the
+    # factors (long merges: O(band) -> O(L x CA) link bytes); the small-
+    # band case keeps the host-precomputed scatter (bit-compatible with
+    # the host absorb)
+    use_factored = _factored_wins(n_in, SX + SY, CA)
+    if not use_factored:
+        absorb_t = np.asarray(dp.absorb[:nx, :ny]).T + tx[None, :]
+        vals = np.full(len(idx), NEG, dtype)
+        vals[:n_in] = _clamp(absorb_t[env_t], dtype)
 
     # pallas route: single-kernel column scan with a VMEM ring of the
     # last RING columns -- only when every y in-edge fits the ring
@@ -570,7 +619,21 @@ def col_forward_cells(dp, keep: bool = False):
     )
     t1 = _time.perf_counter()
     idx_d = jnp.asarray(idx)
-    absorb_d, mask_d = scatter_absorb(jnp.asarray(vals), idx_d, SY, SX)
+    if use_factored:
+        ex_f = np.zeros((SX, CA), dtype)
+        ex_f[:nx] = fx[:nx]
+        ey_f = np.zeros((SY, CA), dtype)
+        ey_f[:ny] = fy[:ny]
+        shift_x = np.full(SX, NEG, dtype)
+        shift_x[:nx] = sxs[:nx] + tx
+        shift_y = np.zeros(SY, dtype)
+        shift_y[:ny] = sys_[:ny]
+        absorb_d, mask_d = _factored_absorb()(
+            jnp.asarray(ey_f), jnp.asarray(ex_f),
+            jnp.asarray(shift_y), jnp.asarray(shift_x), idx_d, SY, SX,
+        )
+    else:
+        absorb_d, mask_d = scatter_absorb(jnp.asarray(vals), idx_d, SY, SX)
 
     if use_pallas:
         from historian_tpu.ops.pallas_colforward import pallas_col_forward_cells
@@ -856,18 +919,39 @@ def chain_forward_cells(dp) -> np.ndarray | None:
     trans = _clamp(pack_transitions(dp.hmm), dtype)
 
     # band-compacted IO (see _mask_idx): absorb ships as in-band values,
-    # the mask is derived on device, and only in-band cells come back
+    # the mask is derived on device, and only in-band cells come back;
+    # long merges ship the O(S x CA) emission factors instead and run the
+    # exp-space matmul on device (_factored_absorb)
     env = np.asarray(dp.env_mask[:nx, :ny], dtype=bool)
     mask_p = np.zeros((X1, Y1), dtype=bool)
     mask_p[:nx, :ny] = env
     idx, n_in = _mask_idx(mask_p, Y1, X1 * Y1)
-    absorb_full = dp.absorb[:nx, :ny] + tx[:, None] + ty[None, :]
-    vals = np.full(len(idx), NEG, dtype)
-    vals[:n_in] = _clamp(absorb_full[env], dtype)
     scatter_absorb, gather_cells = _device_io()
+    fx, sxs, fy, sys_ = dp.absorb_factors
+    CA = fx.shape[1]
+    use_factored = _factored_wins(n_in, X1 + Y1, CA)
+    if use_factored:
+        ex_f = np.zeros((X1, CA), dtype)
+        ex_f[:nx] = fx[:nx]
+        ey_f = np.zeros((Y1, CA), dtype)
+        ey_f[:ny] = fy[:ny]
+        shift_x = np.full(X1, NEG, dtype)
+        shift_x[:nx] = sxs[:nx] + tx
+        shift_y = np.zeros(Y1, dtype)
+        shift_y[:ny] = sys_[:ny] + ty
+    else:
+        absorb_full = dp.absorb[:nx, :ny] + tx[:, None] + ty[None, :]
+        vals = np.full(len(idx), NEG, dtype)
+        vals[:n_in] = _clamp(absorb_full[env], dtype)
     t1 = _time.perf_counter()
     idx_d = jnp.asarray(idx)
-    absorb_d, mask_d = scatter_absorb(jnp.asarray(vals), idx_d, X1, Y1)
+    if use_factored:
+        absorb_d, mask_d = _factored_absorb()(
+            jnp.asarray(ex_f), jnp.asarray(ey_f),
+            jnp.asarray(shift_x), jnp.asarray(shift_y), idx_d, X1, Y1,
+        )
+    else:
+        absorb_d, mask_d = scatter_absorb(jnp.asarray(vals), idx_d, X1, Y1)
     t2 = _time.perf_counter()
 
     cells_dev = chain_pair_forward_cells(

@@ -274,3 +274,35 @@ def test_dag_kernel_banded_full_forward(ref_data, monkeypatch):
     hc = np.where(np.isfinite(host.cells), host.cells, -1.0e99)
     dc = np.where(np.isfinite(dev.cells), dev.cells, -1.0e99)
     np.testing.assert_allclose(dc, hc, rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.parametrize("route", ["chain", "col"])
+def test_factored_absorb_matches_scatter(ref_data, monkeypatch, route):
+    """The O(S x CA) factored emission upload (device exp-space matmul,
+    ops/devicedp._factored_absorb) must reproduce the O(band) value
+    scatter cell-for-cell -- same fill, only the transport of the absorb
+    tensor differs (engine/forward.py absorb_factors; SURVEY section 7
+    'fuse emission einsums')."""
+    from historian_tpu.utils.rng import MT19937
+
+    model = RateModel.from_file(os.path.join(ref_data, "testamino.json"))
+    seqs = read_fasta(os.path.join(ref_data, "PF16593.pair.fa"))
+    x = Profile.from_sequence(model.components, model.alphabet, seqs[0], 0)
+    y = Profile.from_sequence(model.components, model.alphabet, seqs[1], 1)
+    hmm = PairHMM(ProbModel(model, 0.8), ProbModel(model, 0.4), model.ins_prob)
+    if route == "col":
+        # chain x DAG: sample a profile for y first (host fill)
+        monkeypatch.setenv("HISTORIAN_DEVICE_DP", "0")
+        fwd0 = ForwardMatrix(x, y, hmm, 2)
+        y = fwd0.sample_profile(MT19937(5489), 5, 0)
+
+    monkeypatch.setenv("HISTORIAN_DEVICE_DP", "1")
+    monkeypatch.setenv("HISTORIAN_FACTORED_ABSORB", "0")
+    scat = ForwardMatrix(x, y, hmm, 2)
+    monkeypatch.setenv("HISTORIAN_FACTORED_ABSORB", "1")
+    fact = ForwardMatrix(x, y, hmm, 2)
+    assert np.isfinite(fact.lp_end)
+    assert abs(fact.lp_end - scat.lp_end) < 1e-9
+    sc = np.where(np.isfinite(scat.cells), scat.cells, -1.0e99)
+    fc = np.where(np.isfinite(fact.cells), fact.cells, -1.0e99)
+    np.testing.assert_allclose(fc, sc, rtol=1e-9, atol=1e-9)
