@@ -24,6 +24,7 @@ state counts are 10^2-10^4 and the work is O(cells), not the hot loop.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -419,13 +420,21 @@ class ForwardMatrix(DPMatrix):
         if not devicedp.enabled():
             return False
         min_cells = devicedp.min_device_cells()
-        if min_cells and int(np.count_nonzero(self.env_mask)) * 5 < min_cells:
-            # latency-aware routing: this merge's band is too small to
-            # out-compute the per-merge dispatch overhead of the attached
-            # accelerator (remote tunnels: ~1s/merge) -- the host OpenMP
-            # wavefront fill wins, so keep it there.  Large merges (long
-            # sequences, wide bands) still go to the device.
-            return False
+        if min_cells:
+            # latency-aware routing: estimate both engines' walls and keep
+            # the merge on whichever wins.  The device pays the backend's
+            # measured dispatch overhead plus a trace walk that scales
+            # with path LENGTH; the host OpenMP wavefront fill streams the
+            # band.  HISTORIAN_DEVICE_MIN_CELLS pins a plain cell-count
+            # threshold instead; HISTORIAN_DEVICE_DP=1 forces the device.
+            band_cells = int(np.count_nonzero(self.env_mask)) * 5
+            if os.environ.get("HISTORIAN_DEVICE_MIN_CELLS") is not None:
+                if band_cells < min_cells:
+                    return False
+            elif band_cells / devicedp.HOST_FILL_RATE < devicedp.device_merge_cost_s(
+                band_cells, self.x_size + self.y_size
+            ):
+                return False
         t0 = time.perf_counter() if devicedp.TIMING else 0.0
         if self._defer_cells and devicedp.trace_enabled() and self.sumprod is None:
             handle = devicedp.col_forward_device(self)
@@ -443,6 +452,12 @@ class ForwardMatrix(DPMatrix):
                         file=sys.stderr, flush=True,
                     )
                 return True
+            if min_cells:
+                # no resident route for this merge (non-chain x or planes
+                # over the HBM budget); on a remote-latency backend the
+                # full-band readback below cannot beat the host wavefront
+                # fill either -- keep the merge on the host
+                return False
         cells_np = devicedp.chain_forward_cells(self)
         kind = "chain"
         if cells_np is None:

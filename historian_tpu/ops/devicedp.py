@@ -63,10 +63,26 @@ _DISPATCH_OVERHEAD: float | None = None
 #: they clearly win)
 HOST_FILL_RATE = 4e7
 #: effective round trips a device merge pays beyond the raw dispatch:
-#: absorb upload, fill dispatch, lp_end gather, trace walk, visited-cell
-#: readback, plus executable-load amortization (measured ~1s per col
-#: merge against a ~40ms raw RPC through the tunnel)
-MERGE_ROUND_TRIPS = 25
+#: absorb upload, fill dispatch, lp_end gather, trace dispatch,
+#: visited-cell readback, plus executable-load amortization (measured
+#: ~0.35-0.5s per resident merge against a ~28ms raw RPC)
+MERGE_ROUND_TRIPS = 12
+#: conservative device col-kernel fill throughput, state-cells/s
+DEV_FILL_RATE = 2e9
+#: per-step cost of the resident trace walk's while_loop (measured
+#: ~0.13-0.16 ms/step on v5e: each step is a handful of small gathers,
+#: pure loop latency) -- scales with path length, not band area
+WALK_S_PER_STEP = 1.4e-4
+
+
+def device_merge_cost_s(band_cells: int, path_len: int) -> float:
+    """Estimated wall of the device-resident merge route: fixed dispatch
+    overhead + fill compute + the sequential trace walk."""
+    return (
+        MERGE_ROUND_TRIPS * dispatch_overhead_s()
+        + band_cells / DEV_FILL_RATE
+        + WALK_S_PER_STEP * path_len
+    )
 
 
 def dispatch_overhead_s() -> float:
@@ -522,14 +538,27 @@ def _to_planes_col():
     return _TO_PLANES_COL
 
 
+#: HBM budget for the device-resident [5, SY, SX] planes, MB.  The trace
+#: walk gathers from per-state [SY, SX] planes (ops/tracedp layout note:
+#: a 5-minor relayout would tile-pad 5 -> 128 lanes, 25x memory); with
+#: that layout a 6144x6144 merge (755 MB planes) compiles and runs in
+#: ~2.3 GB total, so the budget caps plane bytes well under HBM.  Above
+#: it the resident route declines and the caller falls back (remote
+#: backends: host fill).
+TRACE_PLANES_MB = float(os.environ.get("HISTORIAN_TRACE_PLANES_MB", "2048"))
+
+
 def col_forward_device(dp) -> "DeviceTraceFill | None":
     """Device-resident variant of col_forward_cells: the fill stays on
     device as [5, SY, SX] planes wrapped in a DeviceTraceFill whose
     tracebacks run on device too (ops/tracedp.py).  Routing conditions
-    are col_forward_cells' plus a single chain-x END in-edge."""
+    are col_forward_cells' plus a single chain-x END in-edge and the
+    TRACE_PLANES_MB HBM budget."""
     if dp.x_empty or dp.y_empty:
         return None
     if dp.x.as_chain() is None or len(dp.x.end.in_trans) != 1:
+        return None
+    if 5 * _bucket(dp.x_size - 1) * _bucket(dp.y_size - 1) * 4 > TRACE_PLANES_MB * 1e6:
         return None
     return col_forward_cells(dp, keep=True)
 

@@ -60,7 +60,12 @@ def _end_lp(planes, trans6, xe_src, xe_lp, ye_src, ye_lp):
     ::_finish_fill): left-to-right 5-way logaddexp of cell + trans per
     end-edge pair, + edge lps, chained into lp_end in ye order."""
     dtype = planes.dtype
-    e_cell = planes[:, ye_src, xe_src].T  # [KE, 5]
+    # per-plane gathers: see pair_trace_device's layout note (a strided
+    # [5, SY, SX] gather relayouts the planes with the 5-axis minor,
+    # which TPU tiling pads 5 -> 128 lanes)
+    e_cell = jnp.stack(
+        [planes[k][ye_src, xe_src] for k in range(5)], axis=-1
+    )  # [KE, 5]
     row = e_cell[:, 0] + trans6[0, EEE]
     for q in (1, 2, 3, 4):
         row = jnp.logaddexp(row, e_cell[:, q] + trans6[q, EEE])
@@ -105,6 +110,17 @@ def pair_trace_device(
     KY = y_src.shape[1]
     KE = ye_src.shape[0]
     gate = jnp.asarray(_source_gate(), dtype)  # [dest, src]
+    # NEVER relayout the planes with the 5-state axis minor: TPU tiling
+    # pads the minormost dims to (8, 128), so a [SY, SX, 5] (or
+    # {0,2,1}-laid [5, SY, SX]) copy inflates 5 -> 128 lanes -- measured
+    # 19.3 GB for one 6144x6144 merge on a 16 GB chip.  Instead gather
+    # from five separate [SY, SX] planes (major-axis slices, standard
+    # tiling) and stack only the SMALL gather outputs.
+    plane_list = [planes[k] for k in range(5)]
+
+    def cell_rows(jj, ii):
+        """planes[:, jj, ii] stacked as [..., 5] without any big copy."""
+        return jnp.stack([p[jj, ii] for p in plane_list], axis=-1)
 
     def pick(cand_lp, cand_i, cand_j, cand_s, u, best):
         """Select one candidate: host sample_cell / best_cell semantics.
@@ -151,14 +167,14 @@ def pair_trace_device(
             yl[:, None] + emit_lp,
         )  # [KY, 5]
         y_i = jnp.where(is_imm & ~ynul, i - 1, i)
-        y_cell = planes[:, ys, jnp.maximum(y_i, 0)].T  # [KY, 5]
+        y_cell = cell_rows(ys, jnp.maximum(y_i, 0))  # [KY, 5]
         y_cand = jnp.maximum(y_cand_lp + y_cell, neg)
         y_live = (s == IMM) | (s == IDM) | (s == IMI)
         y_cand = jnp.where(y_live, y_cand, neg)
 
         # -- x-move row (dest IMD/IIW; chain x is never null) -------------
         x_cand_lp = gate[s] + trans6[s_ix, s] + tx[i]  # [5]
-        x_cell = planes[:, j, jnp.maximum(i - 1, 0)]  # [5]
+        x_cell = cell_rows(j, jnp.maximum(i - 1, 0))  # [5]
         x_cand = jnp.maximum(x_cand_lp + x_cell, neg)
         x_live = (s == IMD) | (s == IIW)
         x_cand = jnp.where(x_live, x_cand, neg)
@@ -178,7 +194,7 @@ def pair_trace_device(
         return cand_lp, ci.astype(jnp.int32), cj, cs
 
     # ---- EEE step (trace start): end-transition candidate table --------
-    e_cell = planes[:, ye_src, xe_src].T  # [KE, 5]
+    e_cell = cell_rows(ye_src, xe_src)  # [KE, 5]
     e_lp = jnp.maximum(
         ye_lp[:, None] + trans6[s_ix, EEE][None, :] + xe_lp + e_cell, neg
     )  # [KE, 5]
@@ -224,8 +240,9 @@ def pair_trace_device(
     )
     n_steps = jnp.sum(pi >= 0, axis=1).astype(jnp.int32)
     # cell values along the paths (make_profile's fwdLogProb metadata)
-    vals = planes[
-        jnp.maximum(ps, 0), jnp.maximum(pj, 0), jnp.maximum(pi, 0)
-    ]
+    all5 = cell_rows(jnp.maximum(pj, 0), jnp.maximum(pi, 0))  # [T, L, 5]
+    vals = jnp.take_along_axis(
+        all5, jnp.maximum(ps, 0)[..., None], axis=-1
+    )[..., 0]
     vals = jnp.where(pi >= 0, vals, neg)
     return pi, pj, ps, vals, n_steps, lp_end

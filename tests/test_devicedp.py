@@ -306,3 +306,37 @@ def test_factored_absorb_matches_scatter(ref_data, monkeypatch, route):
     sc = np.where(np.isfinite(scat.cells), scat.cells, -1.0e99)
     fc = np.where(np.isfinite(fact.cells), fact.cells, -1.0e99)
     np.testing.assert_allclose(fc, sc, rtol=1e-9, atol=1e-9)
+
+
+def test_latency_aware_routing_keeps_small_merges_on_host(ref_data, monkeypatch):
+    """With a remote-latency backend (simulated: nonzero min_device_cells
+    and a 28ms dispatch probe), a gp120-sized merge must route to the
+    host fill; forcing HISTORIAN_DEVICE_MIN_CELLS=0 must route it to the
+    device.  (VERDICT r2: -platform tpu lost 10x to the host because
+    every small merge paid the tunnel's per-dispatch overhead.)"""
+    from historian_tpu.ops import devicedp
+
+    model = RateModel.from_file(os.path.join(ref_data, "testamino.json"))
+    seqs = read_fasta(os.path.join(ref_data, "PF16593.pair.fa"))
+    x = Profile.from_sequence(model.components, model.alphabet, seqs[0], 0)
+    y = Profile.from_sequence(model.components, model.alphabet, seqs[1], 1)
+    hmm = PairHMM(ProbModel(model, 0.8), ProbModel(model, 0.4), model.ins_prob)
+
+    monkeypatch.setenv("HISTORIAN_DEVICE_DP", "auto")
+    monkeypatch.setattr(devicedp, "min_device_cells", lambda: 28_000_000)
+    monkeypatch.setattr(devicedp, "dispatch_overhead_s", lambda: 0.028)
+    calls = []
+    monkeypatch.setattr(
+        devicedp, "chain_forward_cells", lambda dp: calls.append("chain") or None
+    )
+    monkeypatch.setattr(devicedp, "enabled", lambda: True)
+    fwd = ForwardMatrix(x, y, hmm, 2)
+    assert calls == [], "small merge must not reach a device route"
+    assert np.isfinite(fwd.lp_end)  # host fill ran
+
+    # explicit override: threshold 0 -> device route attempted
+    monkeypatch.setenv("HISTORIAN_DEVICE_MIN_CELLS", "0")
+    monkeypatch.setattr(devicedp, "min_device_cells", lambda: 0)
+    fwd2 = ForwardMatrix(x, y, hmm, 2)
+    assert np.isfinite(fwd2.lp_end)
+    assert abs(fwd2.lp_end - fwd.lp_end) < 1e-9
