@@ -333,6 +333,63 @@ def _drain_args(recon: Reconstructor, argvec: deque) -> None:
             raise SystemExit(f"{PROG}: unknown option {argvec[0]!r} (try '{PROG} help')")
 
 
+def _tpu_boot_stamp() -> str:
+    import os
+
+    return os.path.join(
+        os.path.expanduser("~"), ".cache", "historian_tpu", "tpu_boot_ok"
+    )
+
+
+def mark_tpu_boot_ok() -> None:
+    """Record a successful TPU backend init; recent stamps let back-to-
+    back commands skip the probe subprocess (~4s of its cost is just
+    interpreter + backend boot)."""
+    import os
+
+    path = _tpu_boot_stamp()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write("ok\n")
+    except OSError:
+        pass
+
+
+def _tpu_boot_probe(timeout_s: float) -> bool:
+    """Whether the TPU backend can initialize within the budget, checked
+    in a fresh subprocess (the only way to bound a blocking native
+    init).  HISTORIAN_TPU_BOOT_TIMEOUT tunes the budget; 0 disables.
+    A success stamp younger than 5 minutes short-circuits the probe."""
+    import os
+    import subprocess
+    import time
+
+    try:
+        if time.time() - os.path.getmtime(_tpu_boot_stamp()) < 300:
+            return True
+    except OSError:
+        pass
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    try:
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import jax; assert any(d.platform == 'tpu' for d in jax.devices())",
+            ],
+            capture_output=True,
+            timeout=timeout_s,
+            env=env,
+        )
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+    if proc.returncode == 0:
+        mark_tpu_boot_ok()
+        return True
+    return False
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     # platform selection: -platform cpu|tpu or HISTORIAN_PLATFORM env.
@@ -345,6 +402,21 @@ def main(argv: list[str] | None = None) -> int:
         i = argv.index("-platform")
         platform = argv[i + 1]
         del argv[i : i + 2]
+    if platform == "tpu":
+        # failure detection (SURVEY section 5): backend init is a blocking
+        # native call that cannot be interrupted in-process, and a remote
+        # accelerator backend can stall for minutes when its server-side
+        # queue is congested (measured 2s..15min on the same day).  Probe
+        # init in a subprocess under a budget and fail over to the CPU
+        # backend -- with a warning -- rather than hang the command.
+        timeout_s = float(os.environ.get("HISTORIAN_TPU_BOOT_TIMEOUT", "45"))
+        if timeout_s > 0 and not _tpu_boot_probe(timeout_s):
+            sys.stderr.write(
+                f"{PROG}: warning: TPU backend did not initialize within "
+                f"{timeout_s:.0f}s (remote backend unreachable or congested); "
+                "continuing on the CPU backend\n"
+            )
+            platform = "cpu"
     if platform:
         import jax
 
@@ -366,6 +438,8 @@ def main(argv: list[str] | None = None) -> int:
             jax.config.update("jax_platforms", None)
             if not any(d.platform == "tpu" for d in jax.devices()):
                 raise SystemExit(f"{PROG}: no TPU devices available")
+        if platform == "tpu" or any(d.platform == "tpu" for d in jax.devices()):
+            mark_tpu_boot_ok()  # refresh the probe short-circuit stamp
         if platform != "cpu":
             # accelerator compiles ride a slow remote tunnel: persist all
             # of them, not just the >10s ones (see ops/__init__.py)

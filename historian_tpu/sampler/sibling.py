@@ -201,11 +201,31 @@ class SiblingMatrix:
 
     # ------------------------------------------------------------------- fill
     def _fill(self) -> None:
-        if os.environ.get("HISTORIAN_DEVICE_SIBLING", "0") == "1" and self._fill_device():
+        if self._want_device() and self._fill_device():
             return
         if self._fill_native():
             return
         self._fill_host()
+
+    def _want_device(self) -> bool:
+        """HISTORIAN_DEVICE_SIBLING=1/0 forces; default 'auto' uses the
+        device only on a locally attached accelerator (sub-ms dispatch
+        probe) with a grid big enough to out-compute the host fill --
+        the same topology-aware rule as the merge router
+        (ops/devicedp.min_device_cells).  MCMC proposal grids on remote
+        tunnels always lose to the native OpenMP wavefront fill."""
+        env = os.environ.get("HISTORIAN_DEVICE_SIBLING", "auto")
+        if env in ("0", "1"):
+            return env == "1"
+        import jax
+
+        if jax.default_backend() not in ("tpu", "gpu"):
+            return False
+        from historian_tpu.ops import devicedp
+
+        if devicedp.min_device_cells():  # remote-latency backend
+            return False
+        return self.x_size * self.y_size * N_STATES > 2_000_000
 
     def _fill_native(self) -> bool:
         """Native host-runtime fill (native/fill.cpp sibling_fill):
