@@ -419,22 +419,22 @@ class ForwardMatrix(DPMatrix):
 
         if not devicedp.enabled():
             return False
+        if (
+            os.environ.get("HISTORIAN_DEVICE_DP") != "1"
+            and devicedp.accel_backend()
+            and not devicedp.merge_on_device(
+                int(np.count_nonzero(self.env_mask)) * 5,
+                self.x_size + self.y_size,
+            )
+        ):
+            # latency-aware routing: the device pays dispatch overhead
+            # plus a trace walk that scales with path LENGTH, while the
+            # host OpenMP wavefront fill streams the band -- keep each
+            # merge on the predicted winner.  HISTORIAN_DEVICE_MIN_CELLS
+            # pins a plain threshold; HISTORIAN_DEVICE_DP=1 forces the
+            # device (tests, benches).
+            return False
         min_cells = devicedp.min_device_cells()
-        if min_cells:
-            # latency-aware routing: estimate both engines' walls and keep
-            # the merge on whichever wins.  The device pays the backend's
-            # measured dispatch overhead plus a trace walk that scales
-            # with path LENGTH; the host OpenMP wavefront fill streams the
-            # band.  HISTORIAN_DEVICE_MIN_CELLS pins a plain cell-count
-            # threshold instead; HISTORIAN_DEVICE_DP=1 forces the device.
-            band_cells = int(np.count_nonzero(self.env_mask)) * 5
-            if os.environ.get("HISTORIAN_DEVICE_MIN_CELLS") is not None:
-                if band_cells < min_cells:
-                    return False
-            elif band_cells / devicedp.HOST_FILL_RATE < devicedp.device_merge_cost_s(
-                band_cells, self.x_size + self.y_size
-            ):
-                return False
         t0 = time.perf_counter() if devicedp.TIMING else 0.0
         if self._defer_cells and devicedp.trace_enabled() and self.sumprod is None:
             handle = devicedp.col_forward_device(self)

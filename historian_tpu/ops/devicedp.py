@@ -85,6 +85,25 @@ def device_merge_cost_s(band_cells: int, path_len: int) -> float:
     )
 
 
+def accel_backend() -> bool:
+    import jax
+
+    return jax.default_backend() in ("tpu", "gpu")
+
+
+def merge_on_device(band_cells: int, path_len: int) -> bool:
+    """Auto-mode routing decision for one merge fill on an accelerator
+    backend: HISTORIAN_DEVICE_MIN_CELLS pins a plain cell threshold;
+    otherwise the measured cost model decides (the trace walk's
+    per-step latency means small merges lose on ANY accelerator, not
+    just remote ones -- the host OpenMP wavefront clears them in
+    milliseconds)."""
+    env = os.environ.get("HISTORIAN_DEVICE_MIN_CELLS")
+    if env is not None:
+        return band_cells >= int(float(env))
+    return band_cells / HOST_FILL_RATE >= device_merge_cost_s(band_cells, path_len)
+
+
 def dispatch_overhead_s() -> float:
     """Measured host->device->host transfer round trip on the default
     backend (run once per process, cached).  Distinguishes a locally

@@ -323,7 +323,7 @@ def test_latency_aware_routing_keeps_small_merges_on_host(ref_data, monkeypatch)
     hmm = PairHMM(ProbModel(model, 0.8), ProbModel(model, 0.4), model.ins_prob)
 
     monkeypatch.setenv("HISTORIAN_DEVICE_DP", "auto")
-    monkeypatch.setattr(devicedp, "min_device_cells", lambda: 28_000_000)
+    monkeypatch.setattr(devicedp, "accel_backend", lambda: True)
     monkeypatch.setattr(devicedp, "dispatch_overhead_s", lambda: 0.028)
     calls = []
     monkeypatch.setattr(
@@ -336,7 +336,6 @@ def test_latency_aware_routing_keeps_small_merges_on_host(ref_data, monkeypatch)
 
     # explicit override: threshold 0 -> device route attempted
     monkeypatch.setenv("HISTORIAN_DEVICE_MIN_CELLS", "0")
-    monkeypatch.setattr(devicedp, "min_device_cells", lambda: 0)
     fwd2 = ForwardMatrix(x, y, hmm, 2)
     assert np.isfinite(fwd2.lp_end)
     assert abs(fwd2.lp_end - fwd.lp_end) < 1e-9
