@@ -67,21 +67,24 @@ HOST_FILL_RATE = 4e7
 #: visited-cell readback, plus executable-load amortization (measured
 #: ~0.35-0.5s per resident merge against a ~28ms raw RPC)
 MERGE_ROUND_TRIPS = 12
-#: conservative device col-kernel fill throughput, state-cells/s
+#: conservative device col-kernel bulk throughput, state-cells/s
 DEV_FILL_RATE = 2e9
-#: per-step cost of the resident trace walk's while_loop (measured
-#: ~0.13-0.16 ms/step on v5e: each step is a handful of small gathers,
-#: pure loop latency) -- scales with path length, not band area
-WALK_S_PER_STEP = 1.4e-4
+#: sequential per-step cost of the device route, s/step: the column
+#: scan's per-column latency (~0.24 ms measured at SX=6144) plus the
+#: trace walk's per-step gathers (~0.15 ms in the same run, overlapped).
+#: Both scale with PATH LENGTH (SX + SY), not band area -- the measured
+#: 6144x6144 resident merge (4.3e7 state-cells) took 2.7 s where this
+#: model predicts 2.8 s.
+STEP_S = 2e-4
 
 
 def device_merge_cost_s(band_cells: int, path_len: int) -> float:
     """Estimated wall of the device-resident merge route: fixed dispatch
-    overhead + fill compute + the sequential trace walk."""
+    overhead + sequential column-scan/trace-walk latency + bulk fill."""
     return (
         MERGE_ROUND_TRIPS * dispatch_overhead_s()
+        + STEP_S * path_len
         + band_cells / DEV_FILL_RATE
-        + WALK_S_PER_STEP * path_len
     )
 
 

@@ -210,7 +210,7 @@ def pair_trace_device(
     i0, j0, s0 = jax.vmap(first_step)(uniforms[:, 0], is_best)
 
     # ---- batched walk ----------------------------------------------------
-    def body(carry):
+    def one_step(carry):
         n, i, j, s, done, pi, pj, ps = carry
 
         def one(i_t, j_t, s_t, u_t, best_t):
@@ -226,6 +226,10 @@ def pair_trace_device(
         ps = ps.at[:, n + 1].set(jnp.where(done, -1, ns))
         done = done | ((ni == 0) & (nj == 0))
         return n + 1, ni, nj, ns, done, pi, pj, ps
+
+    # (an 8x unrolled body was tried and measured identical at 6144^2 --
+    # the walk is gather-latency-bound per step, not loop-overhead-bound)
+    body = one_step
 
     def cond(carry):
         n, _, _, _, done, *_ = carry
