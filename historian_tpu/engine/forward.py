@@ -239,6 +239,7 @@ class DPMatrix:
         expensive on hosts with slow first-touch page faults."""
         out = bufpool.get("env-mask", (self.x_size, self.y_size), self, dtype=np.uint8)
         if not self.env.initialized:
+            self.env_vectors = None  # mask is all-True
             out.fill(1)
             return out
         m1 = np.ascontiguousarray(
@@ -249,6 +250,9 @@ class DPMatrix:
             self.env.cumulative_matches[self.env.row2_pos_to_col[self.y_closest_pos]],
             dtype=np.int64,
         )
+        # the mask in factored O(L) form, for device routes that rebuild
+        # it on-chip instead of shipping O(band) indices (ops/devicedp)
+        self.env_vectors = (m1, m2, int(self.env.max_distance))
         from historian_tpu.native import get_native
 
         lib = get_native()

@@ -63,19 +63,19 @@ _DISPATCH_OVERHEAD: float | None = None
 #: they clearly win)
 HOST_FILL_RATE = 4e7
 #: effective round trips a device merge pays beyond the raw dispatch:
-#: absorb upload, fill dispatch, lp_end gather, trace dispatch,
-#: visited-cell readback, plus executable-load amortization (measured
-#: ~0.35-0.5s per resident merge against a ~28ms raw RPC)
-MERGE_ROUND_TRIPS = 12
+#: factored-emission upload, fill dispatch, lp_end gather, trace
+#: dispatch, visited-cell readback (measured fixed part ~0.18s per
+#: resident merge against a ~28ms raw RPC, after the vector-mask +
+#: factored-absorb transport removed all O(band) uploads)
+MERGE_ROUND_TRIPS = 7
 #: conservative device col-kernel bulk throughput, state-cells/s
 DEV_FILL_RATE = 2e9
-#: sequential per-step cost of the device route, s/step: the column
-#: scan's per-column latency (~0.24 ms measured at SX=6144) plus the
-#: trace walk's per-step gathers (~0.15 ms in the same run, overlapped).
-#: Both scale with PATH LENGTH (SX + SY), not band area -- the measured
-#: 6144x6144 resident merge (4.3e7 state-cells) took 2.7 s where this
-#: model predicts 2.8 s.
-STEP_S = 2e-4
+#: sequential per-step cost of the device route, s/step: the pallas
+#: column scan (~26 us/column at SX=6144) plus the trace walk's
+#: per-step gathers.  Scales with PATH LENGTH, not band area.  Fit to
+#: two measured resident merges (gp120 0.26s at path ~1300; 6144x6144
+#: 0.89s at path ~12300).
+STEP_S = 6e-5
 
 
 def device_merge_cost_s(band_cells: int, path_len: int) -> float:
@@ -549,6 +549,37 @@ def _factored_absorb():
     return _FACTORED_ABSORB
 
 
+def _factored_absorb_vecmask():
+    """Like _factored_absorb, but the band mask is REBUILT ON DEVICE from
+    the envelope's O(L) vectors (engine/forward.py env_vectors:
+    mask[i, j] = near_start[i] | near_end[j] | |m1[i] - m2[j]| <= D)
+    instead of shipping O(band) flat indices -- at long-merge sizes the
+    index upload alone is tens of MB through the link.  Padded rows use
+    sentinel m values of opposite sign so they always fail the distance
+    test."""
+    import jax
+    import jax.numpy as jnp
+
+    global _FACTORED_ABSORB_VECMASK
+    if "_FACTORED_ABSORB_VECMASK" in globals():
+        return _FACTORED_ABSORB_VECMASK
+
+    @jax.jit
+    def factored(ey_e, ex_e, shift_y, shift_x, m2, m1, dist, yne, xns):
+        dense = jnp.log(ey_e @ ex_e.T) + shift_y[:, None] + shift_x[None, :]
+        mask = (
+            yne[:, None]
+            | xns[None, :]
+            | (jnp.abs(m2[:, None] - m1[None, :]) <= dist)
+        )
+        neg = jnp.asarray(NEG, dense.dtype)
+        out = jnp.where(mask, jnp.maximum(dense, neg), neg)
+        return out, mask
+
+    _FACTORED_ABSORB_VECMASK = factored
+    return _FACTORED_ABSORB_VECMASK
+
+
 def _to_planes_col():
     """jitted [SY, SX, 5] -> [5, SY, SX] canonicalizer (device-side)."""
     import jax
@@ -643,7 +674,7 @@ def col_forward_cells(dp, keep: bool = False):
     env_t = np.asarray(dp.env_mask[:nx, :ny], dtype=bool).T  # [ny, nx]
     mask_t = np.zeros((SY, SX), dtype=bool)
     mask_t[:ny, :nx] = env_t
-    idx, n_in = _mask_idx(mask_t, SX, SY * SX)
+    n_in = int(np.count_nonzero(mask_t))
     scatter_absorb, gather_cells = _device_io()
     fx, sxs, fy, sys_ = dp.absorb_factors  # [x_size, CA], [x_size], ...
     CA = fx.shape[1]
@@ -652,24 +683,41 @@ def col_forward_cells(dp, keep: bool = False):
     # band case keeps the host-precomputed scatter (bit-compatible with
     # the host absorb)
     use_factored = _factored_wins(n_in, SX + SY, CA)
+    # resident factored fills also rebuild the band mask on device from
+    # the envelope's O(L) vectors, skipping the O(band) index upload
+    # (readback builds indices lazily if a consumer ever needs cells)
+    vec_mask = use_factored and keep
+    if vec_mask:
+        idx = None
+        idx_d = None
+    else:
+        idx, _ = _mask_idx(mask_t, SX, SY * SX)
     if not use_factored:
         absorb_t = np.asarray(dp.absorb[:nx, :ny]).T + tx[None, :]
         vals = np.full(len(idx), NEG, dtype)
         vals[:n_in] = _clamp(absorb_t[env_t], dtype)
 
     # pallas route: single-kernel column scan with a VMEM ring of the
-    # last RING columns -- only when every y in-edge fits the ring
+    # last `ring` columns.  The ring is sized per merge (pow2 >= max
+    # in-edge distance + 1, floor 8): chain-y merges (maxdist 1) take an
+    # 8-slot ring, which stretches the VMEM budget to SX ~ 49k lanes --
+    # the long-sequence path; sampled-profile DAGs (p99 dist ~27) use
+    # 32-64 and gp120's max (109) uses the full 128.
     from historian_tpu.ops.pallas_colforward import MAX_SX, RING
 
+    ring = 8
+    while ring <= ay["maxdist"]:
+        ring *= 2
     use_pallas = (
         dtype == np.float32
         and jax.default_backend() in ("tpu", "gpu")
-        and ay["maxdist"] <= RING - 1
-        and SX <= MAX_SX  # VMEM ring budget; larger falls back to XLA
+        and ring <= RING  # look-back beyond 128 falls back to XLA
+        and ring * SX <= RING * MAX_SX  # VMEM ring budget (~12.6 MB)
         and os.environ.get("HISTORIAN_PALLAS_COL", "1") == "1"
     )
     t1 = _time.perf_counter()
-    idx_d = jnp.asarray(idx)
+    if idx is not None:
+        idx_d = jnp.asarray(idx)
     if use_factored:
         ex_f = np.zeros((SX, CA), dtype)
         ex_f[:nx] = fx[:nx]
@@ -679,10 +727,38 @@ def col_forward_cells(dp, keep: bool = False):
         shift_x[:nx] = sxs[:nx] + tx
         shift_y = np.zeros(SY, dtype)
         shift_y[:ny] = sys_[:ny]
-        absorb_d, mask_d = _factored_absorb()(
-            jnp.asarray(ey_f), jnp.asarray(ex_f),
-            jnp.asarray(shift_y), jnp.asarray(shift_x), idx_d, SY, SX,
-        )
+        if vec_mask:
+            ev = getattr(dp, "env_vectors", None)
+            if ev is None:  # uninitialized envelope: all-True inside
+                m1 = np.zeros(SX, np.int32)
+                m2 = np.zeros(SY, np.int32)
+                dist = 0
+            else:
+                vm1, vm2, dist = ev
+                m1 = np.full(SX, 1 << 29, np.int32)
+                m1[:nx] = vm1[:nx]
+                m2 = np.full(SY, -(1 << 29), np.int32)
+                m2[:ny] = vm2[:ny]
+            # pad sentinels differ by 2^30 > any real distance bound
+            xns = np.zeros(SX, bool)
+            xns[:nx] = dp.x_near_start[:nx]
+            yne = np.zeros(SY, bool)
+            yne[:ny] = dp.y_near_end[:ny]
+            if ev is None:
+                # real rows pass via distance 0; pads must still fail
+                m1[nx:] = 1 << 29
+                m2[ny:] = -(1 << 29)
+            absorb_d, mask_d = _factored_absorb_vecmask()(
+                jnp.asarray(ey_f), jnp.asarray(ex_f),
+                jnp.asarray(shift_y), jnp.asarray(shift_x),
+                jnp.asarray(m2), jnp.asarray(m1), jnp.int32(dist),
+                jnp.asarray(yne), jnp.asarray(xns),
+            )
+        else:
+            absorb_d, mask_d = _factored_absorb()(
+                jnp.asarray(ey_f), jnp.asarray(ex_f),
+                jnp.asarray(shift_y), jnp.asarray(shift_x), idx_d, SY, SX,
+            )
     else:
         absorb_d, mask_d = scatter_absorb(jnp.asarray(vals), idx_d, SY, SX)
 
@@ -703,6 +779,7 @@ def col_forward_cells(dp, keep: bool = False):
         planes = pallas_col_forward_cells(
             jnp.asarray(y_src), jnp.asarray(y_lp), jnp.asarray(y_flags),
             absorb_d, maskg_d, jnp.asarray(xvec), jnp.asarray(trans),
+            ring=ring,
         )
         t2 = _time.perf_counter()
         if keep:
@@ -909,6 +986,12 @@ class DeviceTraceFill:
             _, gather_cells = _device_io()
             import jax.numpy as jnp
 
+            if self._idx is None:
+                # vector-mask fills skip the index upload; build it only
+                # when a full-band consumer actually asks for cells
+                SY, SX = self.planes.shape[1], self.planes.shape[2]
+                idx, self._n_in = _mask_idx(self._mask_t, SX, SY * SX)
+                self._idx = jnp.asarray(idx)
             cells_t = jnp.moveaxis(self.planes, 0, -1)  # [SY, SX, 5]
             out = np.asarray(gather_cells(cells_t, self._idx))
             tmp = np.full((self.ny, self.nx, 5), -np.inf)

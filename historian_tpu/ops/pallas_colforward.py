@@ -67,6 +67,7 @@ def _affine_scan_lanes(a, b, length):
 
 def _kernel(
     ky,  # static in-edge count (bound via functools.partial)
+    ring_len,  # static ring length (pow2 >= max in-edge distance + 1)
     # scalar prefetch (SMEM; FLAT 1D -- 2D SMEM tables pad every row to
     # a full granule and blow the 1MB smem budget)
     y_src_ref,  # [SY * KY] i32
@@ -125,7 +126,7 @@ def _kernel(
             base = j * np.int32(KY) + np.int32(k)
             src = y_src_ref[base]
             w = y_lp_ref[base]
-            slot = jax.lax.rem(src, np.int32(RING))
+            slot = jax.lax.rem(src, np.int32(ring_len))
             col = ring[pl.ds(slot, 1)][0]  # [8, SX]
             s_imm, s_imd, s_idm, s_imi, s_iiw = (
                 col[q : q + 1] for q in range(5)
@@ -190,7 +191,7 @@ def _kernel(
         idm_out[i : i + 1] = idm_col
         imi_out[i : i + 1] = imi_col
         iiw_out[i : i + 1] = iiw_col
-        slot_j = jax.lax.rem(j, np.int32(RING))
+        slot_j = jax.lax.rem(j, np.int32(ring_len))
         neg_row = jnp.full((1, SX), F32_NEG)
         packed = jnp.concatenate(
             [imm_col, imd_col, idm_col, imi_col, iiw_col,
@@ -200,13 +201,14 @@ def _kernel(
         ring[pl.ds(slot_j, 1)] = packed[None]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "ring"))
 def pallas_col_forward_cells(
     y_src, y_lp, y_flags,  # [SY, KY] i32 / [SY, KY] f32 / [SY, 4] f32
     absorb_t, maskg_t,  # [SY, SX] f32 (maskg: 0 in-band, NEG outside)
     xvec,  # [4, SX] f32: rootsub_x, ins_x, x_gate, x_eos (0/NEG gates)
     trans,  # [23] f32
     interpret: bool = False,
+    ring: int = RING,
 ):
     """Returns the five state planes stacked [5, SY, SX] (f32)."""
     import sys
@@ -231,10 +233,10 @@ def pallas_col_forward_cells(
             pl.BlockSpec((CPB, SX), lambda g, *_: (g, Z), memory_space=pltpu.VMEM)
             for _ in range(5)
         ],
-        scratch_shapes=[pltpu.VMEM((RING, 8, SX), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((ring, 8, SX), jnp.float32)],
     )
     outs = pl.pallas_call(
-        functools.partial(_kernel, y_src.shape[1]),
+        functools.partial(_kernel, y_src.shape[1], ring),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((SY, SX), jnp.float32)] * 5,
         interpret=interpret,

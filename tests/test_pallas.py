@@ -120,3 +120,59 @@ def test_pallas_col_forward_matches_xla_kernel(ref_data, interpret_pallas):
     live = ref_cells > -1e25
     assert np.all((got > -1e25) == live)
     np.testing.assert_allclose(got[live], ref_cells[live], rtol=2e-5, atol=1e-3)
+
+
+def test_pallas_col_small_ring_matches_xla(interpret_pallas):
+    """ring=8 (the chain-y / long-sequence configuration, in-edge
+    distance <= 7) must match the XLA kernel exactly like the default
+    128-ring -- the ring length only changes the VMEM slot mapping."""
+    import jax.numpy as jnp
+
+    from historian_tpu.ops.colforward import col_pair_forward_cells
+    from historian_tpu.ops.pallas_colforward import pallas_col_forward_cells
+
+    SX, SY = 256, 128
+    rng = np.random.default_rng(23)
+    dt = np.float32
+    absorb_t = rng.normal(-5, 1, (SY, SX)).astype(dt)
+    rsx = rng.normal(-2, 1, SX).astype(dt)
+    isx = rng.normal(-2, 1, SX).astype(dt)
+    rsy = rng.normal(-2, 1, SY).astype(dt)
+    isy = rng.normal(-2, 1, SY).astype(dt)
+    mask = np.ones((SY, SX), bool)
+    trans = rng.normal(-1, 0.5, 23).astype(dt)
+    x_ready = np.ones(SX, bool)
+    x_eos = np.ones(SX, bool)
+    KY = 2
+    # in-edge distances 1..7: all fit an 8-slot ring
+    y_src = np.clip(
+        np.arange(SY)[:, None] - 1 - rng.integers(0, 7, (SY, KY)), 0, None
+    ).astype(np.int32)
+    y_src[:, 0] = np.maximum(np.arange(SY) - 1, 0)
+    y_lp = rng.normal(-1, 0.5, (SY, KY)).astype(dt)
+    y_null = np.zeros(SY, bool)
+    y_ready = np.ones(SY, bool); y_ready[0] = False
+
+    ref_cells = np.asarray(col_pair_forward_cells(
+        jnp.asarray(absorb_t), jnp.asarray(rsx), jnp.asarray(isx),
+        jnp.asarray(rsy), jnp.asarray(isy), jnp.asarray(mask),
+        jnp.asarray(trans), jnp.asarray(x_ready), jnp.asarray(x_eos),
+        jnp.asarray(y_src), jnp.asarray(y_lp),
+        jnp.asarray(y_null), jnp.asarray(y_ready),
+    ))
+    y_flags = np.zeros((SY, 4), np.float32)
+    y_flags[:, 0] = y_null; y_flags[:, 1] = y_ready
+    y_flags[:, 2] = rsy; y_flags[:, 3] = isy
+    xvec = np.stack([rsx, isx,
+                     np.where(x_ready, 0.0, -1e30).astype(dt),
+                     np.where(x_eos, 0.0, -1e30).astype(dt)])
+    maskg = np.where(mask, 0.0, -1e30).astype(dt)
+    planes = np.asarray(pallas_col_forward_cells(
+        jnp.asarray(y_src), jnp.asarray(y_lp), jnp.asarray(y_flags),
+        jnp.asarray(absorb_t), jnp.asarray(maskg), jnp.asarray(xvec),
+        jnp.asarray(trans), interpret=True, ring=8,
+    ))
+    got = np.moveaxis(planes, 0, -1)
+    live = ref_cells > -1e25
+    assert np.all((got > -1e25) == live)
+    np.testing.assert_allclose(got[live], ref_cells[live], rtol=2e-5, atol=1e-3)
