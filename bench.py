@@ -401,6 +401,9 @@ def bench_router_crossover() -> dict:
             "L": L, "W": W, "state_cells": n_cells,
             "host_s": round(t_host, 4), "device_s": round(t_dev, 4),
             "device_wins": bool(t_dev < t_host),
+            "router_predicts_device": bool(
+                devicedp.merge_on_device(n_cells, dp.x_size + dp.y_size)
+            ),
         })
         if crossover is None and t_dev < t_host:
             crossover = n_cells
@@ -408,7 +411,6 @@ def bench_router_crossover() -> dict:
         "unit": "seconds per merge (host OpenMP vs device route)",
         "sizes": rows,
         "crossover_state_cells": crossover,
-        "router_threshold_state_cells": devicedp.min_device_cells(),
         "dispatch_overhead_ms": round(devicedp.dispatch_overhead_s() * 1e3, 2),
     }
 
