@@ -279,3 +279,45 @@ print('TRACE-OK', float(dev.lp_end), len(paths))
 """
     )
     assert "TRACE-OK" in out
+
+
+def test_long_merge_vecmask_smallring_on_tpu():
+    """The round-3 long-merge transports compiled on hardware: chain-y
+    pallas ring=8, on-device envelope mask (vector form, no band-index
+    upload), factored absorb matmul.  A 2000x2000 banded chain merge
+    runs device-resident and its lp_end must match the host f64 fill."""
+    out = _run_on_tpu(
+        """
+import numpy as np, os, time
+from historian_tpu.core.alignpath import GuideAlignmentEnvelope
+from historian_tpu.core.seqs import FastSeq
+from historian_tpu.engine.forward import ForwardMatrix
+from historian_tpu.engine.pairhmm import PairHMM
+from historian_tpu.engine.profile import Profile
+from historian_tpu.models.presets import named_model
+from historian_tpu.models.ratemodel import ProbModel
+from historian_tpu.ops import devicedp
+model = named_model('lg')
+rng = np.random.RandomState(3)
+alpha = model.alphabet.symbols
+L, W = 2000, 256
+fx = FastSeq(name='x', seq=''.join(alpha[i] for i in rng.randint(0, 20, size=L)))
+fy = FastSeq(name='y', seq=''.join(alpha[i] for i in rng.randint(0, 20, size=L)))
+x = Profile.from_sequence(model.components, model.alphabet, fx, 0)
+y = Profile.from_sequence(model.components, model.alphabet, fy, 1)
+hmm = PairHMM(ProbModel(model, .5), ProbModel(model, .5), model.ins_prob)
+ones = np.ones(L, dtype=bool)
+env = GuideAlignmentEnvelope({0: ones, 1: ones}, 0, 1, W)
+os.environ['HISTORIAN_DEVICE_DP'] = '0'
+host = ForwardMatrix(x, y, hmm, 2, env)
+os.environ['HISTORIAN_DEVICE_DP'] = '1'
+h = devicedp.col_forward_device(host)
+assert h is not None, 'resident route not taken'
+lp, traces = h.lp_end_and_traces(3, True, 7)
+assert abs(lp - host.lp_end) < 1e-3 * max(1, abs(host.lp_end)), (lp, host.lp_end)
+assert len(traces) == 4
+print('LONGMERGE-OK', lp, host.lp_end)
+""",
+        timeout=1200,
+    )
+    assert "LONGMERGE-OK" in out
