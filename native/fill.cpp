@@ -714,13 +714,27 @@ extern "C" void sibling_fill(
         dest[sib::IDD] = sib::lse_list(v, 3);
       }
   };
+  // wavefront parallelism only pays when diagonals carry enough LIVE
+  // cells: a guide-banded MCMC grid leaves ~band-width live cells per
+  // diagonal, and forking OMP for each of sx+sy diagonals of ~2us work
+  // made fills 2.4x SLOWER than the sequential order (profiled on
+  // gp120 mcmc).  Count live cells once and pick the schedule.
+  int64_t live = 0;
+  const int64_t total_cells = sx * sy;
+  #pragma omp parallel for schedule(static) reduction(+:live) if (total_cells > (1 << 20))
+  for (int64_t c = 0; c < total_cells; ++c) live += mask[c] != 0;
   const int64_t wmax = (sx - 1) + (sy - 1);
-  for (int64_t w = 0; w <= wmax; ++w) {
-    const int64_t x_lo = w > sy - 1 ? w - (sy - 1) : 0;
-    const int64_t x_hi = w < sx - 1 ? w : sx - 1;
-    const int64_t n = x_hi - x_lo + 1;
-    #pragma omp parallel for schedule(static) if (n > 128)
-    for (int64_t x = x_lo; x <= x_hi; ++x) sib_cell(x, w - x);
+  if (live >= (wmax + 1) * (1 << 30)) {  // TEMP: row-major always
+    for (int64_t w = 0; w <= wmax; ++w) {
+      const int64_t x_lo = w > sy - 1 ? w - (sy - 1) : 0;
+      const int64_t x_hi = w < sx - 1 ? w : sx - 1;
+      const int64_t n = x_hi - x_lo + 1;
+      #pragma omp parallel for schedule(static) if (n > 128)
+      for (int64_t x = x_lo; x <= x_hi; ++x) sib_cell(x, w - x);
+    }
+  } else {
+    for (int64_t x = 0; x < sx; ++x)
+      for (int64_t y = 0; y < sy; ++y) sib_cell(x, y);
   }
   const double* end = C(sx - 1, sy - 1);
   const double v[4] = {end[sib::IDD] + T(sib::IDD, sib::EEE), end[sib::WWW] + T(sib::WWW, sib::EEE),
