@@ -98,8 +98,10 @@ Counts / EM:
 
 Misc:
   -seed <n>       mt19937 seed            -platform cpu|tpu  JAX backend
-  -mesh <n|DxE>   shard count/fit E-steps over a device mesh (psum reduce);
-                  DxE also shards mixture components over an ep axis
+  -mesh <n|DxE>   engage a device mesh: count/fit E-steps shard columns over
+                  dp (psum reduce; DxE adds an ep axis over mixture
+                  components); recon/mcmc merges round-robin over dp and long
+                  merges shard over the SP ring (HISTORIAN_SP forces/disables)
   -profile <dir>  write a jax.profiler trace of the run
   -v .. -v9, -log <tag>, -nocolor         logging
   -abort          raw tracebacks on errors
@@ -356,11 +358,51 @@ def mark_tpu_boot_ok() -> None:
         pass
 
 
+def _watched_init(fn, timeout_s: float):
+    """Run a blocking backend-init call in a thread with a stall
+    watchdog.  A native init cannot be cancelled, so on timeout this
+    WARNS (and invalidates the probe stamp so the next invocation
+    re-probes) and keeps waiting -- the companion to the stamp
+    short-circuit in _tpu_boot_probe: a backend that congested within
+    the stamp window stalls loudly instead of silently."""
+    import os
+    import threading
+
+    box: dict = {}
+
+    def run():
+        try:
+            box["result"] = fn()
+        except BaseException as e:  # re-raised on the caller's thread
+            box["exc"] = e
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    waited = timeout_s
+    while t.is_alive():
+        try:
+            os.remove(_tpu_boot_stamp())
+        except OSError:
+            pass
+        sys.stderr.write(
+            f"{PROG}: warning: accelerator backend init has been blocked "
+            f"for {waited:.0f}s (remote backend congested?); still waiting "
+            "-- interrupt and rerun with -platform cpu to skip it\n"
+        )
+        t.join(timeout_s)
+        waited += timeout_s
+    if "exc" in box:
+        raise box["exc"]
+    return box.get("result")
+
+
 def _tpu_boot_probe(timeout_s: float) -> bool:
     """Whether the TPU backend can initialize within the budget, checked
     in a fresh subprocess (the only way to bound a blocking native
     init).  HISTORIAN_TPU_BOOT_TIMEOUT tunes the budget; 0 disables.
-    A success stamp younger than 5 minutes short-circuits the probe."""
+    A success stamp younger than 5 minutes short-circuits the probe
+    (the in-process init is then watched by _watched_init instead)."""
     import os
     import subprocess
     import time
@@ -427,8 +469,9 @@ def main(argv: list[str] | None = None) -> int:
         from historian_tpu.parallel.dist import init_from_env as _dist_init
 
         _dist_init()
+        watch_s = float(os.environ.get("HISTORIAN_TPU_BOOT_TIMEOUT", "45")) or 60.0
         try:
-            jax.devices()
+            _watched_init(jax.devices, watch_s)
         except RuntimeError:
             if platform != "tpu":
                 raise

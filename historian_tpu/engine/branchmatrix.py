@@ -102,15 +102,32 @@ class BranchMatrix:
 
     @staticmethod
     def _fill_cells(match_emit, ins_emit, mask, trans, viterbi: bool) -> np.ndarray:
-        """Run the 3-state fill through the native host runtime (default:
-        one proposal fills one modest grid, where per-dispatch device
-        latency dominates) or the device kernel (HISTORIAN_DEVICE_BRANCH=1,
-        or when the native library is unavailable). The two implementations
-        use the same recurrences but different Delete-recursion orderings,
-        so cells can differ in the last bits."""
+        """Run the 3-state fill through the native host runtime or the
+        device kernel.  HISTORIAN_DEVICE_BRANCH=1/0 forces; default
+        'auto' routes to the device only on a LOCALLY attached
+        accelerator with a grid big enough to out-compute the host fill
+        -- the same topology-aware rule as the sibling fill and the
+        merge router (VERDICT r3 #7: promote env gates to router
+        predictions).  One proposal fills one modest banded grid, so on
+        a remote-tunnel backend per-dispatch latency always loses to the
+        native fill.  The two implementations use the same recurrences
+        but different Delete-recursion orderings, so cells can differ in
+        the last bits."""
         import os
 
-        if os.environ.get("HISTORIAN_DEVICE_BRANCH", "0") != "1":
+        env = os.environ.get("HISTORIAN_DEVICE_BRANCH", "auto")
+        want_device = env == "1"
+        if env not in ("0", "1"):
+            import jax
+
+            if jax.default_backend() in ("tpu", "gpu"):
+                from historian_tpu.ops import devicedp
+
+                want_device = (
+                    not devicedp.min_device_cells()  # local accelerator
+                    and match_emit.shape[0] * match_emit.shape[1] * 3 > 2_000_000
+                )
+        if not want_device:
             from historian_tpu.native import get_native
 
             lib = get_native()

@@ -503,6 +503,7 @@ class ForwardMatrix(DPMatrix):
         self.cells = bufpool.get(self._pool_role, (self.x_size, self.y_size, 5), self)
         x_ptr, x_src, x_lp = csr_in_edges(self.x)
         y_ptr, y_src, y_lp = csr_in_edges(self.y)
+        t0 = time.perf_counter()
         lib.forward_fill(
             self.x_size, self.y_size,
             x_ptr, x_src, x_lp, y_ptr, y_src, y_lp,
@@ -514,6 +515,11 @@ class ForwardMatrix(DPMatrix):
             np.ascontiguousarray(self.absorb), self.env_mask_u8,
             self._trans18(), self.cells,
         )
+        dt = time.perf_counter() - t0
+        from historian_tpu.ops import devicedp
+
+        # feed the router's self-calibration (ops/devicedp.host_fill_rate)
+        devicedp.observe_host_fill(int(np.count_nonzero(self.env_mask)) * 5, dt)
         self._finish_fill()
         return True
 
@@ -544,8 +550,42 @@ class ForwardMatrix(DPMatrix):
         self.start_cell = (0, 0, IMM)
         self.end_cell = (self.x_size - 1, self.y_size - 1, EEE)
 
+    def _fill_sp(self) -> bool:
+        """Mesh-sharded (sequence-parallel) fill of one long merge: the
+        x chain shards over every device of the active `-mesh` and the
+        column scan runs as a ring wavefront (parallel/spmerge.py,
+        kernel ops/sp_colforward.py).  Exact vs the single-device fill
+        up to float reassociation; False when no multi-device mesh is
+        active or the merge is too small for the ring latency to pay."""
+        from historian_tpu.parallel import spmerge
+
+        mesh = spmerge.sp_mesh()
+        if mesh is None or not spmerge.sp_merge_wins(self, mesh.devices.size):
+            return False
+        t0 = time.perf_counter()
+        cells_np = spmerge.sp_forward_cells(self, mesh)
+        if cells_np is None:
+            return False
+        from historian_tpu.ops import devicedp
+
+        if devicedp.TIMING:
+            print(
+                f"[spdp] {self.x_size - 1}x{self.y_size - 1} over "
+                f"{mesh.devices.size} devices "
+                f"band={int(np.count_nonzero(self.env_mask))} "
+                f"{time.perf_counter() - t0:.3f}s",
+                file=sys.stderr, flush=True,
+            )
+        self.cells = bufpool.get(self._pool_role, (self.x_size, self.y_size, 5), self)
+        self.cells.fill(NEG_INF)
+        self.cells[: self.x_size - 1, : self.y_size - 1] = cells_np
+        self._finish_fill()
+        return True
+
     # ------------------------------------------------------------------- fill
     def _fill(self) -> None:
+        if self._fill_sp():
+            return
         if self._fill_device():
             return
         if self._fill_native():
@@ -1462,7 +1502,70 @@ class BackwardMatrix(DPMatrix):
         if np.isfinite(back_ll) or np.isfinite(fwd.lp_end):
             rel = abs(back_ll - fwd.lp_end) / max(abs(back_ll), abs(fwd.lp_end), 1e-12)
             if rel > 0.01:
-                log_this_at(1, f"Forward ll {fwd.lp_end} != Backward ll {back_ll}")
+                self._diagnose_mismatch(back_ll)
+
+    #: grids above this cell count skip the python slow re-fill (the
+    #: diagnostic is O(cells) interpreted python, like the reference's)
+    SLOW_FILL_DIAG_MAX_CELLS = 4_000_000
+
+    def _diagnose_mismatch(self, back_ll: float) -> None:
+        """Fwd/Bwd disagreement diagnostic (the reference's slowFillTest,
+        forward.cpp:1099-1170): re-fill the Forward matrix through the
+        pure-python reference path -- no native runtime, no device
+        kernels, no SP ring -- and report where the production fill
+        diverges.  This is the tool that catches the next kernel-routing
+        bug, so it prints unconditionally to stderr."""
+        import os
+
+        fwd = self.fwd
+        lines = [
+            f"historian-tpu: WARNING: Forward log-likelihood {fwd.lp_end} != "
+            f"Backward log-likelihood {back_ll}; running slow-fill diagnostic"
+        ]
+        n_grid = fwd.x_size * fwd.y_size * 5
+        if n_grid > self.SLOW_FILL_DIAG_MAX_CELLS:
+            lines.append(
+                f"  (grid of {n_grid} state-cells exceeds the slow-fill "
+                "diagnostic budget; rerun the merge with HISTORIAN_NATIVE=0 "
+                "HISTORIAN_DEVICE_DP=0 to cross-check fills)"
+            )
+        else:
+            forced = {
+                "HISTORIAN_NATIVE": "0",
+                "HISTORIAN_DEVICE_DP": "0",
+                "HISTORIAN_SP": "0",
+            }
+            saved = {k: os.environ.get(k) for k in forced}
+            os.environ.update(forced)
+            try:
+                slow = ForwardMatrix(fwd.x, fwd.y, fwd.hmm, fwd.parent_row, fwd.env)
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
+            got, want = fwd.cells, slow.cells
+            both = np.isfinite(got) & np.isfinite(want)
+            pattern = np.isfinite(got) != np.isfinite(want)
+            delta = np.zeros_like(got)
+            delta[both] = np.abs(got[both] - want[both])
+            bad = (delta > 1e-6) | pattern
+            n_bad = int(np.count_nonzero(bad))
+            lines.append(
+                f"  slow fill: lp_end got {fwd.lp_end} want {slow.lp_end}; "
+                f"{n_bad} of {n_grid} state-cells differ (>1e-6 or "
+                f"finiteness flips)"
+            )
+            if n_bad:
+                flat = np.argmax(np.where(pattern, np.inf, delta))
+                i, j, s = np.unravel_index(flat, got.shape)
+                lines.append(
+                    f"  worst cell (i={i}, j={j}, state={s}): "
+                    f"got {got[i, j, s]} want {want[i, j, s]}"
+                )
+        sys.stderr.write("\n".join(lines) + "\n")
+        log_this_at(1, lines[0])
 
     @property
     def lp_start(self) -> float:

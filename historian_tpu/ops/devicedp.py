@@ -78,12 +78,115 @@ DEV_FILL_RATE = 2e9
 STEP_S = 6e-5
 
 
+# ---------------------------------------------------- router calibration
+# The cost-model constants above are priors fit on one host/day; both
+# sides drift (CLAUDE.md records the host fill rate moving ~2.3x between
+# phases), so the router RE-CALIBRATES from what it actually measures:
+# every native host fill reports its rate (engine/forward._fill_native),
+# resident-merge walls re-fit the per-step latency (bench probes), and a
+# one-shot ~50 ms micro-fill seeds the host rate before the first real
+# fill of a process.  VERDICT r3 #3: round 3's static constants
+# mispredicted the device win at 4.3e7 cells on a slow-host day.
+_HOST_OBS: list[float] = []
+_STEP_OBS: list[float] = []
+_PROBED_HOST: float | None = None
+
+
+def observe_host_fill(state_cells: int, seconds: float) -> None:
+    """Feed one measured native host fill into the router's host-rate
+    estimate (median of the recent window rides out scheduler noise)."""
+    if seconds > 1e-4 and state_cells > 100_000:
+        _HOST_OBS.append(state_cells / seconds)
+        del _HOST_OBS[:-16]
+
+
+def observe_resident_merge(band_cells: int, path_len: int, wall_s: float) -> None:
+    """Re-fit the device route's per-step latency from one measured
+    resident merge wall (fill + end gather + trace walk)."""
+    est = (
+        wall_s
+        - MERGE_ROUND_TRIPS * dispatch_overhead_s()
+        - band_cells / DEV_FILL_RATE
+    ) / max(path_len, 1)
+    if est > 0:
+        _STEP_OBS.append(est)
+        del _STEP_OBS[:-16]
+
+
+def _probe_host_rate() -> float:
+    """One-shot micro-fill of a dense 256x256 chain merge through the
+    native host runtime (~30 ms), run lazily the first time the router
+    needs a host rate before any production fill has been observed."""
+    global _PROBED_HOST
+    if _PROBED_HOST is not None:
+        return _PROBED_HOST
+    _PROBED_HOST = 0.0  # sentinel: no recursion while probing
+    try:
+        import time
+
+        from historian_tpu.core.seqs import FastSeq
+        from historian_tpu.engine.forward import ForwardMatrix
+        from historian_tpu.engine.pairhmm import PairHMM
+        from historian_tpu.engine.profile import Profile
+        from historian_tpu.models.presets import named_model
+        from historian_tpu.models.ratemodel import ProbModel
+
+        model = named_model("jc")
+        rng = np.random.RandomState(1)
+        n = 255
+        mk = lambda name: FastSeq(
+            name=name, seq="".join("acgt"[i] for i in rng.randint(0, 4, size=n))
+        )
+        x = Profile.from_sequence(model.components, model.alphabet, mk("x"), 0)
+        y = Profile.from_sequence(model.components, model.alphabet, mk("y"), 1)
+        hmm = PairHMM(ProbModel(model, 0.5), ProbModel(model, 0.5), model.ins_prob)
+        prev = os.environ.get("HISTORIAN_DEVICE_DP")
+        os.environ["HISTORIAN_DEVICE_DP"] = "0"
+        try:
+            dp = ForwardMatrix(x, y, hmm, 2)  # first fill warms arena/pages
+            if dp.cells is None:
+                return 0.0
+            cells = int(np.count_nonzero(dp.env_mask)) * 5
+            t0 = time.perf_counter()
+            reps = 2
+            for _ in range(reps):
+                if not dp._fill_native():
+                    return 0.0
+            _PROBED_HOST = cells * reps / (time.perf_counter() - t0)
+        finally:
+            if prev is None:
+                os.environ.pop("HISTORIAN_DEVICE_DP", None)
+            else:
+                os.environ["HISTORIAN_DEVICE_DP"] = prev
+    except Exception:
+        _PROBED_HOST = 0.0
+    return _PROBED_HOST
+
+
+def host_fill_rate() -> float:
+    """Current best estimate of the host fill throughput, state-cells/s:
+    median of observed production fills, else the startup micro-probe,
+    else the static prior."""
+    if _HOST_OBS:
+        return float(np.median(_HOST_OBS[-8:]))
+    probed = _probe_host_rate()
+    return probed if probed > 0 else HOST_FILL_RATE
+
+
+def step_s() -> float:
+    """Current best estimate of the device route's sequential per-step
+    cost (column scan + trace walk), s/step."""
+    if _STEP_OBS:
+        return float(np.median(_STEP_OBS[-8:]))
+    return STEP_S
+
+
 def device_merge_cost_s(band_cells: int, path_len: int) -> float:
     """Estimated wall of the device-resident merge route: fixed dispatch
     overhead + sequential column-scan/trace-walk latency + bulk fill."""
     return (
         MERGE_ROUND_TRIPS * dispatch_overhead_s()
-        + STEP_S * path_len
+        + step_s() * path_len
         + band_cells / DEV_FILL_RATE
     )
 
@@ -104,7 +207,7 @@ def merge_on_device(band_cells: int, path_len: int) -> bool:
     env = os.environ.get("HISTORIAN_DEVICE_MIN_CELLS")
     if env is not None:
         return band_cells >= int(float(env))
-    return band_cells / HOST_FILL_RATE >= device_merge_cost_s(band_cells, path_len)
+    return band_cells / host_fill_rate() >= device_merge_cost_s(band_cells, path_len)
 
 
 def dispatch_overhead_s() -> float:
@@ -152,7 +255,7 @@ def min_device_cells() -> int:
     ov = dispatch_overhead_s()
     if ov < 2e-3:
         return 0  # locally attached accelerator
-    return int(MERGE_ROUND_TRIPS * ov * HOST_FILL_RATE)
+    return int(MERGE_ROUND_TRIPS * ov * host_fill_rate())
 
 
 def small_work_device():
@@ -565,9 +668,16 @@ def _factored_absorb_vecmask():
         return _FACTORED_ABSORB_VECMASK
 
     @jax.jit
-    def factored(ey_e, ex_e, shift_y, shift_x, m2, m1, dist, yne, xns):
+    def factored(ey_e, ex_e, shift_y, shift_x, m2, m1, dist, yne, xns, ny, nx):
         dense = jnp.log(ey_e @ ex_e.T) + shift_y[:, None] + shift_x[None, :]
-        mask = (
+        # AND with the real-region bounds so pad rows/cols are ALWAYS
+        # out-of-band, exactly like the host-built index mask (a real row
+        # with y_near_end would otherwise mark every pad column in-band)
+        in_range = (
+            (jnp.arange(ey_e.shape[0]) < ny)[:, None]
+            & (jnp.arange(ex_e.shape[0]) < nx)[None, :]
+        )
+        mask = in_range & (
             yne[:, None]
             | xns[None, :]
             | (jnp.abs(m2[:, None] - m1[None, :]) <= dist)
@@ -753,6 +863,7 @@ def col_forward_cells(dp, keep: bool = False):
                 jnp.asarray(shift_y), jnp.asarray(shift_x),
                 jnp.asarray(m2), jnp.asarray(m1), jnp.int32(dist),
                 jnp.asarray(yne), jnp.asarray(xns),
+                jnp.int32(ny), jnp.int32(nx),
             )
         else:
             absorb_d, mask_d = _factored_absorb()(

@@ -526,7 +526,57 @@ class Reconstructor:
 
         import time as _time
 
-        for group in groups:
+        def _chunk_level(group: list[int]) -> list[list[int]]:
+            """Split one tree level so the merges held in flight together
+            stay under an aggregate memory budget.  Phase A-D pipelining
+            holds EVERY matrix of a chunk concurrently (device planes or
+            host cell tensors), where the sequential order freed each
+            before the next -- a level of several 6k x 6k merges would
+            otherwise multiply devicedp.TRACE_PLANES_MB by the level
+            width.  Per-merge bytes are estimated from the children's
+            profile sizes (known: children are from earlier levels)."""
+            if len(group) <= 1:
+                return [group]
+            budget = devicedp.TRACE_PLANES_MB * 2 * 1e6
+            chunks: list[list[int]] = []
+            cur: list[int] = []
+            cur_bytes = 0
+            for node in group:
+                if tree.is_leaf(node):
+                    cur.append(node)
+                    continue
+                l_c, r_c = tree.children(node)
+                sx, sy = prof[l_c].size - 1, prof[r_c].size - 1
+                # worst case of the two fill residencies: device-resident
+                # f32 planes (bucketed) vs host f64 cell tensor
+                est = max(
+                    5 * devicedp._bucket(sx) * devicedp._bucket(sy) * 4,
+                    (sx + 2) * (sy + 2) * 5 * 8,
+                )
+                if cur and cur_bytes + est > budget:
+                    chunks.append(cur)
+                    cur, cur_bytes = [], 0
+                cur.append(node)
+                cur_bytes += est
+            if cur:
+                chunks.append(cur)
+            return chunks
+
+        def _iter_groups():
+            # lazy: a level is chunked only when reached, after earlier
+            # levels have built the children profiles the estimate reads
+            for g in groups:
+                if pipelined:
+                    yield from _chunk_level(g)
+                else:
+                    yield g
+
+        from historian_tpu.parallel import spmerge
+
+        place = spmerge.dp_placement_devices()
+        n_placed = 0
+
+        for group in _iter_groups():
             # Drop the previous group's matrices BEFORE building the next
             # ForwardMatrix: backward holds forward, and a live previous
             # owner makes bufpool fall back to fresh (cold-page) storage.
@@ -535,7 +585,12 @@ class Reconstructor:
             want_bwd_of: dict[int, bool] = {}
             _t0 = _time.perf_counter()
 
-            # phase A: enqueue every merge fill in the group
+            # phase A: enqueue every merge fill in the group.  With a
+            # multi-device `-mesh`, independent same-level merges place
+            # round-robin over the mesh devices (dp axis: each device
+            # fills its merges concurrently while the host enqueues the
+            # rest); long merges route through the SP ring instead
+            # (engine/forward._fill_sp) and use every device at once.
             for node in group:
                 if tree.is_leaf(node):
                     prof[node] = Profile.from_sequence(
@@ -544,9 +599,19 @@ class Reconstructor:
                     )
                     prof[node].name = tree.node_name(node)
                     continue
-                fwd_of[node], want_bwd_of[node] = self._merge_forward(
-                    dataset, tree, model, sumprod, prof, node, block=False
-                )
+                import contextlib
+
+                if place:
+                    import jax
+
+                    ctx = jax.default_device(place[n_placed % len(place)])
+                    n_placed += 1
+                else:
+                    ctx = contextlib.nullcontext()
+                with ctx:
+                    fwd_of[node], want_bwd_of[node] = self._merge_forward(
+                        dataset, tree, model, sumprod, prof, node, block=False
+                    )
 
             _tA = _time.perf_counter()
 

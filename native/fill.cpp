@@ -724,7 +724,10 @@ extern "C" void sibling_fill(
   #pragma omp parallel for schedule(static) reduction(+:live) if (total_cells > (1 << 20))
   for (int64_t c = 0; c < total_cells; ++c) live += mask[c] != 0;
   const int64_t wmax = (sx - 1) + (sy - 1);
-  if (live >= (wmax + 1) * (1 << 30)) {  // TEMP: row-major always
+  // >= 128 live cells per diagonal on average: enough work per OMP fork
+  // (a banded gp120 mcmc grid averages ~band-width live/diag and stays
+  // sequential; dense wide grids take the wavefront)
+  if (live >= (wmax + 1) * 128) {
     for (int64_t w = 0; w <= wmax; ++w) {
       const int64_t x_lo = w > sy - 1 ? w - (sy - 1) : 0;
       const int64_t x_hi = w < sx - 1 ? w : sx - 1;

@@ -239,3 +239,27 @@ def test_backward_golden(ref_data, seq_file, golden):
     # descending posterior order, as the reference's priority queue pops
     probs_list = [lpp for lpp, _ in got]
     assert probs_list == sorted(probs_list, reverse=True)
+
+
+def test_fwd_bwd_mismatch_diagnostic(ref_data, capsys):
+    """Forced corruption of the forward fill must trigger the slow-fill
+    diagnostic (reference forward.cpp:1099-1170): the 0.01 consistency
+    check re-fills through the pure-python path and reports the
+    divergent cells on stderr."""
+    seqs = read_fasta(data(ref_data, "testforward.len2.fa"))
+    model = RateModel.from_file(data(ref_data, "testforward.jukescantor.json"))
+    probs = ProbModel(model, 1.0)
+    hmm = PairHMM(probs, probs, model.ins_prob)
+    xprof = Profile.from_sequence(1, model.alphabet, seqs[0], 1)
+    yprof = Profile.from_sequence(1, model.alphabet, seqs[1], 2)
+    fwd = ForwardMatrix(xprof, yprof, hmm, 0, GuideAlignmentEnvelope())
+    # corrupt one live cell and the end gather (a kernel-routing bug's
+    # signature: fill values inconsistent with the backward pass)
+    fwd.ensure_cells()
+    fwd.cells[1, 1, 0] += 5.0
+    fwd.lp_end += 5.0
+    BackwardMatrix(fwd)
+    err = capsys.readouterr().err
+    assert "running slow-fill diagnostic" in err
+    assert "state-cells differ" in err
+    assert "worst cell" in err

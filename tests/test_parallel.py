@@ -400,3 +400,58 @@ def test_sp_col_forward_production_merge(ref_data):
     hx = np.where(np.isfinite(host), host, -1e99)
     gx = np.where(got < -1e25, -1e99, got)
     np.testing.assert_allclose(gx, hx, rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_recon_through_sp_router(ref_data, monkeypatch):
+    """Full production recon driven through the ROUTER with the SP merge
+    route engaged on an 8-device mesh (-mesh 8 + forced SP): the output
+    must match the meshless run byte-for-byte and the golden file
+    (reference recon.cpp:917-1052 merge loop; SP design SURVEY 2.7)."""
+    import io
+
+    from historian_tpu.parallel import spmerge
+    from historian_tpu.parallel.pcounts import clear_mesh, set_mesh
+    from historian_tpu.recon import FORMAT_FASTA, Reconstructor
+
+    def run():
+        r = Reconstructor()
+        r.guide_align_try_all_pairs = True
+        r.diag_env_params.sparse = False
+        r.max_distance_from_guide = 40
+        r.min_post_prob = 0.001
+        r.use_posteriors_for_profile = True
+        r.refine_reconstruction = False
+        r.output_format = FORMAT_FASTA
+        r.model_filename = os.path.join(ref_data, "testcount.jukescantor.json")
+        r.fasta_guide_filenames = [os.path.join(ref_data, "testcount.fa")]
+        r.tree_filename = os.path.join(ref_data, "testcount.nh")
+        r.load_model()
+        r.load_seqs()
+        r.reconstruct_all()
+        buf = io.StringIO()
+        r.write_recon(buf)
+        return buf.getvalue()
+
+    host = run()
+    with open(os.path.join(ref_data, "testcount.historian.fa")) as f:
+        assert host == f.read()
+
+    calls = [0]
+    orig = spmerge.sp_forward_cells
+
+    def counting(dp, mesh):
+        out = orig(dp, mesh)
+        if out is not None:
+            calls[0] += 1
+        return out
+
+    monkeypatch.setenv("HISTORIAN_SP", "1")
+    monkeypatch.setattr(spmerge, "sp_forward_cells", counting)
+    set_mesh(8)
+    try:
+        sp = run()
+    finally:
+        clear_mesh()
+    assert calls[0] > 0, "no merge routed through the SP ring"
+    assert sp == host
