@@ -369,6 +369,15 @@ class ForwardMatrix(DPMatrix):
         self._trace_handle = None
         self._trace_values: dict = {}
         self._prefetched = None  # (n_samples, include_best, raw device tuple)
+        shapes_path = os.environ.get("HISTORIAN_MERGE_SHAPES")
+        if shapes_path:
+            # merge-shape capture for the single-core C++ e2e anchor
+            # (tools/bench_baseline.cpp recon mode): "X Y band-state-cells"
+            with open(shapes_path, "a") as f:
+                f.write(
+                    f"{self.x_size - 1} {self.y_size - 1} "
+                    f"{int(np.count_nonzero(self.env_mask)) * 5}\n"
+                )
         self._fill()
 
     #: lp_end is a plain attribute on every path except the device-

@@ -11,6 +11,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 
 def _run_cli(args, cwd):
     env = dict(os.environ)
@@ -31,6 +33,7 @@ def _ungapped_copy(src, dst):
             f.write(f">{name}\n{seq.replace('-', '').replace(chr(10), '')}\n")
 
 
+@pytest.mark.slow
 def test_fit_checkpoint_resume_reproduces_uninterrupted(ref_data, tmp_path):
     seqs = str(tmp_path / "seqs.fa")
     _ungapped_copy(os.path.join(ref_data, "testcount.fa"), seqs)
@@ -59,6 +62,7 @@ def test_fit_checkpoint_resume_reproduces_uninterrupted(ref_data, tmp_path):
     assert resumed.stdout == full.stdout
 
 
+@pytest.mark.slow
 def test_mcmc_checkpoint_resume_reproduces_uninterrupted(ref_data, tmp_path):
     base = [
         "mcmc", "-fast", "-norefine", "-samples", "2", "-seed", "11",
@@ -86,6 +90,7 @@ def test_mcmc_checkpoint_resume_reproduces_uninterrupted(ref_data, tmp_path):
     assert resumed.stdout == full.stdout
 
 
+@pytest.mark.slow
 def test_checkpoint_for_different_inputs_ignored(ref_data, tmp_path):
     """A leftover snapshot on the same -checkpoint path but written for
     DIFFERENT input sequences must start fresh (with a warning), never

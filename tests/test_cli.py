@@ -160,6 +160,7 @@ def test_fit_em_loglik_monotone(ref_data):
         assert b >= a - 1e-9, (a, b)
 
 
+@pytest.mark.slow
 def test_every_documented_flag_is_handled(ref_data):
     """CLI robustness: every flag named in the help text parses without a
     traceback (clean run or clean one-line error, never a crash)."""

@@ -62,6 +62,7 @@ def _run_cli(args, extra_env, timeout=600):
     )
 
 
+@pytest.mark.slow
 def test_two_process_dataset_sharding(ref_data, tmp_path):
     """count with TWO datasets across two processes: each process counts
     its round-robin shard and the partials allreduce -- the in-memory
@@ -113,6 +114,7 @@ def test_two_process_dataset_sharding(ref_data, tmp_path):
     assert_text_match(payload(out0), payload(out_single), sig_figs=6)
 
 
+@pytest.mark.slow
 def test_two_process_count_matches_single(ref_data):
     single = _run_count(ref_data, {}, mesh=4)
     out_single, err_single = single.communicate(timeout=600)

@@ -35,6 +35,7 @@ def _jobs(ref_data, sparse: bool):
     return model, jobs
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("sparse", [False, True], ids=["full", "sparse"])
 def test_device_guide_matches_host(ref_data, monkeypatch, sparse):
     model, jobs = _jobs(ref_data, sparse)

@@ -50,6 +50,7 @@ def test_graft_entry_runs():
     assert np.isfinite(float(lp))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as g
 
@@ -144,6 +145,7 @@ def test_forward_matches_exhaustive_path_enumeration(ref_data):
         assert abs(float(lp_kernel) - lp_brute) < 1e-9, (x_seq, y_seq, float(lp_kernel), lp_brute)
 
 
+@pytest.mark.slow
 def test_fuzz_random_models_kernel_vs_host(ref_data):
     """Seeded fuzz: random reversible-ish rate models and random sequence
     pairs; the device chain kernel and the host DAG fill must agree."""

@@ -113,6 +113,7 @@ def test_batched_distances_match_host(ref_data):
     np.testing.assert_allclose(device, host, rtol=2e-2, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_nj_amino_golden(ref_data):
     """Protein case: PF16593.testspan.fa -> PF16593.testspan.testnj.nh."""
     model = RateModel.from_file(data(ref_data, "testamino.json"))
@@ -248,6 +249,7 @@ def test_quickalign_matches_exhaustive_max_path(ref_data):
         assert abs(r.end - best[0]) < 1e-9, (case, x, y, r.end, best[0])
 
 
+@pytest.mark.slow
 def test_upgma_amino_golden(ref_data):
     """Protein UPGMA case (reference Makefile:276): PF16593.testspan.fa
     under the amino model -> PF16593.testspan.testupgma.nh."""

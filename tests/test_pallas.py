@@ -60,6 +60,7 @@ def test_pallas_tiled_single_partial_tile(ref_data, interpret_pallas):
     assert abs(float(lp_scan) - float(lp[0])) < 1e-3
 
 
+@pytest.mark.slow
 def test_pallas_col_forward_matches_xla_kernel(ref_data, interpret_pallas):
     """Pallas column-major kernel (interpret mode) vs the XLA column
     kernel on a synthetic chain-x x DAG-y pair with nulls, forks, and a

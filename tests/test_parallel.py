@@ -194,6 +194,7 @@ def test_counts_pytree_roundtrip_and_psum_on_mesh(ref_data):
     assert abs(device_total.indel.lp - host_total.indel.lp) < 1e-9
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_sp", [2, 4, 8])
 def test_sp_pair_forward_matches_single_chip(ref_data, n_sp):
     """Column-sharded wavefront Forward == single-device scan kernel."""
@@ -214,6 +215,7 @@ def test_sp_pair_forward_matches_single_chip(ref_data, n_sp):
     assert abs(float(lp_single) - float(lp_sp)) < 1e-9
 
 
+@pytest.mark.slow
 def test_sp_pair_forward_banded(ref_data):
     """Sharded fill agrees under a banded envelope mask (odd Y => padding)."""
     import jax
@@ -239,6 +241,7 @@ def test_sp_pair_forward_banded(ref_data):
     assert abs(float(lp_single) - float(lp_sp)) < 1e-9
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_pp", [2, 3, 8])
 def test_pp_pipeline_matches_single_chip(ref_data, n_pp):
     """Row-block pipeline stages over microbatched pairs == scan kernel."""
@@ -301,6 +304,7 @@ def test_dp_sp_mesh_composition(ref_data):
     np.testing.assert_allclose(lp, lps, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_distributed_init_single_host_count(ref_data, tmp_path):
     """jax.distributed bring-up (single-process, loopback coordinator)
     followed by the production mesh count path: the multi-host recipe is
@@ -345,6 +349,7 @@ print("DIST-OK")
     assert "DIST-OK" in proc.stdout
 
 
+@pytest.mark.slow
 def test_sp_col_forward_production_merge(ref_data):
     """The SP (x-sharded ring-wavefront) column-major fill equals the
     single-device kernel on a REAL production merge: a gp120 leaf chain

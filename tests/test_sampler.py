@@ -280,6 +280,7 @@ def test_simulator_substitutions_match_expm():
     assert np.abs(emp - expected).max() < 0.02, np.abs(emp - expected).max()
 
 
+@pytest.mark.slow
 def test_mcmc_samples_node_height_posterior():
     """Statistical MH correctness: with the alignment fixed on a 2-leaf
     ultrametric tree, NodeHeight/Rescale moves must sample the root

@@ -136,6 +136,7 @@ def test_device_trace_chain_chain_merge(ref_data, monkeypatch):
     assert dev._device_best_path() == host.best_trace()
 
 
+@pytest.mark.slow
 def test_device_trace_end_to_end_recon(ref_data):
     """recon -fast with device fills + device tracebacks produces a valid
     reconstruction (leaves preserved; deterministic given the seed)."""

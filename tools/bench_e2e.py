@@ -70,6 +70,68 @@ def lp_of(out: str) -> float | None:
     return float(m.group(1)) if m else None
 
 
+def cpp_equiv(args: list[str], best_wall_s: float) -> dict:
+    """Anchor the BASELINE.json north star: record the actual merge
+    shapes of one instrumented CPU run (HISTORIAN_MERGE_SHAPES), then
+    run the single-core C++ banded fill over exactly those shapes
+    (tools/bench_baseline.cpp recon mode, best of 3).  Returns
+    cpp_equiv_s (what the reference's single-threaded merge loop would
+    spend on this reconstruction's DP alone -- conservative: fill only)
+    and the end-to-end ratio vs our best recorded wall."""
+    import tempfile
+
+    shapes = tempfile.NamedTemporaryFile(
+        mode="r", suffix=".shapes", prefix="histmerge.", delete=False
+    )
+    try:
+        env = dict(os.environ)
+        env["HISTORIAN_MERGE_SHAPES"] = shapes.name
+        cmd = [sys.executable, "-m", "historian_tpu", *args, "-platform", "cpu"]
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=3600, cwd=REPO, env=env,
+        )
+        assert proc.returncode == 0, proc.stderr[-500:]
+        lines = open(shapes.name).read().strip().splitlines()
+        assert lines, "no merge shapes recorded"
+        src = os.path.join(HERE, "bench_baseline.cpp")
+        exe = os.path.join(HERE, "bench_baseline")
+        if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-o", exe, src],
+                check=True, capture_output=True,
+            )
+        best_ideal = best_ref = None
+        for _ in range(3):
+            out = subprocess.run(
+                [exe, "recon", shapes.name],
+                check=True, capture_output=True, text=True, timeout=3600,
+            )
+            ideal, ref_shaped = (float(v) for v in out.stdout.split())
+            best_ideal = ideal if best_ideal is None else min(best_ideal, ideal)
+            best_ref = ref_shaped if best_ref is None else min(best_ref, ref_shaped)
+        return {
+            "merge_shapes": [
+                dict(zip(("x", "y", "band_state_cells"), map(int, ln.split())))
+                for ln in lines
+            ],
+            "cpp_ideal_s": round(best_ideal, 3),
+            "cpp_equiv_s": round(best_ref, 3),
+            "vs_cpp_equiv": round(best_ref / best_wall_s, 3),
+            "cpp_equiv_note": (
+                "single-core C++ banded fill over the recorded merge shapes "
+                "(bench_baseline.cpp recon mode).  cpp_ideal_s = dense-array "
+                "linear-space lower bound; cpp_equiv_s = reference-shaped "
+                "(map cellStorage + log-space absorb, forward.h:22/112-124). "
+                "DP fill only -- the reference's full recon also pays guide/"
+                "tree/traceback, and OUR wall includes ~2.3s jax boot; on "
+                "this tiny flagship input the DP is not the bottleneck for "
+                "either side (see long-merge benches for the compute story)"
+            ),
+        }
+    finally:
+        os.unlink(shapes.name)
+
+
 def main() -> None:
     n = int(os.environ.get("E2E_REPS", "3"))
     names = sys.argv[1:] or list(WORKLOADS)
@@ -95,6 +157,11 @@ def main() -> None:
         if lps.get("cpu") is not None:
             entry["lp_cpu"] = lps["cpu"]
             entry["lp_tpu"] = lps["tpu"]
+        if name == "recon_gp120":
+            try:
+                entry.update(cpp_equiv(args, min(min(walls["cpu"]), min(walls["tpu"]))))
+            except Exception as e:  # anchor failures must not lose the walls
+                entry["cpp_equiv_error"] = f"{type(e).__name__}: {e}"[:200]
         results[name] = entry
         print(json.dumps({name: entry}), file=sys.stderr)
         # write incrementally: a crash or timeout on a later workload must
