@@ -495,6 +495,63 @@ def bench_codon() -> dict:
     }
 
 
+def bench_roofline() -> dict:
+    """Empirical attainable bound for the DP recurrence (docs/ROOFLINE.md).
+
+    The 5-state Forward DP is LOGSUMEXP-BOUND on the VPU: the recurrence
+    has no matmul, so bf16-MXU MFU is structurally irrelevant -- the
+    honest ceiling is how many dependent logaddexp ops the vector unit
+    sustains.  Measure it directly: a K-deep chained jnp.logaddexp over
+    a VMEM-resident block (compute-bound: one load/store per K ops),
+    then divide by the ~18 lse per state-cell to get the attainable
+    state-cells/s the headline kernel is chasing."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    N = 1 << 20  # f32 elements (4 MB block)
+    K = 64
+
+    @partial(jax.jit, static_argnames="reps")
+    def chain_all(x, c0, reps):
+        # ALL reps inside one jit: exactly one dispatch + one scalar
+        # readback, so remote-tunnel RTT cannot masquerade as compute
+        def rep(v, c):
+            def body(i, u):
+                return jnp.logaddexp(u, u * c)
+
+            v = jax.lax.fori_loop(0, K, body, v)
+            return v, v[0, 0]
+
+        _, lasts = jax.lax.scan(rep, x, c0)
+        return jnp.sum(lasts)
+
+    x = jnp.full((8, N // 8), -1.0, jnp.float32)
+
+    def timed(reps):
+        cs = jnp.float32(0.999) - 1e-6 * jnp.arange(reps, dtype=jnp.float32)
+        float(chain_all(x, cs, reps))  # compile + warm
+        t0 = time.perf_counter()
+        assert np.isfinite(float(chain_all(x, cs + 1e-7, reps)))
+        return time.perf_counter() - t0
+
+    # differential: the (dt2 - dt1) slope cancels dispatch/readback RTT
+    r1, r2 = 64, 192
+    dt1, dt2 = timed(r1), timed(r2)
+    lse_per_s = N * K * (r2 - r1) / max(dt2 - dt1, 1e-9)
+    LSE_PER_CELL = 18  # logaddexp ops per 5-state cell (ops/pairforward)
+    attain = lse_per_s / LSE_PER_CELL
+    return {
+        "unit": "lse/s (chained logaddexp, VMEM-resident)",
+        "vpu_lse_per_s": round(lse_per_s),
+        "lse_per_state_cell": LSE_PER_CELL,
+        "attainable_state_cells_per_s": round(attain),
+        "note": "see docs/ROOFLINE.md: the DP is lse-bound on the VPU; "
+                "MXU bf16 MFU is not the relevant ceiling",
+    }
+
+
 def bench_fit_estep() -> dict:
     """The fit/count hot loop (reference forward.cpp:1183-1214 analogue):
     Felsenstein up/down fill + eigencount contraction over alignment
@@ -628,6 +685,9 @@ def _extras_digest(extras: dict) -> dict:
     f = extras.get("fit_estep")
     if isinstance(f, dict):
         d["fit_estep_vs_host"] = f.get("vs_baseline")
+    rl = extras.get("roofline")
+    if isinstance(rl, dict):
+        d["attainable_cells_per_s"] = rl.get("attainable_state_cells_per_s")
     c = extras.get("codon_pair_forward")
     if isinstance(c, dict):
         d["codon_vs_cpp"] = c.get("vs_baseline")
@@ -653,6 +713,7 @@ def main() -> None:
     flops = device_rate * DP_FLOPS_PER_CELL
     extras = {}
     for name, fn in (
+        ("roofline", bench_roofline),
         ("production_col_forward", bench_production_col_kernel),
         ("router_crossover", bench_router_crossover),
         ("codon_pair_forward", bench_codon),

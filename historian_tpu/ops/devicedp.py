@@ -690,6 +690,80 @@ def _factored_absorb_vecmask():
     return _FACTORED_ABSORB_VECMASK
 
 
+def _oneshot_vecmask_pallas():
+    """Single-dispatch RESIDENT fill: factored emission matmul (MXU),
+    on-device vector band mask, mask gate, and the pallas column kernel
+    in ONE jit -- one dispatch round trip per merge instead of three.
+    The emission stays an XLA op OUTSIDE the sequential scan, where its
+    DMA overlaps compute (in-kernel fusion measured 12x slower)."""
+    global _ONESHOT_VECMASK
+    if "_ONESHOT_VECMASK" in globals():
+        return _ONESHOT_VECMASK
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from historian_tpu.ops.pallas_colforward import pallas_col_forward_cells
+
+    @partial(jax.jit, static_argnames=("ring",))
+    def run(y_src, y_lp, y_flags, ey_e, ex_e, shift_y, shift_x,
+            m2, m1, dist, yne, xns, ny, nx, xvec, trans, *, ring):
+        dense = jnp.log(ey_e @ ex_e.T) + shift_y[:, None] + shift_x[None, :]
+        in_range = (
+            (jnp.arange(ey_e.shape[0]) < ny)[:, None]
+            & (jnp.arange(ex_e.shape[0]) < nx)[None, :]
+        )
+        mask = in_range & (
+            yne[:, None]
+            | xns[None, :]
+            | (jnp.abs(m2[:, None] - m1[None, :]) <= dist)
+        )
+        neg = jnp.asarray(NEG, dense.dtype)
+        absorb = jnp.where(mask, jnp.maximum(dense, neg), neg)
+        maskg = jnp.where(mask, jnp.float32(0), jnp.float32(NEG))
+        return pallas_col_forward_cells(
+            y_src, y_lp, y_flags, absorb, maskg, xvec, trans, ring=ring
+        )
+
+    _ONESHOT_VECMASK = run
+    return run
+
+
+def _oneshot_idx_pallas():
+    """Single-dispatch FULL-READBACK fill: factored emission, index-built
+    mask, pallas column kernel, and the in-band gather in one jit; the
+    one readback ships only the banded cells."""
+    global _ONESHOT_IDX
+    if "_ONESHOT_IDX" in globals():
+        return _ONESHOT_IDX
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from historian_tpu.ops.pallas_colforward import pallas_col_forward_cells
+
+    @partial(jax.jit, static_argnames=("ring",))
+    def run(y_src, y_lp, y_flags, ey_e, ex_e, shift_y, shift_x,
+            idx, xvec, trans, *, ring):
+        SY, SX = ey_e.shape[0], ex_e.shape[0]
+        dense = jnp.log(ey_e @ ex_e.T) + shift_y[:, None] + shift_x[None, :]
+        mask = (
+            jnp.zeros((SY * SX,), bool).at[idx].set(True, mode="drop")
+        ).reshape(SY, SX)
+        neg = jnp.asarray(NEG, dense.dtype)
+        absorb = jnp.where(mask, jnp.maximum(dense, neg), neg)
+        maskg = jnp.where(mask, jnp.float32(0), jnp.float32(NEG))
+        planes = pallas_col_forward_cells(
+            y_src, y_lp, y_flags, absorb, maskg, xvec, trans, ring=ring
+        )
+        return planes.reshape(5, -1).T[idx]
+
+    _ONESHOT_IDX = run
+    return run
+
+
 def _to_planes_col():
     """jitted [SY, SX, 5] -> [5, SY, SX] canonicalizer (device-side)."""
     import jax
@@ -813,7 +887,12 @@ def col_forward_cells(dp, keep: bool = False):
     # 8-slot ring, which stretches the VMEM budget to SX ~ 49k lanes --
     # the long-sequence path; sampled-profile DAGs (p99 dist ~27) use
     # 32-64 and gp120's max (109) uses the full 128.
-    from historian_tpu.ops.pallas_colforward import MAX_SX, RING
+    from historian_tpu.ops.pallas_colforward import (
+        FUSED_MAX_CA,
+        FUSED_MAX_SMEM,
+        MAX_SX,
+        RING,
+    )
 
     ring = 8
     while ring <= ay["maxdist"]:
@@ -825,9 +904,39 @@ def col_forward_cells(dp, keep: bool = False):
         and ring * SX <= RING * MAX_SX  # VMEM ring budget (~12.6 MB)
         and os.environ.get("HISTORIAN_PALLAS_COL", "1") == "1"
     )
+    # fully fused route: emission matmul AND band mask built inside the
+    # pallas kernel from O(L) factors -- no [SY, SX] absorb/mask planes
+    # ever touch HBM and the separate XLA emission dispatch disappears.
+    # Gated by the SMEM budget (ey factors ride scalar prefetch).
+    ca_pad = -(-CA // 8) * 8
+    # in-kernel emission fusion is OPT-IN: measured 12x SLOWER than the
+    # streamed design on v5e (the per-grid-step MXU matmul serializes
+    # into the sequential column chain, ~2.8 ms/step stall, where the
+    # streamed absorb DMA overlaps compute for free).  The dispatch-count
+    # win it chased is delivered by the ONE-SHOT route below instead.
+    use_fused = (
+        use_pallas
+        and use_factored
+        and CA <= FUSED_MAX_CA
+        and (KY * 8 + 32) * SY <= FUSED_MAX_SMEM
+        # VMEM: ring scratch (ring*8*SX*4 B) + resident ex_t (ca_pad*SX*4)
+        and (ring * 8 + ca_pad) * SX * 4 <= RING * MAX_SX * 32
+        and os.environ.get("HISTORIAN_PALLAS_FUSED", "0") == "1"
+    )
+    # one-shot route: emission matmul (MXU), band mask, mask gate, the
+    # pallas column kernel, and (full-readback path) the band gather all
+    # inside ONE jit -- one dispatch round trip per merge instead of 3-4,
+    # with the emission still an overlapped XLA op outside the scan
+    use_oneshot = (
+        use_pallas
+        and use_factored
+        and not use_fused
+        and os.environ.get("HISTORIAN_PALLAS_ONESHOT", "1") == "1"
+    )
     t1 = _time.perf_counter()
     if idx is not None:
         idx_d = jnp.asarray(idx)
+    absorb_d = mask_d = None
     if use_factored:
         ex_f = np.zeros((SX, CA), dtype)
         ex_f[:nx] = fx[:nx]
@@ -837,7 +946,7 @@ def col_forward_cells(dp, keep: bool = False):
         shift_x[:nx] = sxs[:nx] + tx
         shift_y = np.zeros(SY, dtype)
         shift_y[:ny] = sys_[:ny]
-        if vec_mask:
+        if vec_mask or use_fused:
             ev = getattr(dp, "env_vectors", None)
             if ev is None:  # uninitialized envelope: all-True inside
                 m1 = np.zeros(SX, np.int32)
@@ -858,6 +967,9 @@ def col_forward_cells(dp, keep: bool = False):
                 # real rows pass via distance 0; pads must still fail
                 m1[nx:] = 1 << 29
                 m2[ny:] = -(1 << 29)
+        if use_fused or use_oneshot:
+            pass  # factors go straight into the (one-shot) kernel below
+        elif vec_mask:
             absorb_d, mask_d = _factored_absorb_vecmask()(
                 jnp.asarray(ey_f), jnp.asarray(ex_f),
                 jnp.asarray(shift_y), jnp.asarray(shift_x),
@@ -873,7 +985,47 @@ def col_forward_cells(dp, keep: bool = False):
     else:
         absorb_d, mask_d = scatter_absorb(jnp.asarray(vals), idx_d, SY, SX)
 
-    if use_pallas:
+    if use_fused:
+        from historian_tpu.ops.pallas_colforward import (
+            pallas_col_forward_cells_fused,
+        )
+
+        y_flags = np.zeros((SY, 8), np.float32)
+        y_flags[:, 0] = y_null
+        y_flags[:, 1] = y_ready
+        y_flags[:, 2] = rsy
+        y_flags[:, 3] = isy
+        y_flags[:, 4] = m2
+        y_flags[:, 5] = yne
+        y_flags[:, 6] = shift_y
+        xvec = np.zeros((8, SX), np.float32)
+        xvec[0] = rsx
+        xvec[1] = isx
+        xvec[2] = np.where(x_ready, 0.0, NEG)
+        xvec[3] = np.where(x_eos, 0.0, NEG)
+        xvec[4] = shift_x
+        xvec[5] = m1
+        xvec[6] = xns
+        xvec[7, :nx] = 1.0
+        ex_t = np.zeros((ca_pad, SX), np.float32)
+        ex_t[:CA] = ex_f.T
+        ey_p = np.zeros((SY, ca_pad), np.float32)
+        ey_p[:, :CA] = ey_f
+        params = np.zeros(32, np.float32)
+        params[:23] = trans
+        params[23] = dist
+        params[24] = ny
+        planes = pallas_col_forward_cells_fused(
+            jnp.asarray(y_src), jnp.asarray(y_lp), jnp.asarray(y_flags),
+            jnp.asarray(ey_p), jnp.asarray(ex_t),
+            jnp.asarray(xvec), jnp.asarray(params),
+            ring=ring,
+        )
+        t2 = _time.perf_counter()
+        if keep:
+            return DeviceTraceFill(dp, planes, nx, ny, idx_d, mask_t, n_in)
+        out = np.asarray(_gather_planes()(planes, idx_d))
+    elif use_pallas:
         from historian_tpu.ops.pallas_colforward import pallas_col_forward_cells
 
         y_flags = np.zeros((SY, 4), np.float32)
@@ -886,16 +1038,40 @@ def col_forward_cells(dp, keep: bool = False):
             np.where(x_ready, 0.0, NEG).astype(dtype),
             np.where(x_eos, 0.0, NEG).astype(dtype),
         ])
-        maskg_d = _maskgate()(mask_d)
-        planes = pallas_col_forward_cells(
-            jnp.asarray(y_src), jnp.asarray(y_lp), jnp.asarray(y_flags),
-            absorb_d, maskg_d, jnp.asarray(xvec), jnp.asarray(trans),
-            ring=ring,
-        )
-        t2 = _time.perf_counter()
-        if keep:
-            return DeviceTraceFill(dp, planes, nx, ny, idx_d, mask_t, n_in)
-        out = np.asarray(_gather_planes()(planes, idx_d))
+        if use_oneshot and vec_mask:
+            planes = _oneshot_vecmask_pallas()(
+                jnp.asarray(y_src), jnp.asarray(y_lp), jnp.asarray(y_flags),
+                jnp.asarray(ey_f), jnp.asarray(ex_f),
+                jnp.asarray(shift_y), jnp.asarray(shift_x),
+                jnp.asarray(m2), jnp.asarray(m1), jnp.int32(dist),
+                jnp.asarray(yne), jnp.asarray(xns),
+                jnp.int32(ny), jnp.int32(nx),
+                jnp.asarray(xvec), jnp.asarray(trans), ring=ring,
+            )
+            t2 = _time.perf_counter()
+            if keep:
+                return DeviceTraceFill(dp, planes, nx, ny, idx_d, mask_t, n_in)
+            out = np.asarray(_gather_planes()(planes, idx_d))
+        elif use_oneshot:
+            out_d = _oneshot_idx_pallas()(
+                jnp.asarray(y_src), jnp.asarray(y_lp), jnp.asarray(y_flags),
+                jnp.asarray(ey_f), jnp.asarray(ex_f),
+                jnp.asarray(shift_y), jnp.asarray(shift_x),
+                idx_d, jnp.asarray(xvec), jnp.asarray(trans), ring=ring,
+            )
+            t2 = _time.perf_counter()
+            out = np.asarray(out_d)
+        else:
+            maskg_d = _maskgate()(mask_d)
+            planes = pallas_col_forward_cells(
+                jnp.asarray(y_src), jnp.asarray(y_lp), jnp.asarray(y_flags),
+                absorb_d, maskg_d, jnp.asarray(xvec), jnp.asarray(trans),
+                ring=ring,
+            )
+            t2 = _time.perf_counter()
+            if keep:
+                return DeviceTraceFill(dp, planes, nx, ny, idx_d, mask_t, n_in)
+            out = np.asarray(_gather_planes()(planes, idx_d))
     else:
         planes = None
         cells_dev = col_pair_forward_cells(
@@ -919,7 +1095,7 @@ def col_forward_cells(dp, keep: bool = False):
         import sys as _sys
 
         print(
-            f"[devdp.col{'.pl' if use_pallas else ''}] SX={SX} SY={SY} "
+            f"[devdp.col{'.fz' if use_fused else '.pl' if use_pallas else ''}] SX={SX} SY={SY} "
             f"KY={KY} prep={t1 - t0:.3f} "
             f"dispatch={t2 - t1:.3f} wait+read={t3 - t2:.3f}",
             file=_sys.stderr, flush=True,

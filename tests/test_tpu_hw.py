@@ -311,13 +311,27 @@ env = GuideAlignmentEnvelope({0: ones, 1: ones}, 0, 1, W)
 os.environ['HISTORIAN_DEVICE_DP'] = '0'
 host = ForwardMatrix(x, y, hmm, 2, env)
 os.environ['HISTORIAN_DEVICE_DP'] = '1'
-h = devicedp.col_forward_device(host)
-assert h is not None, 'resident route not taken'
+
+def resident_fill():
+    h = devicedp.col_forward_device(host)
+    assert h is not None, 'resident route not taken'
+    return h
+
+# default route: ONE-SHOT (emission + mask + kernel in one dispatch)
+h = resident_fill()
 lp, traces = h.lp_end_and_traces(3, True, 7)
 assert abs(lp - host.lp_end) < 1e-3 * max(1, abs(host.lp_end)), (lp, host.lp_end)
 assert len(traces) == 4
-print('LONGMERGE-OK', lp, host.lp_end)
+t0 = time.time(); lpf = resident_fill().lp_end; oneshot_s = time.time() - t0
+# multi-dispatch route (separate emission + maskgate + kernel jits)
+os.environ['HISTORIAN_PALLAS_ONESHOT'] = '0'
+h2 = resident_fill()
+lp2 = h2.lp_end
+assert abs(lp2 - host.lp_end) < 1e-3 * max(1, abs(host.lp_end)), (lp2, host.lp_end)
+t0 = time.time(); lpu = resident_fill().lp_end; multi_s = time.time() - t0
+print('LONGMERGE-OK', lp, host.lp_end, 'oneshot_s=%.3f multi_s=%.3f' % (oneshot_s, multi_s))
 """,
-        timeout=1200,
+        timeout=1800,
     )
     assert "LONGMERGE-OK" in out
+    print(out.strip().splitlines()[-1])
