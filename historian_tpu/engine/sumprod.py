@@ -10,6 +10,8 @@ einsums over [columns, nodes, components, alphabet] tensors.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -534,10 +536,35 @@ class SumProductFill:
         outputs.
         """
         if self.n_columns >= 512:
-            if self.engine.count_device_ok:
-                self._accumulate_eigen_counts_device(root_counts, eigen_counts, weight)
-            else:
-                self._accumulate_eigen_counts_device_cplx(root_counts, eigen_counts, weight)
+            import contextlib
+
+            ctx = contextlib.nullcontext()
+            if isinstance(self._device.get("F"), np.ndarray):
+                # the fill ran on the HOST (native small-batch path), so
+                # nothing is committed to an accelerator yet; when the
+                # accelerator is remote and the contraction is small,
+                # pin it to the in-process CPU backend -- uploading a
+                # sub-second contraction through the tunnel costs more
+                # in dispatch + executable loads than it saves (measured
+                # on gp120 count: 2.8 s warm / 0.4 s steady remote vs
+                # <0.2 s local; VERDICT r3 #4)
+                eng_a = self.engine.arrays
+                work = (
+                    self.n_columns * max(eng_a.n_nodes - 1, 1)
+                    * self.engine.model.components
+                    * self.engine.model.alphabet_size ** 2
+                )
+                if work < int(float(os.environ.get(
+                    "HISTORIAN_COUNT_DEVICE_MIN_CELLS", "3e7"
+                ))):
+                    from historian_tpu.ops import devicedp
+
+                    ctx = devicedp.small_work_device()
+            with ctx:
+                if self.engine.count_device_ok:
+                    self._accumulate_eigen_counts_device(root_counts, eigen_counts, weight)
+                else:
+                    self._accumulate_eigen_counts_device_cplx(root_counts, eigen_counts, weight)
             return
         self.accumulate_root_counts(root_counts, weight)
         eng = self.engine
