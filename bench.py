@@ -552,6 +552,77 @@ def bench_roofline() -> dict:
     }
 
 
+def bench_mcmc_router() -> dict:
+    """MCMC proposal-fill routing (VERDICT r3 #7): steps/s on a
+    ~300-node co-sampling chain with the topology-aware router (default:
+    sibling/branch fills pick host native vs device by the same
+    local-accelerator + grid-size rule as the merge router) vs the
+    device fills FORCED on.  On a remote-tunnel chip the router keeps
+    every proposal grid on the host OpenMP fill -- each banded proposal
+    is milliseconds of work against ~30 ms/dispatch -- so forcing the
+    device documents what the router avoids; on an attached chip the
+    >2M-cell grids flip to the device automatically."""
+    from historian_tpu.core.tree import Tree
+    from historian_tpu.engine.treealign import History, SimpleTreePrior
+    from historian_tpu.models.presets import named_model
+    from historian_tpu.sampler.sampler import Sampler
+    from historian_tpu.sampler.simulator import simulate_tree
+    from historian_tpu.utils.rng import MT19937
+
+    model = named_model("lg")
+    rng = np.random.RandomState(99)
+    n_leaves = 150
+    pts = np.sort(rng.uniform(0.05, 1.0, n_leaves))
+    dist = np.abs(pts[:, None] - pts[None, :]) + 0.05
+    np.fill_diagonal(dist, 0.0)
+    tree = Tree.upgma([f"L{i}" for i in range(n_leaves)], dist)
+    tree.assign_internal_node_names()
+    stock = simulate_tree(MT19937(1), model, tree, 180)
+    rows = tree.reorder_seqs(stock.gapped)
+
+    def chain(steps: int, seed: int) -> float:
+        sampler = Sampler(model, SimpleTreePrior(), rows, name="bench")
+        sampler.initialize(History(gapped=rows, tree=tree))
+        mt = MT19937(seed)
+        for _ in range(5):  # warm (memos, compiles)
+            sampler.sample(mt)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            sampler.sample(mt)
+        return steps / (time.perf_counter() - t0)
+
+    auto_rate = chain(60, 7)
+    saved = {
+        k: os.environ.get(k)
+        for k in ("HISTORIAN_DEVICE_SIBLING", "HISTORIAN_DEVICE_BRANCH")
+    }
+    os.environ["HISTORIAN_DEVICE_SIBLING"] = "1"
+    os.environ["HISTORIAN_DEVICE_BRANCH"] = "1"
+    try:
+        forced_rate = chain(8, 7)
+    except Exception as e:
+        forced_rate = None
+        forced_err = f"{type(e).__name__}: {e}"[:120]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    out = {
+        "unit": "MH steps/s",
+        "workload": f"{tree.n_nodes()}-node simulated ultrametric chain, LG",
+        "router_auto_steps_per_s": round(auto_rate, 2),
+        "forced_device_steps_per_s": (
+            round(forced_rate, 2) if forced_rate else forced_err
+        ),
+        "router_advantage": (
+            round(auto_rate / forced_rate, 2) if forced_rate else None
+        ),
+    }
+    return out
+
+
 def bench_fit_estep() -> dict:
     """The fit/count hot loop (reference forward.cpp:1183-1214 analogue):
     Felsenstein up/down fill + eigencount contraction over alignment
@@ -688,6 +759,10 @@ def _extras_digest(extras: dict) -> dict:
     rl = extras.get("roofline")
     if isinstance(rl, dict):
         d["attainable_cells_per_s"] = rl.get("attainable_state_cells_per_s")
+    m = extras.get("mcmc_router")
+    if isinstance(m, dict):
+        d["mcmc_steps_per_s"] = m.get("router_auto_steps_per_s")
+        d["mcmc_router_advantage"] = m.get("router_advantage")
     c = extras.get("codon_pair_forward")
     if isinstance(c, dict):
         d["codon_vs_cpp"] = c.get("vs_baseline")
@@ -718,6 +793,7 @@ def main() -> None:
         ("router_crossover", bench_router_crossover),
         ("codon_pair_forward", bench_codon),
         ("fit_estep", bench_fit_estep),
+        ("mcmc_router", bench_mcmc_router),
     ):
         try:
             extras[name] = fn()

@@ -110,20 +110,38 @@ class QuickAligner:
                 return len(x.seq) * len(y.seq)
 
             total_cells = 3 * sum(_band_cells(x, y, env) for x, y, env in jobs)
-            if total_cells >= devicedp.min_device_cells():
+            thresh = devicedp.min_device_cells()
+            if thresh:
+                # remote topology: a process's FIRST device dispatch also
+                # pays executable deserialization from the persistent
+                # cache (measured 2-3 s through the tunnel even fully
+                # cache-warm, and minutes when the compile queue is
+                # congested) -- the guide batch must out-compute that
+                # too, not just the steady dispatch overhead
+                thresh = max(thresh, int(3.0 * devicedp.host_fill_rate()))
+            if total_cells >= thresh:
                 return self._align_batch_device(jobs, progress)
             with devicedp.small_work_device():
-                return self._align_batch_host_backend(jobs, force_batch, progress)
+                # serial=True: the placement context pins work to the
+                # in-process CPU device, but jax.default_backend() still
+                # reports the accelerator -- without the override this
+                # took the BATCHED branch and paid ~20 s of CPU-XLA vmap
+                # compiles for a guide stage the serial path does in ~1 s
+                return self._align_batch_host_backend(
+                    jobs, force_batch, progress, serial=True
+                )
         return self._align_batch_host_backend(jobs, force_batch, progress)
 
-    def _align_batch_host_backend(self, jobs, force_batch: bool = False, progress=None):
+    def _align_batch_host_backend(self, jobs, force_batch: bool = False, progress=None, serial: bool | None = None):
         """The bucket-vmapped fill on whatever device placement is
         current (in-process CPU under small_work_device; the default
         backend otherwise)."""
         import jax
 
         results = [QuickAlignResult(self, x, y, env, defer_fill=True) for x, y, env in jobs]
-        if jax.default_backend() == "cpu" and not force_batch:
+        if serial is None:
+            serial = jax.default_backend() == "cpu"
+        if serial and not force_batch:
             # serial backend: batching only adds vmap-compile cost
             for k, r in enumerate(results):
                 if progress is not None:
