@@ -263,6 +263,22 @@ def psum_counts(shard_counts: list[EventCounts], alphabet, mesh: Mesh | None = N
     return arrays_to_counts(reduced, alphabet)
 
 
+def allgather_bytes(data: bytes) -> list[bytes]:
+    """Gather one byte payload per process across a multi-process launch
+    (jax.distributed); every process returns the same ordered list.
+    Rides process_allgather over length-padded uint8 arrays."""
+    from jax.experimental import multihost_utils
+
+    lens = multihost_utils.process_allgather(
+        np.array([len(data)], np.int32)
+    ).reshape(-1)
+    m = max(int(lens.max()), 1)
+    buf = np.zeros(m, np.uint8)
+    buf[: len(data)] = np.frombuffer(data, np.uint8)
+    gathered = np.asarray(multihost_utils.process_allgather(buf))
+    return [bytes(gathered[p, : int(lens[p])].tobytes()) for p in range(len(lens))]
+
+
 def allreduce_counts(partial: EventCounts, alphabet) -> EventCounts:
     """Sum per-PROCESS partial EventCounts across a multi-process launch
     (each process counted its round-robin dataset shard).  Rides the

@@ -687,13 +687,38 @@ def _reorder_history(history: History, order: list[int]) -> History:
 
 def run_mcmc_on_datasets(recon) -> None:
     """CLI entry: MCMC over the Reconstructor's datasets
-    (recon.cpp:1312-1366)."""
+    (recon.cpp:1312-1366).
+
+    Multi-process launches (jax.distributed) shard DATASETS round-robin:
+    each process runs the chains of its shard only -- per-dataset
+    trajectories are independent (the reference's round-robin allocates
+    dataset d samples_per_seq x nodes_d steps in expectation, which the
+    sharded run preserves exactly) -- and an allgather of the winning
+    histories replicates the final state on every process.  The dp form
+    of MCMC the reference has no analogue for (its only scaling story is
+    the count/sum file MapReduce)."""
     from historian_tpu.models.ratemodel import CachingRateModel
 
+    nproc, pid = 1, 0
+    from historian_tpu.parallel import dist as _dist
+
+    if _dist.is_initialized():
+        import jax
+
+        nproc, pid = jax.process_count(), jax.process_index()
+
     samplers: list[Sampler] = []
+    local_idx: list[int] = []
     prior = SimpleTreePrior()
     caching_model = CachingRateModel(recon.model)  # recon.cpp:1320
-    for ds in recon.datasets:
+    all_datasets = list(recon.datasets)
+    datasets = (
+        all_datasets if nproc == 1
+        else [ds for k, ds in enumerate(all_datasets) if k % nproc == pid]
+    )
+    if nproc > 1:
+        local_idx = [k for k in range(len(all_datasets)) if k % nproc == pid]
+    for ds in datasets:
         if not ds.has_reconstruction():
             recon.reconstruct(ds)
         tree = ds.tree.copy()
@@ -712,7 +737,11 @@ def run_mcmc_on_datasets(recon) -> None:
         sampler.use_fixed_guide = recon.fix_guide_mcmc
         if recon.mcmc_trace_filename:
             # -trace: write every sampled history to a numbered file
-            trace_path = f"{recon.mcmc_trace_filename}.{len(samplers) + 1}"
+            # (numbered by GLOBAL dataset index under multi-process runs)
+            trace_no = (
+                local_idx[len(samplers)] + 1 if nproc > 1 else len(samplers) + 1
+            )
+            trace_path = f"{recon.mcmc_trace_filename}.{trace_no}"
             trace_file = open(trace_path, "w")
 
             def log_history(history, _f=trace_file, _name=ds.name):
@@ -724,12 +753,36 @@ def run_mcmc_on_datasets(recon) -> None:
     n_samples = recon.mcmc_samples_per_seq * sum(
         s.current_history.tree.n_nodes() for s in samplers
     )
-    Sampler.run(
-        samplers, recon.generator, n_samples,
-        checkpoint_path=recon.checkpoint_filename,
-        checkpoint_every=recon.checkpoint_every,
-    )
-    for ds, sampler in zip(recon.datasets, samplers):
+    ckpt_path = recon.checkpoint_filename
+    if ckpt_path and pid > 0:
+        ckpt_path += f".p{pid}"  # same convention as the EM fit shards
+    if samplers:
+        Sampler.run(
+            samplers, recon.generator, n_samples,
+            checkpoint_path=ckpt_path,
+            checkpoint_every=recon.checkpoint_every,
+        )
+    for ds, sampler in zip(datasets, samplers):
         best = sampler.best_history
         ds.tree = best.tree
         ds.gapped_recon = best.gapped
+    if nproc > 1:
+        # replicate the winning histories on every process (writers run
+        # everywhere; the reference's file MapReduce has no mcmc form)
+        import json
+
+        from historian_tpu.parallel.pcounts import allgather_bytes
+        from historian_tpu.utils import checkpoint as _ckpt
+
+        mine = {
+            str(k): {
+                "tree": _ckpt.exact_newick(ds.tree),
+                "rows": [[r.name, r.seq] for r in ds.gapped_recon],
+            }
+            for k, ds in zip(local_idx, datasets)
+        }
+        for blob in allgather_bytes(json.dumps(mine).encode()):
+            for k_str, st in json.loads(blob.decode()).items():
+                ds = all_datasets[int(k_str)]
+                ds.tree = Tree(st["tree"])
+                ds.gapped_recon = [FastSeq(name=n, seq=s) for n, s in st["rows"]]

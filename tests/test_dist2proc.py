@@ -143,3 +143,57 @@ def test_two_process_count_matches_single(ref_data):
     from tests.golden import assert_text_match
 
     assert_text_match(payload(out0), payload(out_single), sig_figs=4)
+
+
+@pytest.mark.slow
+def test_two_process_mcmc_dataset_sharding(ref_data, tmp_path):
+    """mcmc with TWO datasets across two processes: per-dataset chains
+    are independent, so each sharded dataset's trajectory must equal a
+    single-process run of that dataset ALONE with the same seed, and
+    the post-run allgather must leave every process with identical
+    replicated output."""
+    import re
+
+    fa = open(os.path.join(ref_data, "testcount.fa")).read()
+    nh = open(os.path.join(ref_data, "testcount.nh")).read().strip()
+    stk_rows = "\n".join(
+        f"{name} {seq}"
+        for name, seq in re.findall(r">(\S+)\n([^>]+)", fa)
+        for seq in [seq.replace("\n", "")]
+    )
+    a = tmp_path / "a.stk"
+    b = tmp_path / "b.stk"
+    a.write_text(f"# STOCKHOLM 1.0\n#=GF NH {nh}\n{stk_rows}\n//\n")
+    b.write_text(
+        f"# STOCKHOLM 1.0\n#=GF NH {nh}\n{stk_rows.replace('G', 'A', 1)}\n//\n"
+    )
+    model = os.path.join(ref_data, "testcount.jukescantor.json")
+    base = ["mcmc", "-model", model, "-samples", "2", "-seed", "7", "-fixguide"]
+
+    singles = []
+    for f in (a, b):
+        p = _run_cli([*base, "-stockholm", str(f)], {})
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-3000:]
+        singles.append(out)
+
+    port = _free_port()
+    common = {
+        "HISTORIAN_COORDINATOR": f"127.0.0.1:{port}",
+        "HISTORIAN_NUM_PROCESSES": "2",
+    }
+    args = [*base, "-stockholm", str(a), "-stockholm", str(b)]
+    p0 = _run_cli(args, {**common, "HISTORIAN_PROCESS_ID": "0"})
+    p1 = _run_cli(args, {**common, "HISTORIAN_PROCESS_ID": "1"})
+    out0, err0 = p0.communicate(timeout=600)
+    out1, err1 = p1.communicate(timeout=600)
+    assert p0.returncode == 0, err0[-3000:]
+    assert p1.returncode == 0, err1[-3000:]
+
+    def payload(s: str) -> str:
+        return s[s.index("# STOCKHOLM"):]
+
+    # allgather replication: both processes hold every dataset's winner
+    assert payload(out0) == payload(out1)
+    # independence: the sharded run reproduces the single-dataset runs
+    assert payload(out0) == payload(singles[0]) + payload(singles[1])
