@@ -498,174 +498,148 @@ class Reconstructor:
         path: AlignPath = {}
         prof: dict[int, Profile] = {}
         lp_final_fwd = -np.inf
-        backward = None
 
-        # ---- schedule: strict postorder on the host path; tree LEVELS
-        # on the device-resident path, so every level's fills, end
-        # gathers, and traceback walks are enqueued on device before any
-        # readback blocks (the §2.7 batch-parallel design: independent
-        # same-level merges overlap in the device queue and amortize the
-        # remote round trips that dominate small-merge wall time)
+        # ---- schedule: strict postorder with a bounded in-flight merge
+        # WINDOW.  Host path: the window drains immediately after each
+        # enqueue == the reference's sequential postorder loop
+        # (recon.cpp:917-1052).  Device-resident path: a merge's fill is
+        # enqueued as soon as BOTH children's profiles exist, and the
+        # window advances oldest-first only when (a) a parent needs a
+        # child still in flight or (b) the in-flight bytes would exceed
+        # the memory budget -- SURVEY §2.7's pp axis (children's
+        # profiles stream into their parents' merges, no level barrier)
+        # composed with its batch axis (independent in-flight merges
+        # overlap in the device queue); with a multi-device `-mesh`,
+        # round-robin placement runs them on different chips (dp axis)
+        # and long merges route through the SP ring instead
+        # (engine/forward._fill_sp), using every device at once.
         from historian_tpu.ops import devicedp
-
-        pipelined = devicedp.enabled() and devicedp.trace_enabled()
-        level = [0] * tree.n_nodes()
-        groups: list[list[int]] = []
-        if pipelined:
-            by_level: dict[int, list[int]] = {}
-            for node in range(tree.n_nodes()):
-                if tree.is_leaf(node):
-                    lv = 0
-                else:
-                    lv = 1 + max(level[c] for c in tree.children(node))
-                level[node] = lv
-                by_level.setdefault(lv, []).append(node)
-            groups = [by_level[lv] for lv in sorted(by_level)]
-        else:
-            groups = [[node] for node in range(tree.n_nodes())]
-
-        import time as _time
-
-        def _chunk_level(group: list[int]) -> list[list[int]]:
-            """Split one tree level so the merges held in flight together
-            stay under an aggregate memory budget.  Phase A-D pipelining
-            holds EVERY matrix of a chunk concurrently (device planes or
-            host cell tensors), where the sequential order freed each
-            before the next -- a level of several 6k x 6k merges would
-            otherwise multiply devicedp.TRACE_PLANES_MB by the level
-            width.  Per-merge bytes are estimated from the children's
-            profile sizes (known: children are from earlier levels)."""
-            if len(group) <= 1:
-                return [group]
-            budget = devicedp.TRACE_PLANES_MB * 2 * 1e6
-            chunks: list[list[int]] = []
-            cur: list[int] = []
-            cur_bytes = 0
-            for node in group:
-                if tree.is_leaf(node):
-                    cur.append(node)
-                    continue
-                l_c, r_c = tree.children(node)
-                sx, sy = prof[l_c].size - 1, prof[r_c].size - 1
-                # worst case of the two fill residencies: device-resident
-                # f32 planes (bucketed) vs host f64 cell tensor
-                est = max(
-                    5 * devicedp._bucket(sx) * devicedp._bucket(sy) * 4,
-                    (sx + 2) * (sy + 2) * 5 * 8,
-                )
-                if cur and cur_bytes + est > budget:
-                    chunks.append(cur)
-                    cur, cur_bytes = [], 0
-                cur.append(node)
-                cur_bytes += est
-            if cur:
-                chunks.append(cur)
-            return chunks
-
-        def _iter_groups():
-            # lazy: a level is chunked only when reached, after earlier
-            # levels have built the children profiles the estimate reads
-            for g in groups:
-                if pipelined:
-                    yield from _chunk_level(g)
-                else:
-                    yield g
-
         from historian_tpu.parallel import spmerge
 
+        import contextlib
+        import time as _time
+
+        pipelined = devicedp.enabled() and devicedp.trace_enabled()
+        #: observability: deepest in-flight merge window this run (1 on
+        #: the host path; >1 proves cross-level pp streaming engaged)
+        self.sched_max_in_flight = 0
         place = spmerge.dp_placement_devices()
         n_placed = 0
+        window: list[int] = []  # fill-enqueued merges, oldest first
+        window_bytes: dict[int, int] = {}
+        armed: set[int] = set()  # lp_end resolved + trace walk enqueued
+        fwd_of: dict[int, ForwardMatrix] = {}
+        want_bwd_of: dict[int, bool] = {}
+        done: set[int] = set()
+        #: aggregate in-flight residency cap: every windowed merge holds
+        #: device f32 planes or a host f64 cell tensor concurrently
+        budget = devicedp.TRACE_PLANES_MB * 2 * 1e6
+        backward_hold: list = [None]
 
-        for group in _iter_groups():
-            # Drop the previous group's matrices BEFORE building the next
-            # ForwardMatrix: backward holds forward, and a live previous
-            # owner makes bufpool fall back to fresh (cold-page) storage.
-            backward = None
-            fwd_of: dict[int, ForwardMatrix] = {}
-            want_bwd_of: dict[int, bool] = {}
-            _t0 = _time.perf_counter()
+        def _est_bytes(node: int) -> int:
+            # worst case of the two fill residencies: device-resident f32
+            # planes (bucketed) vs host f64 cell tensor
+            l_c, r_c = tree.children(node)
+            sx, sy = prof[l_c].size - 1, prof[r_c].size - 1
+            return max(
+                5 * devicedp._bucket(sx) * devicedp._bucket(sy) * 4,
+                (sx + 2) * (sy + 2) * 5 * 8,
+            )
 
-            # phase A: enqueue every merge fill in the group.  With a
-            # multi-device `-mesh`, independent same-level merges place
-            # round-robin over the mesh devices (dp axis: each device
-            # fills its merges concurrently while the host enqueues the
-            # rest); long merges route through the SP ring instead
-            # (engine/forward._fill_sp) and use every device at once.
-            for node in group:
-                if tree.is_leaf(node):
-                    prof[node] = Profile.from_sequence(
-                        model.components, model.alphabet,
-                        dataset.seqs[dataset.node_to_seq_index[node]], node,
-                    )
-                    prof[node].name = tree.node_name(node)
-                    continue
-                import contextlib
-
-                if place:
-                    import jax
-
-                    ctx = jax.default_device(place[n_placed % len(place)])
-                    n_placed += 1
-                else:
-                    ctx = contextlib.nullcontext()
-                with ctx:
-                    fwd_of[node], want_bwd_of[node] = self._merge_forward(
-                        dataset, tree, model, sumprod, prof, node, block=False
-                    )
-
-            _tA = _time.perf_counter()
-
-            # phase B: end gathers (band-doubling retries rebuild inline)
-            for node in group:
-                if node not in fwd_of:
-                    continue
-                fwd_of[node].dispatch_lp_end()
-            for node in group:
-                if node not in fwd_of:
-                    continue
-                if not (fwd_of[node].lp_end > -np.inf):
-                    fwd_of[node], want_bwd_of[node] = self._merge_forward(
-                        dataset, tree, model, sumprod, prof, node, block=True,
-                        first=fwd_of[node],
-                    )
-
-            _tB = _time.perf_counter()
-
-            # phase C: enqueue every traceback walk (one mt19937 draw per
-            # merge, consumed here in group order -- deterministic per seed)
-            if not self.use_posteriors_for_profile:
-                for node in group:
-                    fwd = fwd_of.get(node)
-                    if fwd is None or node == tree.root():
-                        continue
-                    fwd.prefetch_traces(
-                        self.profile_samples,
-                        bool(strategy & INCLUDE_BEST_TRACE),
-                        self.generator,
-                    )
-
-            _tC = _time.perf_counter()
-
-            # phase D: read back, build profiles, free children
-            for node in group:
-                if node not in fwd_of:
-                    continue
-                forward, want_backward = fwd_of.pop(node), want_bwd_of[node]
-                lp_final_fwd, backward, new_path = self._merge_profile(
-                    dataset, tree, model, strategy, prof, node,
-                    forward, want_backward, lp_final_fwd,
+        def _arm(node: int) -> None:
+            """Resolve lp_end (band-doubling retries rebuild inline,
+            recon.cpp:954-975) and enqueue the traceback walk (one
+            mt19937 draw per merge, consumed in arm order -- the order is
+            a deterministic function of the tree shape and the budget,
+            so runs are reproducible per seed)."""
+            if node in armed:
+                return
+            fwd = fwd_of[node]
+            fwd.dispatch_lp_end()
+            if not (fwd.lp_end > -np.inf):
+                fwd_of[node], want_bwd_of[node] = self._merge_forward(
+                    dataset, tree, model, sumprod, prof, node, block=True,
+                    first=fwd,
                 )
-                if new_path is not None:
-                    path = new_path
-            if devicedp.TIMING and len(groups) > 1:
+                fwd = fwd_of[node]
+            if not self.use_posteriors_for_profile and node != tree.root():
+                fwd.prefetch_traces(
+                    self.profile_samples,
+                    bool(strategy & INCLUDE_BEST_TRACE),
+                    self.generator,
+                )
+            armed.add(node)
+
+        def _finish_oldest() -> None:
+            """Advance the window head through readback + profile build
+            (and keep the NEXT head's trace walk in flight meanwhile)."""
+            nonlocal lp_final_fwd, path
+            node = window.pop(0)
+            window_bytes.pop(node, None)
+            _t0 = _time.perf_counter()
+            _arm(node)
+            if window:
+                _arm(window[0])
+            _t1 = _time.perf_counter()
+            forward, want_backward = fwd_of.pop(node), want_bwd_of.pop(node)
+            # free the previous BackwardMatrix before readback: a live
+            # previous owner makes bufpool fall back to cold storage
+            backward_hold[0] = None
+            lp_final_fwd, backward_hold[0], new_path = self._merge_profile(
+                dataset, tree, model, strategy, prof, node,
+                forward, want_backward, lp_final_fwd,
+            )
+            if new_path is not None:
+                path = new_path
+            done.add(node)
+            if devicedp.TIMING and pipelined:
                 import sys as _sys
 
-                _tD = _time.perf_counter()
                 _sys.stderr.write(
-                    f"[level {level[group[0]]}] n={len(group)} "
-                    f"A(fill-enqueue)={_tA - _t0:.2f}s B(lp_end)={_tB - _tA:.2f}s "
-                    f"C(trace-enqueue)={_tC - _tB:.2f}s D(readback+surgery)={_tD - _tC:.2f}s\n"
+                    f"[window] node {node} arm={_t1 - _t0:.2f}s "
+                    f"readback+surgery={_time.perf_counter() - _t1:.2f}s "
+                    f"in-flight={len(window)}\n"
                 )
+
+        for node in range(tree.n_nodes()):
+            if tree.is_leaf(node):
+                prof[node] = Profile.from_sequence(
+                    model.components, model.alphabet,
+                    dataset.seqs[dataset.node_to_seq_index[node]], node,
+                )
+                prof[node].name = tree.node_name(node)
+                done.add(node)
+                continue
+            # dependency: drain until both children's profiles exist
+            while any(c not in done for c in tree.children(node)):
+                _finish_oldest()
+            # memory: keep aggregate in-flight residency under budget
+            est = _est_bytes(node)
+            while window and sum(window_bytes.values()) + est > budget:
+                _finish_oldest()
+            if place:
+                import jax
+
+                ctx = jax.default_device(place[n_placed % len(place)])
+                n_placed += 1
+            else:
+                ctx = contextlib.nullcontext()
+            with ctx:
+                fwd_of[node], want_bwd_of[node] = self._merge_forward(
+                    dataset, tree, model, sumprod, prof, node, block=False
+                )
+            window.append(node)
+            window_bytes[node] = est
+            self.sched_max_in_flight = max(self.sched_max_in_flight, len(window))
+            fwd_of[node].dispatch_lp_end()
+            if not pipelined:
+                _finish_oldest()
+            elif len(window) > 1:
+                # keep the head's trace walk in flight while younger
+                # fills stream in behind it
+                _arm(window[0])
+        while window:
+            _finish_oldest()
 
         log_this_at(2, f"Final Forward log-likelihood is {lp_final_fwd}")
 

@@ -460,3 +460,52 @@ def test_recon_through_sp_router(ref_data, monkeypatch):
         clear_mesh()
     assert calls[0] > 0, "no merge routed through the SP ring"
     assert sp == host
+
+
+def test_recon_window_pipeline_streams_across_levels(ref_data, tmp_path, monkeypatch):
+    """Production recon through the in-flight merge WINDOW (SURVEY 2.7 pp
+    axis: children's profiles stream into their parents' merges with no
+    level barrier).  On a balanced 4-leaf tree the two cherry merges are
+    independent, so the pipelined scheduler must hold >=2 merges in
+    flight, and its output must match the strict-postorder host run
+    byte for byte (reference merge loop recon.cpp:917-1052)."""
+    import io
+
+    from historian_tpu.recon import FORMAT_FASTA, Reconstructor
+
+    seqs = tmp_path / "four.fa"
+    seqs.write_text(
+        ">s1\nACGTACGTGGAACGTACGTACGT\n"
+        ">s2\nACGTACGTGGTACGTACCT\n"
+        ">s3\nACGGACGTCCAACGTACGTAC\n"
+        ">s4\nACGGACGTCCTTACGTACGGTAC\n"
+    )
+    treef = tmp_path / "four.nh"
+    treef.write_text("((s1:0.3,s2:0.3)n12:0.2,(s3:0.3,s4:0.3)n34:0.2)root;\n")
+
+    def run():
+        r = Reconstructor()
+        r.guide_align_try_all_pairs = True
+        r.diag_env_params.sparse = False
+        r.max_distance_from_guide = 40
+        r.refine_reconstruction = False
+        r.output_format = FORMAT_FASTA
+        r.model_filename = os.path.join(ref_data, "testcount.jukescantor.json")
+        r.seq_filenames = [str(seqs)]
+        r.tree_filename = str(treef)
+        r.load_model()
+        r.load_seqs()
+        r.reconstruct_all()
+        buf = io.StringIO()
+        r.write_recon(buf)
+        return buf.getvalue(), r.sched_max_in_flight
+
+    monkeypatch.setenv("HISTORIAN_DEVICE_DP", "0")
+    host, host_depth = run()
+    assert host_depth == 1  # strict sequential postorder
+
+    monkeypatch.setenv("HISTORIAN_DEVICE_DP", "1")
+    monkeypatch.setenv("HISTORIAN_DEVICE_TRACE", "1")
+    piped, piped_depth = run()
+    assert piped_depth >= 2, "window never held two merges in flight"
+    assert piped == host

@@ -40,6 +40,16 @@ WORKLOADS = {
         "count", "-model", f"{REF}/doc/sim/gp120.json",
         "-stockrecon", f"{REF}/doc/sim/gp120.recon.fa",
     ],
+    # compute-dominated flagship: 8 taxa x ~3000 aa (tools-generated,
+    # committed at tests/data/), UNBANDED merges -- every merge exceeds
+    # the device-win crossover (~4e7 state-cells), so this is the
+    # workload where the device DP path and the cpp anchor measure the
+    # COMPUTE story rather than boot/guide overhead (gp120's merges are
+    # ~1e5-cell and boot-bound; see cpp_equiv_note there)
+    "recon_long8": [
+        "recon", "-noband", "-model", f"{REF}/data/testamino.json",
+        "-tree", f"{REPO}/tests/data/long8.nh", f"{REPO}/tests/data/long8.fa",
+    ],
 }
 
 
@@ -157,7 +167,7 @@ def main() -> None:
         if lps.get("cpu") is not None:
             entry["lp_cpu"] = lps["cpu"]
             entry["lp_tpu"] = lps["tpu"]
-        if name == "recon_gp120":
+        if name in ("recon_gp120", "recon_long8"):
             try:
                 entry.update(cpp_equiv(args, min(min(walls["cpu"]), min(walls["tpu"]))))
             except Exception as e:  # anchor failures must not lose the walls
