@@ -52,6 +52,9 @@ def enabled() -> bool:
         # cli.py's platform handling: make sure every tunnel compile is
         # persisted (see ops/__init__.py for the threshold rationale)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+        # overlap the (possibly congested) dispatch probe with the host
+        # stages that precede the first routing decision
+        start_dispatch_probe_async()
     return accel
 
 
@@ -185,7 +188,7 @@ def device_merge_cost_s(band_cells: int, path_len: int) -> float:
     """Estimated wall of the device-resident merge route: fixed dispatch
     overhead + sequential column-scan/trace-walk latency + bulk fill."""
     return (
-        MERGE_ROUND_TRIPS * dispatch_overhead_s()
+        MERGE_ROUND_TRIPS * dispatch_overhead_now()
         + step_s() * path_len
         + band_cells / DEV_FILL_RATE
     )
@@ -210,26 +213,93 @@ def merge_on_device(band_cells: int, path_len: int) -> bool:
     return band_cells / host_fill_rate() >= device_merge_cost_s(band_cells, path_len)
 
 
+#: routing assumption while the async dispatch probe is still pending:
+#: pessimistic enough that every merge stays on the host (only a ~7e9-
+#: state-cell merge would out-compute 7 x 10 s of round trips), so an
+#: unresolved probe can never strand work behind a congested tunnel
+_PENDING_OVERHEAD_S = 10.0
+_PROBE_THREAD = None
+
+
+def _measure_dispatch_overhead() -> float:
+    """The actual probe body: pure device_put/readback round trips.
+    Deliberately COMPILE-FREE -- a jitted probe would itself sit in the
+    remote compile queue (measured minutes in bad weather), the very
+    cost the probe exists to detect.  Adaptive reps: under tunnel
+    congestion a single round trip costs SECONDS (measured 66s in one
+    spike), so insisting on 3 timed reps makes the probe itself the
+    dominant cost; a decisively slow read is already the answer."""
+    global _DISPATCH_OVERHEAD
+    import time
+
+    import jax
+
+    buf = np.zeros(64, np.float32)
+    t0 = time.perf_counter()
+    np.asarray(jax.device_put(buf))  # connect + warm-up
+    warm = time.perf_counter() - t0
+    if warm > 3.0:
+        # congested: healthy remote warm-up (tunnel connect) is
+        # ~0.6-1.5s; don't pay another multi-second read for precision
+        # the decision doesn't need
+        _DISPATCH_OVERHEAD = warm / 2
+    else:
+        t0 = time.perf_counter()
+        np.asarray(jax.device_put(buf))
+        first = time.perf_counter() - t0
+        if first > 0.25:
+            _DISPATCH_OVERHEAD = first
+        else:
+            t0 = time.perf_counter()
+            for _ in range(3):
+                np.asarray(jax.device_put(buf))
+            _DISPATCH_OVERHEAD = (time.perf_counter() - t0) / 3
+    if TIMING:
+        import sys
+
+        print(
+            f"[devdp] dispatch probe: warm={warm:.3f}s "
+            f"overhead={_DISPATCH_OVERHEAD:.4f}s",
+            file=sys.stderr, flush=True,
+        )
+    return _DISPATCH_OVERHEAD
+
+
+def start_dispatch_probe_async() -> None:
+    """Kick the dispatch probe on a daemon thread so its first device
+    read -- which under tunnel congestion blocks for tens of seconds --
+    overlaps host work (leaf profiles, guide, host fills) instead of
+    serializing in front of the first routing decision.  Idempotent."""
+    global _PROBE_THREAD
+    if _DISPATCH_OVERHEAD is not None or _PROBE_THREAD is not None:
+        return
+    import threading
+
+    t = threading.Thread(target=_measure_dispatch_overhead, daemon=True)
+    _PROBE_THREAD = t
+    t.start()
+
+
+def dispatch_overhead_now() -> float:
+    """Non-blocking view of the dispatch overhead for per-merge routing:
+    the measured value once the probe has resolved, else a pessimistic
+    placeholder that keeps merges on the host (the safe choice both on a
+    congested tunnel and in the first second on an attached chip)."""
+    if _DISPATCH_OVERHEAD is not None:
+        return _DISPATCH_OVERHEAD
+    start_dispatch_probe_async()
+    return _PENDING_OVERHEAD_S
+
+
 def dispatch_overhead_s() -> float:
     """Measured host->device->host transfer round trip on the default
-    backend (run once per process, cached).  Distinguishes a locally
-    attached accelerator (~100us) from a remote-tunnel one (tens of ms),
-    so routing thresholds adapt to the actual topology instead of
-    assuming one.  Deliberately COMPILE-FREE: pure device_put/readback --
-    a jitted probe would itself sit in the remote compile queue (measured
-    minutes in bad weather), the very cost the probe exists to detect."""
-    global _DISPATCH_OVERHEAD
+    backend (run once per process, cached; blocks until resolved).
+    Distinguishes a locally attached accelerator (~100us) from a
+    remote-tunnel one (tens of ms), so routing thresholds adapt to the
+    actual topology instead of assuming one."""
     if _DISPATCH_OVERHEAD is None:
-        import time
-
-        import jax
-
-        buf = np.zeros(64, np.float32)
-        np.asarray(jax.device_put(buf))  # connection warm-up
-        t0 = time.perf_counter()
-        for _ in range(3):
-            np.asarray(jax.device_put(buf))
-        _DISPATCH_OVERHEAD = (time.perf_counter() - t0) / 3
+        start_dispatch_probe_async()
+        _PROBE_THREAD.join()
     return _DISPATCH_OVERHEAD
 
 
@@ -252,7 +322,7 @@ def min_device_cells() -> int:
 
     if jax.default_backend() not in ("tpu", "gpu"):
         return 0  # CPU-device kernels: dispatch is in-process
-    ov = dispatch_overhead_s()
+    ov = dispatch_overhead_now()
     if ov < 2e-3:
         return 0  # locally attached accelerator
     return int(MERGE_ROUND_TRIPS * ov * host_fill_rate())

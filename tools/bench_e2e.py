@@ -50,6 +50,13 @@ WORKLOADS = {
         "recon", "-noband", "-model", f"{REF}/data/testamino.json",
         "-tree", f"{REPO}/tests/data/long8.nh", f"{REPO}/tests/data/long8.fa",
     ],
+    # deeper compute flagship: 6 taxa x ~6000 aa, unbanded -- every
+    # merge (leaf 6000^2 up to root ~9000^2 grids) fits the resident
+    # plane budget, so the device route carries the whole merge loop
+    "recon_long6x6k": [
+        "recon", "-noband", "-model", f"{REF}/data/testamino.json",
+        "-tree", f"{REPO}/tests/data/long6.nh", f"{REPO}/tests/data/long6.fa",
+    ],
 }
 
 
@@ -167,7 +174,7 @@ def main() -> None:
         if lps.get("cpu") is not None:
             entry["lp_cpu"] = lps["cpu"]
             entry["lp_tpu"] = lps["tpu"]
-        if name in ("recon_gp120", "recon_long8"):
+        if name in ("recon_gp120", "recon_long8", "recon_long6x6k"):
             try:
                 entry.update(cpp_equiv(args, min(min(walls["cpu"]), min(walls["tpu"]))))
             except Exception as e:  # anchor failures must not lose the walls
