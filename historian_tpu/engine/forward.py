@@ -127,7 +127,8 @@ class DPMatrix:
             for attr in (
                 "subx", "suby", "x_null", "y_null", "x_ready", "y_ready",
                 "x_emit_or_start", "insx", "rootsubx", "insy", "rootsuby",
-                "absorb", "x_closest_pos", "y_closest_pos", "x_near_start",
+                "_absorb", "_absorb_factors",
+                "x_closest_pos", "y_closest_pos", "x_near_start",
                 "y_near_end", "env_mask", "env_mask_u8",
             ):
                 setattr(self, attr, getattr(share_from, attr))
@@ -171,7 +172,11 @@ class DPMatrix:
 
         # xy-absorb matrix: lse_{c,a}(logRoot + subx_i + suby_j) for all (i, j)
         # as an exp-space matmul with per-state max shifts (MXU-shaped work).
-        self.absorb = self._absorb_matrix()
+        # LAZY (see the `absorb` property): device-resident merges derive
+        # emission on device from the O(L*CA) factors and never read the
+        # dense host matrix -- a 6144^2 merge's is 300 MB / ~0.7 s.
+        self._absorb: np.ndarray | None = None
+        self._absorb_factors = None
 
         # envelope coordinates
         self.x_closest_pos = np.zeros(self.x_size, dtype=np.int64)
@@ -201,35 +206,49 @@ class DPMatrix:
         self.lp_end = NEG_INF
         self._trace_cache: dict = {}  # dest -> (cells, weights, ptot, best)
 
-    def _absorb_matrix(self) -> np.ndarray:
-        sx = np.full((self.x_size, self.hmm.components, self.alph_size), NEG_INF)
-        sy = np.full((self.y_size, self.hmm.components, self.alph_size), NEG_INF)
-        for i in range(self.x_size):
-            if self.subx.states[i].is_emit:
-                sx[i] = self.subx.states[i].lp_absorb
-        for j in range(self.y_size):
-            if self.suby.states[j].is_emit:
-                sy[j] = self.suby.states[j].lp_absorb
-        lx = sx + self.hmm.log_root[None, :, :]  # [Sx, C, A]
-        mx = np.max(lx, axis=(1, 2), keepdims=True)
-        my = np.max(sy, axis=(1, 2), keepdims=True)
-        mx_s = np.where(np.isfinite(mx), mx, 0.0)
-        my_s = np.where(np.isfinite(my), my, 0.0)
-        ex = np.exp(lx - mx_s).reshape(self.x_size, -1)
-        ey = np.exp(sy - my_s).reshape(self.y_size, -1)
-        # kept for the device route: ship these O(S x CA) factors and run
-        # the same exp-space matmul on the accelerator instead of
-        # uploading O(band) absorb values (ops/devicedp _factored_absorb)
-        self.absorb_factors = (ex, mx_s[:, 0, 0], ey, my_s[:, 0, 0])
-        # pooled output + in-place left-fold: same operation order as
-        # log(ex@ey.T) + mx + my, so bitwise-identical results
-        out = bufpool.get("absorb", (self.x_size, self.y_size), self)
-        np.matmul(ex, ey.T, out=out)
-        with np.errstate(divide="ignore"):
-            np.log(out, out=out)
-        out += mx_s[:, 0, 0][:, None]
-        out += my_s[:, 0, 0][None, :]
-        return out
+    @property
+    def absorb_factors(self):
+        """O(S x CA) emission factors (ex, shift_x, ey, shift_y): the
+        device route ships these and runs the exp-space matmul on the
+        accelerator instead of uploading O(band) absorb values
+        (ops/devicedp _factored_absorb)."""
+        if self._absorb_factors is None:
+            sx = np.full((self.x_size, self.hmm.components, self.alph_size), NEG_INF)
+            sy = np.full((self.y_size, self.hmm.components, self.alph_size), NEG_INF)
+            for i in range(self.x_size):
+                if self.subx.states[i].is_emit:
+                    sx[i] = self.subx.states[i].lp_absorb
+            for j in range(self.y_size):
+                if self.suby.states[j].is_emit:
+                    sy[j] = self.suby.states[j].lp_absorb
+            lx = sx + self.hmm.log_root[None, :, :]  # [Sx, C, A]
+            mx = np.max(lx, axis=(1, 2), keepdims=True)
+            my = np.max(sy, axis=(1, 2), keepdims=True)
+            mx_s = np.where(np.isfinite(mx), mx, 0.0)
+            my_s = np.where(np.isfinite(my), my, 0.0)
+            ex = np.exp(lx - mx_s).reshape(self.x_size, -1)
+            ey = np.exp(sy - my_s).reshape(self.y_size, -1)
+            self._absorb_factors = (ex, mx_s[:, 0, 0], ey, my_s[:, 0, 0])
+        return self._absorb_factors
+
+    @property
+    def absorb(self) -> np.ndarray:
+        """Dense [Sx, Sy] xy-absorb matrix, computed on first access:
+        lse_{c,a}(logRoot + subx_i + suby_j) as an exp-space matmul with
+        per-state max shifts (MXU-shaped work).  Device-resident merges
+        never touch it (a 6144^2 merge's is 300 MB / ~0.7 s host time)."""
+        if self._absorb is None:
+            ex, shift_x, ey, shift_y = self.absorb_factors
+            # pooled output + in-place left-fold: same operation order as
+            # log(ex@ey.T) + mx + my, so bitwise-identical results
+            out = bufpool.get("absorb", (self.x_size, self.y_size), self)
+            np.matmul(ex, ey.T, out=out)
+            with np.errstate(divide="ignore"):
+                np.log(out, out=out)
+            out += shift_x[:, None]
+            out += shift_y[None, :]
+            self._absorb = out
+        return self._absorb
 
     def _envelope_mask(self) -> np.ndarray:
         """Envelope mask as a pooled uint8 [Sx, Sy] tensor.

@@ -184,11 +184,14 @@ def step_s() -> float:
     return STEP_S
 
 
-def device_merge_cost_s(band_cells: int, path_len: int) -> float:
+def device_merge_cost_s(band_cells: int, path_len: int,
+                        overhead_s: float | None = None) -> float:
     """Estimated wall of the device-resident merge route: fixed dispatch
     overhead + sequential column-scan/trace-walk latency + bulk fill."""
+    if overhead_s is None:
+        overhead_s = dispatch_overhead_now()
     return (
-        MERGE_ROUND_TRIPS * dispatch_overhead_now()
+        MERGE_ROUND_TRIPS * overhead_s
         + step_s() * path_len
         + band_cells / DEV_FILL_RATE
     )
@@ -210,7 +213,20 @@ def merge_on_device(band_cells: int, path_len: int) -> bool:
     env = os.environ.get("HISTORIAN_DEVICE_MIN_CELLS")
     if env is not None:
         return band_cells >= int(float(env))
-    return band_cells / host_fill_rate() >= device_merge_cost_s(band_cells, path_len)
+    host_s = band_cells / host_fill_rate()
+    if _DISPATCH_OVERHEAD is None:
+        # probe still pending (its first read can block behind a slow
+        # backend attach).  Small merges go host immediately -- they
+        # lose on any remote topology -- but a merge a HEALTHY tunnel
+        # (~30ms RTT) would clearly win is worth blocking on the probe:
+        # the wait costs about one backend attach, paid once, and every
+        # later merge then routes on the measured number.
+        start_dispatch_probe_async()
+        if host_s < 2.0 * device_merge_cost_s(band_cells, path_len,
+                                              overhead_s=0.03):
+            return False
+        _PROBE_THREAD.join()
+    return host_s >= device_merge_cost_s(band_cells, path_len)
 
 
 #: routing assumption while the async dispatch probe is still pending:
@@ -238,22 +254,21 @@ def _measure_dispatch_overhead() -> float:
     t0 = time.perf_counter()
     np.asarray(jax.device_put(buf))  # connect + warm-up
     warm = time.perf_counter() - t0
-    if warm > 3.0:
-        # congested: healthy remote warm-up (tunnel connect) is
-        # ~0.6-1.5s; don't pay another multi-second read for precision
-        # the decision doesn't need
-        _DISPATCH_OVERHEAD = warm / 2
+    # The warm-up read is NOT the answer: a congested backend ATTACH can
+    # take 10-66s while the steady per-dispatch RTT is a healthy ~35ms
+    # (measured both on the same day) -- so always take at least one
+    # post-connect read, and accept it alone only when it is itself
+    # decisively slow (true steady-state congestion).
+    t0 = time.perf_counter()
+    np.asarray(jax.device_put(buf))
+    first = time.perf_counter() - t0
+    if first > 0.25:
+        _DISPATCH_OVERHEAD = first
     else:
         t0 = time.perf_counter()
-        np.asarray(jax.device_put(buf))
-        first = time.perf_counter() - t0
-        if first > 0.25:
-            _DISPATCH_OVERHEAD = first
-        else:
-            t0 = time.perf_counter()
-            for _ in range(3):
-                np.asarray(jax.device_put(buf))
-            _DISPATCH_OVERHEAD = (time.perf_counter() - t0) / 3
+        for _ in range(3):
+            np.asarray(jax.device_put(buf))
+        _DISPATCH_OVERHEAD = (time.perf_counter() - t0) / 3
     if TIMING:
         import sys
 
@@ -360,12 +375,19 @@ def dag_on_device() -> bool:
 def _bucket(n: int) -> int:
     """Grid dims round up to a bucket so compiled programs are reused.
 
-    On accelerators each new shape pays an erratic 3-23s compile through
-    the remote tunnel while execution scales only linearly with padding,
-    so buckets are 4x coarser there (256 vs 64)."""
+    On accelerators each new shape pays an erratic 3-90s compile through
+    the remote tunnel (plus a ~0.5s per-process executable load for
+    every distinct cached program) while execution scales only linearly
+    with padding, so buckets are 4x coarser there (256 vs 64) and 1024
+    above 4096 -- a progressive-merge run's per-level shape growth then
+    shares one program per ~1k band instead of one per level, at <=14%
+    padded compute on fills that cost ~0.3s."""
     import jax
 
-    b = 256 if jax.default_backend() in ("tpu", "gpu") else BUCKET
+    accel = jax.default_backend() in ("tpu", "gpu")
+    b = 256 if accel else BUCKET
+    if accel and n > 4096:
+        b = 1024
     return max(b, -(-n // b) * b)
 
 

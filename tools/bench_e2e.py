@@ -57,6 +57,14 @@ WORKLOADS = {
         "recon", "-noband", "-model", f"{REF}/data/testamino.json",
         "-tree", f"{REPO}/tests/data/long6.nh", f"{REPO}/tests/data/long6.fa",
     ],
+    # all-chain deep flagship: 12 taxa x ~6000 aa with -fast's best-trace
+    # (chain) profiles and the band released -- all 11 merges are
+    # chain x chain and device-resident, the regime the TPU design is
+    # built for (reference's own headline preset, paper.tex:219-220)
+    "recon_long12_fast": [
+        "recon", "-fast", "-noband", "-model", f"{REF}/data/testamino.json",
+        "-tree", f"{REPO}/tests/data/long12.nh", f"{REPO}/tests/data/long12.fa",
+    ],
 }
 
 
@@ -139,10 +147,11 @@ def cpp_equiv(args: list[str], best_wall_s: float) -> dict:
                 "(bench_baseline.cpp recon mode).  cpp_ideal_s = dense-array "
                 "linear-space lower bound; cpp_equiv_s = reference-shaped "
                 "(map cellStorage + log-space absorb, forward.h:22/112-124). "
-                "DP fill only -- the reference's full recon also pays guide/"
-                "tree/traceback, and OUR wall includes ~2.3s jax boot; on "
-                "this tiny flagship input the DP is not the bottleneck for "
-                "either side (see long-merge benches for the compute story)"
+                "DP fill only -- conservative: the reference's full recon "
+                "also pays guide/tree/traceback, and OUR wall includes "
+                "~2.3s jax boot.  On boot-bound inputs (gp120) the DP is "
+                "not the bottleneck for either side; the long workloads "
+                "are the compute story"
             ),
         }
     finally:
@@ -174,7 +183,7 @@ def main() -> None:
         if lps.get("cpu") is not None:
             entry["lp_cpu"] = lps["cpu"]
             entry["lp_tpu"] = lps["tpu"]
-        if name in ("recon_gp120", "recon_long8", "recon_long6x6k"):
+        if name in ("recon_gp120", "recon_long8", "recon_long6x6k", "recon_long12_fast"):
             try:
                 entry.update(cpp_equiv(args, min(min(walls["cpu"]), min(walls["tpu"]))))
             except Exception as e:  # anchor failures must not lose the walls
