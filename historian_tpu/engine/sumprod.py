@@ -137,6 +137,12 @@ class SumProductEngine:
     # hundred columns, where the device scan's per-step dispatch overhead
     # is ~95% of the wall time); large count batches stay on the device
     _NATIVE_FILL_MAX_CELLS = 1 << 17  # L x N
+    #: remote-tunnel ceiling: a device fill's tensors then live on the
+    #: far chip, and PWM extraction (rows_at) pays one ~RTT gather per
+    #: (column-set, node) read -- measured 0.33 s/gather, 90% of a
+    #: 150-leaf MCMC chain's wall.  The native fill at ~4e6 LN-cells/s
+    #: clears 1<<23 cells in ~2 s with every consumer read host-free.
+    _NATIVE_FILL_MAX_CELLS_REMOTE = 1 << 23
 
     def _native_fill(self, tokens: np.ndarray) -> "SumProductFill | None":
         import os
@@ -146,7 +152,13 @@ class SumProductEngine:
         arr = self.arrays
         n = arr.n_nodes
         L = tokens.shape[1]
-        if L * n > self._NATIVE_FILL_MAX_CELLS:
+        max_cells = self._NATIVE_FILL_MAX_CELLS
+        if L * n > max_cells:
+            from historian_tpu.ops import devicedp
+
+            if devicedp.accel_backend() and devicedp.min_device_cells() > 0:
+                max_cells = self._NATIVE_FILL_MAX_CELLS_REMOTE
+        if L * n > max_cells:
             return None
         from historian_tpu.native import get_native
 
@@ -363,9 +375,17 @@ class SumProductFill:
         host = self.__dict__.get(name)
         if host is not None:
             return host[cols, node]
+        t = self._device[name]
+        if isinstance(t, np.ndarray):
+            # native-fill tensors are host numpy: index with numpy.  A
+            # jnp index here would silently commit the tiny cols array
+            # to the DEFAULT device -- through a remote tunnel that is
+            # one ~0.33s round trip per read, measured at 90% of a
+            # 150-leaf MCMC chain's wall.
+            return t[cols, node]
         pad = (-len(cols)) % 64
         cols_p = np.concatenate([cols, np.zeros(pad, dtype=np.int64)]) if pad else cols
-        out = np.asarray(self._device[name][jnp.asarray(cols_p), int(node)])
+        out = np.asarray(t[jnp.asarray(cols_p), int(node)])
         return out[: len(cols)]
 
     def is_gap(self, node: int, col: int) -> bool:
