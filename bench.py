@@ -569,7 +569,9 @@ def bench_mcmc_router() -> dict:
     from historian_tpu.sampler.simulator import simulate_tree
     from historian_tpu.utils.rng import MT19937
 
-    model = named_model("lg")
+    from historian_tpu.models.ratemodel import CachingRateModel
+
+    model = CachingRateModel(named_model("lg"))  # production wrap, recon.cpp:1320
     rng = np.random.RandomState(99)
     n_leaves = 150
     pts = np.sort(rng.uniform(0.05, 1.0, n_leaves))
