@@ -213,3 +213,27 @@ def test_native_merge_matches_python_fuzz():
             np.testing.assert_array_equal(nat[r], py[r])
         checked += 1
     assert checked > 50
+
+
+def test_rows_at_native_fill_never_touches_jax(ref_data, monkeypatch):
+    """A native (host numpy) sum-product fill's rows_at must index with
+    numpy only: a jnp index array silently commits the tiny cols array
+    to the DEFAULT device, which through a remote tunnel is one ~0.33s
+    round trip per read (measured at 90% of a 150-leaf MCMC chain's
+    wall -- docs/ROOFLINE.md section 6)."""
+    import historian_tpu.engine.sumprod as sp
+
+    model = RateModel.from_file(os.path.join(ref_data, "testcount.jukescantor.json"))
+    tree = Tree(TREE)
+    engine = SumProductEngine(model, tree)
+    rows = _random_rows(model, tree, 60, seed=8)
+    fill = engine.fill(rows)
+    assert isinstance(fill._device.get("F"), np.ndarray), "expected a native fill"
+
+    def boom(*a, **k):
+        raise AssertionError("jnp.asarray on a host-tensor rows_at path")
+
+    monkeypatch.setattr(sp.jnp, "asarray", boom)
+    cols = np.array([0, 5, 11], dtype=np.int64)
+    got = fill.rows_at("E", cols, 1)
+    assert got.shape[0] == 3
