@@ -128,10 +128,13 @@ class SumProductEngine:
         return self._count_device_ok
 
     # ------------------------------------------------------------------ fills
-    def fill(self, gapped_rows: list[str]) -> "SumProductFill":
-        """Run up+down passes for all columns at once."""
+    def fill(self, gapped_rows: list[str], for_counts: bool = False) -> "SumProductFill":
+        """Run up+down passes for all columns at once.  for_counts=True
+        marks a fill whose consumer is the fused eigencount contraction
+        (tensors must sit where the contraction runs); likelihood/PWM
+        consumers leave it False so remote topologies keep tensors host."""
         tokens = tokenize_alignment(self.model.alphabet, gapped_rows)
-        return self.fill_tokens(tokens)
+        return self.fill_tokens(tokens, for_counts=for_counts)
 
     # native host fill for small batches (an MCMC proposal refills a few
     # hundred columns, where the device scan's per-step dispatch overhead
@@ -144,7 +147,8 @@ class SumProductEngine:
     #: clears 1<<23 cells in ~2 s with every consumer read host-free.
     _NATIVE_FILL_MAX_CELLS_REMOTE = 1 << 23
 
-    def _native_fill(self, tokens: np.ndarray) -> "SumProductFill | None":
+    def _native_fill(self, tokens: np.ndarray,
+                     for_counts: bool = False) -> "SumProductFill | None":
         import os
 
         if os.environ.get("HISTORIAN_DEVICE_SUMPROD", "0") == "1":
@@ -153,7 +157,7 @@ class SumProductEngine:
         n = arr.n_nodes
         L = tokens.shape[1]
         max_cells = self._NATIVE_FILL_MAX_CELLS
-        if L * n > max_cells:
+        if L * n > max_cells and not for_counts:
             from historian_tpu.ops import devicedp
 
             if devicedp.accel_backend() and devicedp.min_device_cells() > 0:
@@ -190,8 +194,9 @@ class SumProductEngine:
         fill._device["logG"] = logG
         return fill
 
-    def fill_tokens(self, tokens: np.ndarray) -> "SumProductFill":
-        native = self._native_fill(tokens)
+    def fill_tokens(self, tokens: np.ndarray,
+                    for_counts: bool = False) -> "SumProductFill":
+        native = self._native_fill(tokens, for_counts=for_counts)
         if native is not None:
             return native
         arr = self.arrays
@@ -574,11 +579,18 @@ class SumProductFill:
                     * self.engine.model.components
                     * self.engine.model.alphabet_size ** 2
                 )
-                if work < int(float(os.environ.get(
-                    "HISTORIAN_COUNT_DEVICE_MIN_CELLS", "3e7"
-                ))):
-                    from historian_tpu.ops import devicedp
+                from historian_tpu.ops import devicedp
 
+                small = work < int(float(os.environ.get(
+                    "HISTORIAN_COUNT_DEVICE_MIN_CELLS", "3e7"
+                )))
+                # on a REMOTE accelerator, host tensors pin local at any
+                # size: shipping the [L, N, C, A] message tensors of a
+                # mid-size native fill through the tunnel (GBs at
+                # ~13 MB/s) dwarfs any contraction speedup; batches big
+                # enough for the device contraction to win take the
+                # device FILL path and their tensors are already there
+                if small or devicedp.min_device_cells() > 0:
                     ctx = devicedp.small_work_device()
             with ctx:
                 if self.engine.count_device_ok:
@@ -833,7 +845,7 @@ def accumulate_alignment_eigen_counts(counts: EigenCounts, model: RateModel, tre
         )
         return
     engine = SumProductEngine(model, tree)
-    fill = engine.fill([s.seq for s in gapped_seqs])
+    fill = engine.fill([s.seq for s in gapped_seqs], for_counts=True)
     c = EigenCounts(model.components, model.alphabet_size)
     fill.accumulate_eigen_counts(c.root_count, c.eigen_count, 1.0)
     c.indel.lp = float(fill.col_ll.sum())
