@@ -647,7 +647,8 @@ def bench_fit_estep() -> dict:
     nwk.i = 0
     tree = Tree(nwk(4) + ";")
     n_leaves = 16
-    L = 1024
+    L = 4096  # 5e7 column-cells/rep: above every small-work pin, enough
+    # to amortize dispatch so the ratio measures the E-step, not enqueue
     rng = np.random.RandomState(5)
     alpha = model.alphabet.symbols
     row_sets = []
@@ -689,7 +690,7 @@ def bench_fit_estep() -> dict:
         "    return f'({nwk(d-1)},{nwk(d-1)}):0.3'\n"
         "nwk.i = 0\n"
         "tree = Tree(nwk(4) + ';')\n"
-        "L = 1024\n"
+        "L = 4096\n"
         "rng = np.random.RandomState(5)\n"
         "alpha = model.alphabet.symbols\n"
         "row_sets = []\n"
@@ -727,7 +728,7 @@ def bench_fit_estep() -> dict:
         pass
     return {
         "unit": "column-cells/s (columns x branches x A^2)",
-        "workload": "31-node tree, L=1024, LG",
+        "workload": "31-node tree, L=4096, LG",
         "value": round(rate),
         "baseline": round(base) if base else None,
         "baseline_src": "host engine/sumprod count path, CPU subprocess, this host",
