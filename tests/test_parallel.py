@@ -509,3 +509,65 @@ def test_recon_window_pipeline_streams_across_levels(ref_data, tmp_path, monkeyp
     piped, piped_depth = run()
     assert piped_depth >= 2, "window never held two merges in flight"
     assert piped == host
+
+
+@pytest.mark.parametrize("pipelined", [False, True])
+def test_band_doubling_retry_rebuilds_merge(ref_data, tmp_path, monkeypatch, pipelined):
+    """The zero-likelihood band-doubling retry (recon.cpp:954-975) must
+    rebuild the merge on both scheduler paths: the strict-postorder host
+    drain and the pipelined window's _arm step.  A forced -inf lp_end on
+    the first ForwardMatrix of one internal node simulates an envelope
+    that excludes every path."""
+    import io
+
+    import historian_tpu.recon as recon_mod
+    from historian_tpu.recon import FORMAT_FASTA, Reconstructor
+
+    seqs = tmp_path / "four.fa"
+    seqs.write_text(
+        ">s1\nACGTACGTGGAACGTACGTACGT\n"
+        ">s2\nACGTACGTGGTACGTACCT\n"
+        ">s3\nACGGACGTCCAACGTACGTAC\n"
+        ">s4\nACGGACGTCCTTACGTACGGTAC\n"
+    )
+    treef = tmp_path / "four.nh"
+    treef.write_text("((s1:0.3,s2:0.3)n12:0.2,(s3:0.3,s4:0.3)n34:0.2)root;\n")
+
+    real_fm = recon_mod.ForwardMatrix
+    builds: list[int] = []
+    sabotaged = [False]
+
+    class Sabotage(real_fm):
+        def __init__(self, l_prof, r_prof, hmm, node, *a, **k):
+            super().__init__(l_prof, r_prof, hmm, node, *a, **k)
+            builds.append(node)
+            if node == 5 and not sabotaged[0]:
+                sabotaged[0] = True
+                self.lp_end = -np.inf  # simulate an all-excluding envelope
+
+    monkeypatch.setattr(recon_mod, "ForwardMatrix", Sabotage)
+    if pipelined:
+        monkeypatch.setenv("HISTORIAN_DEVICE_DP", "1")
+        monkeypatch.setenv("HISTORIAN_DEVICE_TRACE", "1")
+    else:
+        monkeypatch.setenv("HISTORIAN_DEVICE_DP", "0")
+
+    r = Reconstructor()
+    r.guide_align_try_all_pairs = True
+    r.diag_env_params.sparse = False
+    r.max_distance_from_guide = 2
+    r.refine_reconstruction = False
+    r.output_format = FORMAT_FASTA
+    r.model_filename = os.path.join(ref_data, "testcount.jukescantor.json")
+    r.seq_filenames = [str(seqs)]
+    r.tree_filename = str(treef)
+    r.load_model()
+    r.load_seqs()
+    r.reconstruct_all()
+    buf = io.StringIO()
+    r.write_recon(buf)
+    out = buf.getvalue()
+
+    assert sabotaged[0], "the sabotage never fired"
+    assert builds.count(5) >= 2, "retry never rebuilt the sabotaged merge"
+    assert out.startswith(">") and "root" in out
