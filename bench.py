@@ -181,12 +181,16 @@ def bench_device() -> float:
     return max(measure(scan_kernel, reps=4 * REPS) for _ in range(3))
 
 
-def _production_merge():
+def _production_merge(tiny: bool = False):
     """Build the real production merge workload: gp120 leaf chain x
     sampled-profile DAG under LG (the dominant `recon -platform tpu`
     merge shape; reference hot loop forward.cpp:78-203).  Host fill
     (native) so the returned ForwardMatrix doubles as the baseline
-    oracle.  Returns (dp, n_cells_in_band)."""
+    oracle.  Returns (dp, n_cells_in_band).
+
+    tiny=True shrinks the sequences so the fast test tier can exercise
+    every code path of this probe in milliseconds (guard against probes
+    silently breaking, VERDICT r4 #2)."""
     import os
 
     from historian_tpu.core.seqs import read_fasta
@@ -202,6 +206,8 @@ def _production_merge():
     try:
         model = named_model("lg")
         seqs = read_fasta("/root/reference/data/gp120.fa")[:3]
+        if tiny:
+            seqs = [type(s)(name=s.name, seq=s.seq[:48]) for s in seqs]
         profs = [
             Profile.from_sequence(model.components, model.alphabet, s, i)
             for i, s in enumerate(seqs)
@@ -220,7 +226,7 @@ def _production_merge():
     return dp, n_cells
 
 
-def bench_production_col_kernel() -> dict:
+def bench_production_col_kernel(tiny: bool = False) -> dict:
     """The SHIPPED production merge route (ops/devicedp.col_forward_cells:
     pallas/XLA column kernel + band-compacted IO + host prep), measured
     end-to-end per merge on a REAL captured gp120 merge (leaf chain x
@@ -237,19 +243,21 @@ def bench_production_col_kernel() -> dict:
     """
     from historian_tpu.ops import devicedp
 
-    dp, n_cells = _production_merge()
+    dp, n_cells = _production_merge(tiny)
     base_absorb = dp.absorb.copy()
     fx0, sxs0, fy0, mys0 = dp.absorb_factors
 
     def perturb(k):
         # distinct inputs per rep on BOTH transports (value scatter reads
-        # dp.absorb; the factored matmul reads absorb_factors)
+        # dp.absorb; the factored matmul reads absorb_factors); absorb and
+        # absorb_factors are lazy read-only properties, so write the
+        # backing fields directly
         eps = np.float64(1e-4 * k)
-        dp.absorb = base_absorb + eps
-        dp.absorb_factors = (fx0, sxs0 + eps, fy0, mys0)
+        dp._absorb = base_absorb + eps
+        dp._absorb_factors = (fx0, sxs0 + eps, fy0, mys0)
 
     # -- baseline: host native fill of the same merge
-    host_reps = 4
+    host_reps = 1 if tiny else 4
     dp._fill_native()  # warm (arena, pages)
     t0 = time.perf_counter()
     for k in range(host_reps):
@@ -261,7 +269,7 @@ def bench_production_col_kernel() -> dict:
     # -- device full-readback route
     out = devicedp.col_forward_cells(dp)
     assert out is not None, "col route not taken on the captured merge"
-    reps = 8
+    reps = 1 if tiny else 8
     t0 = time.perf_counter()
     for k in range(reps):
         perturb(k + 1)
@@ -281,7 +289,7 @@ def bench_production_col_kernel() -> dict:
         return lp
 
     resident(0)  # warm/compile
-    res_reps = 8
+    res_reps = 1 if tiny else 8
     t0 = time.perf_counter()
     for k in range(res_reps):
         resident(k + 1)
@@ -312,7 +320,7 @@ def bench_production_col_kernel() -> dict:
     }
 
 
-def bench_router_crossover() -> dict:
+def bench_router_crossover(tiny: bool = False) -> dict:
     """Host-vs-device per-merge wall at growing banded chain x chain
     merge sizes: the measurement the latency-aware router
     (ops/devicedp.min_device_cells) is calibrated against.  Each size
@@ -338,7 +346,8 @@ def bench_router_crossover() -> dict:
     alpha = model.alphabet.symbols
     rows = []
     crossover = None
-    for L, W in ((1500, 128), (3000, 256), (6000, 768), (12000, 768)):
+    sizes = ((64, 16),) if tiny else ((1500, 128), (3000, 256), (6000, 768), (12000, 768))
+    for L, W in sizes:
         seq_x = FastSeq(name="x", seq="".join(alpha[i] for i in rng.randint(0, 20, size=L)))
         seq_y = FastSeq(name="y", seq="".join(alpha[i] for i in rng.randint(0, 20, size=L)))
         x = Profile.from_sequence(model.components, model.alphabet, seq_x, 0)
@@ -361,10 +370,11 @@ def bench_router_crossover() -> dict:
 
         def perturb(k):
             # distinct inputs per rep on BOTH transports (value scatter
-            # reads dp.absorb; the factored matmul reads absorb_factors)
+            # reads dp.absorb; the factored matmul reads absorb_factors);
+            # write the backing fields of the lazy read-only properties
             eps = np.float64(1e-4 * k)
-            dp.absorb = base_absorb + eps
-            dp.absorb_factors = (fx0, sxs0 + eps, fy0, mys0)
+            dp._absorb = base_absorb + eps
+            dp._absorb_factors = (fx0, sxs0 + eps, fy0, mys0)
 
         def host_once(k):
             perturb(k)
@@ -372,7 +382,7 @@ def bench_router_crossover() -> dict:
 
         host_once(0)  # warm pages
         t0 = time.perf_counter()
-        reps = 3
+        reps = 1 if tiny else 3
         for k in range(reps):
             host_once(k + 1)
         t_host = (time.perf_counter() - t0) / reps
@@ -426,7 +436,7 @@ def bench_router_crossover() -> dict:
     }
 
 
-def bench_codon() -> dict:
+def bench_codon(tiny: bool = False) -> dict:
     """Headline kernel at codon scale (C*A = 61; the emission einsum --
     not timed here -- is where the MXU share grows).  Baseline: the
     single-core C++ loop on the same 61-letter workload."""
@@ -441,8 +451,8 @@ def bench_codon() -> dict:
     model = named_model("ECMrest")
     rng = np.random.RandomState(11)
     n_tok = model.alphabet.size
-    xl = yl = 192
-    batch = 32
+    xl = yl = 16 if tiny else 192
+    batch = 4 if tiny else 32
     syms = [model.alphabet.symbol(i) for i in range(n_tok)]
 
     def random_codon_seq(n):
@@ -468,7 +478,7 @@ def bench_codon() -> dict:
         return jnp.sum(pallas_pair_forward_lp(absorb + eps, rsx, rsy, ix, iy, trans))
 
     float(step(jnp.float32(0.0)))
-    reps = 16
+    reps = 2 if tiny else 16
     t0 = time.perf_counter()
     accs = [step(jnp.float32(1e-4 * (k + 1))) for k in range(reps)]
     total = float(jnp.sum(jnp.stack(accs)))
@@ -479,12 +489,13 @@ def bench_codon() -> dict:
     here = os.path.dirname(os.path.abspath(__file__))
     exe = os.path.join(here, "tools", "bench_baseline")
     base = 0.0
-    for _ in range(3):
-        out = subprocess.run(
-            [exe, str(xl), str(yl), "61", "1", "3"],
-            check=True, capture_output=True, text=True, timeout=600,
-        )
-        base = max(base, float(out.stdout.strip()))
+    if not tiny:  # the C++ baseline subprocess is not part of the probe path
+        for _ in range(3):
+            out = subprocess.run(
+                [exe, str(xl), str(yl), "61", "1", "3"],
+                check=True, capture_output=True, text=True, timeout=600,
+            )
+            base = max(base, float(out.stdout.strip()))
     return {
         "unit": "state-cells/s",
         "workload": f"ECMrest batch={batch} {xl}x{yl}",
@@ -495,7 +506,7 @@ def bench_codon() -> dict:
     }
 
 
-def bench_roofline() -> dict:
+def bench_roofline(tiny: bool = False) -> dict:
     """Empirical attainable bound for the DP recurrence (docs/ROOFLINE.md).
 
     The 5-state Forward DP is LOGSUMEXP-BOUND on the VPU: the recurrence
@@ -510,8 +521,8 @@ def bench_roofline() -> dict:
     import jax
     import jax.numpy as jnp
 
-    N = 1 << 20  # f32 elements (4 MB block)
-    K = 64
+    N = 1 << 12 if tiny else 1 << 20  # f32 elements (4 MB block)
+    K = 4 if tiny else 64
 
     @partial(jax.jit, static_argnames="reps")
     def chain_all(x, c0, reps):
@@ -537,7 +548,7 @@ def bench_roofline() -> dict:
         return time.perf_counter() - t0
 
     # differential: the (dt2 - dt1) slope cancels dispatch/readback RTT
-    r1, r2 = 64, 192
+    r1, r2 = (2, 4) if tiny else (64, 192)
     dt1, dt2 = timed(r1), timed(r2)
     lse_per_s = N * K * (r2 - r1) / max(dt2 - dt1, 1e-9)
     LSE_PER_CELL = 18  # logaddexp ops per 5-state cell (ops/pairforward)
@@ -552,7 +563,7 @@ def bench_roofline() -> dict:
     }
 
 
-def bench_mcmc_router() -> dict:
+def bench_mcmc_router(tiny: bool = False) -> dict:
     """MCMC proposal-fill routing (VERDICT r3 #7): steps/s on a
     ~300-node co-sampling chain with the topology-aware router (default:
     sibling/branch fills pick host native vs device by the same
@@ -573,27 +584,27 @@ def bench_mcmc_router() -> dict:
 
     model = CachingRateModel(named_model("lg"))  # production wrap, recon.cpp:1320
     rng = np.random.RandomState(99)
-    n_leaves = 150
+    n_leaves = 8 if tiny else 150
     pts = np.sort(rng.uniform(0.05, 1.0, n_leaves))
     dist = np.abs(pts[:, None] - pts[None, :]) + 0.05
     np.fill_diagonal(dist, 0.0)
     tree = Tree.upgma([f"L{i}" for i in range(n_leaves)], dist)
     tree.assign_internal_node_names()
-    stock = simulate_tree(MT19937(1), model, tree, 180)
+    stock = simulate_tree(MT19937(1), model, tree, 30 if tiny else 180)
     rows = tree.reorder_seqs(stock.gapped)
 
     def chain(steps: int, seed: int) -> float:
         sampler = Sampler(model, SimpleTreePrior(), rows, name="bench")
         sampler.initialize(History(gapped=rows, tree=tree))
         mt = MT19937(seed)
-        for _ in range(5):  # warm (memos, compiles)
+        for _ in range(1 if tiny else 5):  # warm (memos, compiles)
             sampler.sample(mt)
         t0 = time.perf_counter()
         for _ in range(steps):
             sampler.sample(mt)
         return steps / (time.perf_counter() - t0)
 
-    auto_rate = chain(60, 7)
+    auto_rate = chain(4 if tiny else 60, 7)
     saved = {
         k: os.environ.get(k)
         for k in ("HISTORIAN_DEVICE_SIBLING", "HISTORIAN_DEVICE_BRANCH")
@@ -601,7 +612,7 @@ def bench_mcmc_router() -> dict:
     os.environ["HISTORIAN_DEVICE_SIBLING"] = "1"
     os.environ["HISTORIAN_DEVICE_BRANCH"] = "1"
     try:
-        forced_rate = chain(8, 7)
+        forced_rate = chain(2 if tiny else 8, 7)
     except Exception as e:
         forced_rate = None
         forced_err = f"{type(e).__name__}: {e}"[:120]
@@ -625,7 +636,7 @@ def bench_mcmc_router() -> dict:
     return out
 
 
-def bench_fit_estep() -> dict:
+def bench_fit_estep(tiny: bool = False) -> dict:
     """The fit/count hot loop (reference forward.cpp:1183-1214 analogue):
     Felsenstein up/down fill + eigencount contraction over alignment
     columns on device (parallel/pcounts, the -mesh production path).
@@ -647,8 +658,8 @@ def bench_fit_estep() -> dict:
     nwk.i = 0
     tree = Tree(nwk(4) + ";")
     n_leaves = 16
-    L = 4096  # 5e7 column-cells/rep: above every small-work pin, enough
-    # to amortize dispatch so the ratio measures the E-step, not enqueue
+    L = 64 if tiny else 4096  # 5e7 column-cells/rep: above every small-work
+    # pin, enough to amortize dispatch so the ratio measures the E-step
     rng = np.random.RandomState(5)
     alpha = model.alphabet.symbols
     row_sets = []
@@ -665,7 +676,7 @@ def bench_fit_estep() -> dict:
         row_sets.append(rows)
     mesh = Mesh(np.array(jax.devices()[:1]), ("dp",))
     pcounts.sharded_alignment_eigen_counts(model, tree, row_sets[0], mesh)  # warm
-    reps = 6
+    reps = 1 if tiny else 6
     t0 = time.perf_counter()
     for k in range(reps):
         c = pcounts.sharded_alignment_eigen_counts(model, tree, row_sets[k % 3], mesh)
@@ -716,16 +727,17 @@ def bench_fit_estep() -> dict:
         "print(L * (tree.n_nodes() - 1) * A * A * reps / (t1 - t0))\n"
     )
     base = None
-    try:
-        env = {k: v for k, v in os.environ.items()}
-        env["JAX_PLATFORMS"] = "cpu"
-        proc = subprocess.run(
-            [sys.executable, "-c", script], capture_output=True, text=True,
-            timeout=900, env=env,
-        )
-        base = float(proc.stdout.strip().splitlines()[-1])
-    except Exception:
-        pass
+    if not tiny:  # the CPU-subprocess baseline (script pins L=4096) is not the probe path
+        try:
+            env = {k: v for k, v in os.environ.items()}
+            env["JAX_PLATFORMS"] = "cpu"
+            proc = subprocess.run(
+                [sys.executable, "-c", script], capture_output=True, text=True,
+                timeout=900, env=env,
+            )
+            base = float(proc.stdout.strip().splitlines()[-1])
+        except Exception:
+            pass
     return {
         "unit": "column-cells/s (columns x branches x A^2)",
         "workload": "31-node tree, L=4096, LG",

@@ -1,6 +1,4 @@
-from historian_tpu.cli import main
+from historian_tpu.cli import run_and_exit
 
 if __name__ == "__main__":
-    import sys
-
-    sys.exit(main())
+    run_and_exit()

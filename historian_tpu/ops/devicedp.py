@@ -230,11 +230,48 @@ def merge_on_device(band_cells: int, path_len: int) -> bool:
 
 
 #: routing assumption while the async dispatch probe is still pending:
-#: pessimistic enough that every merge stays on the host (only a ~7e9-
-#: state-cell merge would out-compute 7 x 10 s of round trips), so an
-#: unresolved probe can never strand work behind a congested tunnel
+#: on a remote/tunneled backend, pessimistic enough that every merge
+#: stays on the host (only a ~7e9-state-cell merge would out-compute
+#: 7 x 10 s of round trips), so an unresolved probe can never strand
+#: work behind a congested tunnel; on a locally attached accelerator a
+#: sub-ms placeholder keeps borderline device-winning merges from
+#: transiently routing host (ADVICE r4)
 _PENDING_OVERHEAD_S = 10.0
+_PENDING_OVERHEAD_LOCAL_S = 5e-4
 _PROBE_THREAD = None
+_PROBE_LOCK = None
+_REMOTE_HINT = None
+
+
+def _probe_lock():
+    global _PROBE_LOCK
+    if _PROBE_LOCK is None:
+        import threading
+
+        _PROBE_LOCK = threading.Lock()
+    return _PROBE_LOCK
+
+
+def _remote_backend_hint() -> bool:
+    """Cheap topology hint, no device round trip: the axon remote-tunnel
+    backend self-identifies in client.platform_version ("axon x.y; ...").
+    Unknown backends default to remote (the pessimistic placeholder is
+    the safe transient on a congested tunnel; a local chip merely waits
+    the few ms until the probe resolves)."""
+    global _REMOTE_HINT
+    if _REMOTE_HINT is None:
+        try:
+            import jax
+
+            ver = jax.devices()[0].client.platform_version
+            _REMOTE_HINT = "axon" in ver.lower()
+        except Exception:
+            _REMOTE_HINT = True
+    return _REMOTE_HINT
+
+
+def _pending_overhead_s() -> float:
+    return _PENDING_OVERHEAD_S if _remote_backend_hint() else _PENDING_OVERHEAD_LOCAL_S
 
 
 def _measure_dispatch_overhead() -> float:
@@ -284,15 +321,21 @@ def start_dispatch_probe_async() -> None:
     """Kick the dispatch probe on a daemon thread so its first device
     read -- which under tunnel congestion blocks for tens of seconds --
     overlaps host work (leaf profiles, guide, host fills) instead of
-    serializing in front of the first routing decision.  Idempotent."""
+    serializing in front of the first routing decision.  Idempotent;
+    the lock closes the check-then-set race (two concurrent callers
+    could otherwise spawn two probes whose overlapping round trips
+    inflate each other's RTT, ADVICE r4)."""
     global _PROBE_THREAD
     if _DISPATCH_OVERHEAD is not None or _PROBE_THREAD is not None:
         return
     import threading
 
-    t = threading.Thread(target=_measure_dispatch_overhead, daemon=True)
-    _PROBE_THREAD = t
-    t.start()
+    with _probe_lock():
+        if _DISPATCH_OVERHEAD is not None or _PROBE_THREAD is not None:
+            return
+        t = threading.Thread(target=_measure_dispatch_overhead, daemon=True)
+        _PROBE_THREAD = t
+        t.start()
 
 
 def dispatch_overhead_now() -> float:
@@ -303,7 +346,7 @@ def dispatch_overhead_now() -> float:
     if _DISPATCH_OVERHEAD is not None:
         return _DISPATCH_OVERHEAD
     start_dispatch_probe_async()
-    return _PENDING_OVERHEAD_S
+    return _pending_overhead_s()
 
 
 def dispatch_overhead_s() -> float:

@@ -548,10 +548,16 @@ class Reconstructor:
 
         def _arm(node: int) -> None:
             """Resolve lp_end (band-doubling retries rebuild inline,
-            recon.cpp:954-975) and enqueue the traceback walk (one
-            mt19937 draw per merge, consumed in arm order -- the order is
-            a deterministic function of the tree shape and the budget,
-            so runs are reproducible per seed)."""
+            recon.cpp:954-975) and enqueue the traceback walk.  A
+            device-routed merge consumes ONE mt19937 draw here (arm
+            order); a host-routed merge (no trace handle) draws per-cell
+            later inside sample_profile, exactly as the reference does
+            (golden parity).  Draw order is therefore deterministic only
+            GIVEN a fixed routing outcome: when routing depends on
+            runtime-measured rates (dispatch probe, observed fill
+            rates), the same seed can yield different reconstructions
+            across runs.  Pin HISTORIAN_DEVICE_DP / run single-platform
+            for seed-stable output (ADVICE r4)."""
             if node in armed:
                 return
             fwd = fwd_of[node]
@@ -562,6 +568,15 @@ class Reconstructor:
                     first=fwd,
                 )
                 fwd = fwd_of[node]
+                if node in window_bytes:
+                    # the retry rebuilt the merge (doubled or unbounded
+                    # band): refresh its residency estimate so the
+                    # aggregate window budget stays honest (ADVICE r4)
+                    window_bytes[node] = max(
+                        5 * devicedp._bucket(fwd.x_size - 1)
+                        * devicedp._bucket(fwd.y_size - 1) * 4,
+                        (fwd.x_size + 1) * (fwd.y_size + 1) * 5 * 8,
+                    )
             if not self.use_posteriors_for_profile and node != tree.root():
                 fwd.prefetch_traces(
                     self.profile_samples,
