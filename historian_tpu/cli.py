@@ -444,13 +444,22 @@ def main(argv: list[str] | None = None) -> int:
         i = argv.index("-platform")
         platform = argv[i + 1]
         del argv[i : i + 2]
-    if platform == "tpu":
+    lazy_attach = (
+        platform == "tpu"
+        and os.environ.get("HISTORIAN_LAZY_ATTACH", "1") != "0"
+        and not os.environ.get("HISTORIAN_DIST")
+        and not os.environ.get("HISTORIAN_COORDINATOR")
+    )
+    if platform == "tpu" and not lazy_attach:
         # failure detection (SURVEY section 5): backend init is a blocking
         # native call that cannot be interrupted in-process, and a remote
         # accelerator backend can stall for minutes when its server-side
         # queue is congested (measured 2s..15min on the same day).  Probe
         # init in a subprocess under a budget and fail over to the CPU
         # backend -- with a warning -- rather than hang the command.
+        # (Under the default LAZY attach the probe is unnecessary: the
+        # attach happens on a daemon thread, routing never blocks on it,
+        # and a hung attach only means merges keep routing to the host.)
         timeout_s = float(os.environ.get("HISTORIAN_TPU_BOOT_TIMEOUT", "45"))
         if timeout_s > 0 and not _tpu_boot_probe(timeout_s):
             sys.stderr.write(
@@ -459,7 +468,35 @@ def main(argv: list[str] | None = None) -> int:
                 "continuing on the CPU backend\n"
             )
             platform = "cpu"
-    if platform:
+    if lazy_attach:
+        # Attach the (remote) accelerator on a DAEMON thread instead of
+        # blocking the command on it: a run whose merges all route host
+        # (flagship gp120) was paying the 0.5-66s tunnel attach for
+        # nothing (VERDICT r4 #3).  Platform selection stays on auto --
+        # the tunnel backend registers under a vendor name that pinning
+        # "tpu" would exclude, and overriding jax_platforms re-inits the
+        # noisy local libtpu plugin the site config keeps quiet.
+        # Routing consults devicedp.backend_kind(), which reports the
+        # intended platform without touching jax's backend lock until
+        # the attach resolves.
+        import jax
+
+        from historian_tpu.ops import devicedp
+
+        # recon/mcmc run a jnp guide stage early, so overlapping the
+        # attach with host work from t=0 wins; count/fit/sum/generate do
+        # no jax work before their first routing query, so merely ARM
+        # the attach -- if routing never asks for the device the run
+        # skips the tunnel handshake (and its GIL-stealing imports)
+        # entirely
+        _cmd0 = next((a for a in argv if not a.startswith("-")), "")
+        if _cmd0 in ("c", "count", "f", "fit", "s", "sum", "g", "generate",
+                     "h", "help", "v", "version"):
+            devicedp.set_intended_platform("tpu")
+        else:
+            devicedp.start_backend_attach_async("tpu")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    elif platform:
         import jax
 
         # multi-host (DCN) bring-up must precede the jax.devices() probe

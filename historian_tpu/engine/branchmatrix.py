@@ -118,11 +118,9 @@ class BranchMatrix:
         env = os.environ.get("HISTORIAN_DEVICE_BRANCH", "auto")
         want_device = env == "1"
         if env not in ("0", "1"):
-            import jax
+            from historian_tpu.ops import devicedp
 
-            if jax.default_backend() in ("tpu", "gpu"):
-                from historian_tpu.ops import devicedp
-
+            if devicedp.backend_kind() in ("tpu", "gpu"):
                 want_device = (
                     not devicedp.min_device_cells()  # local accelerator
                     and match_emit.shape[0] * match_emit.shape[1] * 3 > 2_000_000

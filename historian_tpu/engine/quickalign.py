@@ -46,9 +46,9 @@ def device_guide_enabled() -> bool:
         return False
     if env == "1":
         return True
-    import jax
+    from historian_tpu.ops import devicedp
 
-    return jax.default_backend() in ("tpu", "gpu")
+    return devicedp.backend_kind() in ("tpu", "gpu")
 
 
 class QuickAligner:
@@ -182,8 +182,10 @@ class QuickAligner:
 
         from historian_tpu.ops.guidedp import guide_align_device
 
+        from historian_tpu.ops import devicedp
+
         dtype = (
-            np.float32 if jax.default_backend() in ("tpu", "gpu") else self.dtype
+            np.float32 if devicedp.backend_kind() in ("tpu", "gpu") else self.dtype
         )
         results = [
             QuickAlignResult(self, x, y, env, device_route=True) for x, y, env in jobs

@@ -564,6 +564,7 @@ class SumProductFill:
             import contextlib
 
             ctx = contextlib.nullcontext()
+            use_device_formulation = True
             if isinstance(self._device.get("F"), np.ndarray):
                 # the fill ran on the HOST (native small-batch path), so
                 # nothing is committed to an accelerator yet; when the
@@ -592,12 +593,23 @@ class SumProductFill:
                 # device FILL path and their tensors are already there
                 if small or devicedp.min_device_cells() > 0:
                     ctx = devicedp.small_work_device()
-            with ctx:
-                if self.engine.count_device_ok:
-                    self._accumulate_eigen_counts_device(root_counts, eigen_counts, weight)
-                else:
-                    self._accumulate_eigen_counts_device_cplx(root_counts, eigen_counts, weight)
-            return
+                    if devicedp.attach_pending():
+                        # the contraction is pinned LOCAL, but its first
+                        # jnp op would still block on jax's global
+                        # backend-init lock while the async tunnel
+                        # attach is in flight (a cold attach measured
+                        # ~10s and spiked the first `count -platform
+                        # tpu` to 14.5s).  The numpy formulation below
+                        # is the same math at this size and touches no
+                        # jax at all.
+                        use_device_formulation = False
+            if use_device_formulation:
+                with ctx:
+                    if self.engine.count_device_ok:
+                        self._accumulate_eigen_counts_device(root_counts, eigen_counts, weight)
+                    else:
+                        self._accumulate_eigen_counts_device_cplx(root_counts, eigen_counts, weight)
+                return
         self.accumulate_root_counts(root_counts, weight)
         eng = self.engine
         arr = eng.arrays

@@ -46,7 +46,7 @@ def enabled() -> bool:
         return True
     import jax
 
-    accel = jax.default_backend() in ("tpu", "gpu")
+    accel = backend_kind() in ("tpu", "gpu")
     if accel:
         # library users reach device kernels without going through
         # cli.py's platform handling: make sure every tunnel compile is
@@ -197,10 +197,138 @@ def device_merge_cost_s(band_cells: int, path_len: int,
     )
 
 
-def accel_backend() -> bool:
+#: managed async backend attach (CLI cold start): None = not managed
+#: (backend_kind falls through to jax.default_backend, which may
+#: lazily initialize); "armed" = intent registered but no thread yet
+#: (first routing query starts it -- commands like `count` whose work
+#: rarely routes to the device then never pay the attach thread's
+#: import/handshake CPU unless routing actually asks); "pending" |
+#: "ok" | "failed" once the attach thread runs
+_ATTACH_STATE = None
+_INTENDED_PLATFORM = "cpu"
+
+
+def backend_kind() -> str:
+    """Default-backend platform for ROUTING decisions, nonblocking while
+    a managed async attach is in flight: a remote backend attach is a
+    blocking native call measured 0.5-66s on this tunnel, and paying it
+    up front penalizes every run whose merges all route host (flagship
+    gp120 lost 0.9x to the CPU path on exactly this, VERDICT r4 #3).
+    While the attach thread runs, report the INTENDED platform --
+    routing then treats the chip as an accelerator with the pessimistic
+    pending-probe overhead, keeps small work on host, and only a merge
+    big enough to clearly win blocks on the attach."""
+    if _ATTACH_STATE in ("armed", "pending"):
+        return _INTENDED_PLATFORM
+    if _ATTACH_STATE == "failed":
+        return "cpu"
     import jax
 
-    return jax.default_backend() in ("tpu", "gpu")
+    return jax.default_backend()
+
+
+def accel_backend() -> bool:
+    return backend_kind() in ("tpu", "gpu")
+
+
+def attach_pending() -> bool:
+    """True while the managed async backend attach is still in flight
+    (or armed but not yet started).  Host-pinned work that would
+    otherwise issue its FIRST jnp op now -- and block on jax's global
+    backend-init lock behind a possibly-cold tunnel attach -- can
+    consult this and take a numpy formulation instead."""
+    return _ATTACH_STATE in ("armed", "pending")
+
+
+def set_intended_platform(platform: str = "tpu") -> None:
+    """Arm the managed attach WITHOUT starting the thread: routing
+    treats the backend as the intended accelerator immediately, and the
+    first routing query that could plausibly route work to the device
+    (dispatch_overhead_now / min_device_cells / merge_on_device) starts
+    the actual attach.  Commands whose work never reaches device-viable
+    sizes then skip the attach's import + handshake CPU entirely."""
+    global _ATTACH_STATE, _INTENDED_PLATFORM
+    if _ATTACH_STATE is not None or _PROBE_THREAD is not None or \
+            _DISPATCH_OVERHEAD is not None:
+        return
+    with _probe_lock():
+        if _ATTACH_STATE is None and _PROBE_THREAD is None and \
+                _DISPATCH_OVERHEAD is None:
+            _INTENDED_PLATFORM = platform
+            _ATTACH_STATE = "armed"
+
+
+def start_backend_attach_async(platform: str = "tpu") -> None:
+    """Initialize the (possibly remote) default backend on a daemon
+    thread so host work never waits on the tunnel attach.  The thread
+    resolves the device list (warning + CPU failover if the intended
+    platform never appears), stamps boot success for the CLI's probe
+    short-circuit, and rolls straight into the dispatch-RTT probe --
+    so it doubles as _PROBE_THREAD and merge_on_device's deliberate
+    join covers attach + probe.  Idempotent; an "armed" registration
+    (set_intended_platform) is upgraded to a running attach."""
+    global _ATTACH_STATE, _INTENDED_PLATFORM, _PROBE_THREAD
+    if _ATTACH_STATE not in (None, "armed") or _PROBE_THREAD is not None:
+        return
+    import threading
+
+    with _probe_lock():
+        if _ATTACH_STATE not in (None, "armed") or _PROBE_THREAD is not None:
+            return
+        if _ATTACH_STATE is None:
+            _INTENDED_PLATFORM = platform
+        _ATTACH_STATE = "pending"
+        t = threading.Thread(target=_attach_body, daemon=True)
+        _PROBE_THREAD = t
+        t.start()
+
+
+def _attach_body() -> None:
+    global _ATTACH_STATE
+    import sys
+
+    import jax
+
+    try:
+        # stall watchdog: warn (and invalidate the CLI's boot stamp) if
+        # the native attach blocks past the boot budget, same loud-stall
+        # contract as the old eager path
+        from historian_tpu.cli import _watched_init
+
+        watch_s = float(os.environ.get("HISTORIAN_TPU_BOOT_TIMEOUT", "45")) or 60.0
+        devs = _watched_init(jax.devices, watch_s)
+        ok = any(d.platform == _INTENDED_PLATFORM for d in devs) or (
+            _INTENDED_PLATFORM == "tpu" and jax.default_backend() in ("tpu", "gpu")
+        )
+    except Exception as e:
+        sys.stderr.write(
+            f"historian-tpu: warning: accelerator backend failed to "
+            f"initialize ({type(e).__name__}: {e}); continuing on the CPU "
+            "backend\n"
+        )
+        _ATTACH_STATE = "failed"
+        return
+    if not ok:
+        sys.stderr.write(
+            f"historian-tpu: warning: no {_INTENDED_PLATFORM} devices "
+            "appeared after backend init; continuing on the CPU backend\n"
+        )
+        _ATTACH_STATE = "failed"
+        return
+    # state flips BEFORE the RTT probe: backend_kind() readers see the
+    # real backend as soon as devices exist, while dispatch_overhead_now
+    # stays pessimistic until the probe resolves
+    _ATTACH_STATE = "ok"
+    try:
+        from historian_tpu.cli import mark_tpu_boot_ok
+
+        mark_tpu_boot_ok()
+    except Exception:
+        pass
+    try:
+        _measure_dispatch_overhead()
+    except Exception:
+        pass
 
 
 def merge_on_device(band_cells: int, path_len: int) -> bool:
@@ -324,9 +452,14 @@ def start_dispatch_probe_async() -> None:
     serializing in front of the first routing decision.  Idempotent;
     the lock closes the check-then-set race (two concurrent callers
     could otherwise spawn two probes whose overlapping round trips
-    inflate each other's RTT, ADVICE r4)."""
+    inflate each other's RTT, ADVICE r4).  Under a managed attach the
+    attach thread IS the probe thread (it rolls into the RTT measure),
+    so an armed registration upgrades to the full attach instead."""
     global _PROBE_THREAD
     if _DISPATCH_OVERHEAD is not None or _PROBE_THREAD is not None:
+        return
+    if _ATTACH_STATE == "armed":
+        start_backend_attach_async(_INTENDED_PLATFORM)
         return
     import threading
 
@@ -345,7 +478,12 @@ def dispatch_overhead_now() -> float:
     congested tunnel and in the first second on an attached chip)."""
     if _DISPATCH_OVERHEAD is not None:
         return _DISPATCH_OVERHEAD
-    start_dispatch_probe_async()
+    if _ATTACH_STATE != "armed":
+        # "armed" stays passive: a routing query merely ASKING for the
+        # overhead (e.g. the small-work pin check) must not spawn the
+        # tunnel attach -- only a caller that might actually place work
+        # on the device (merge_on_device, an explicit probe start) does
+        start_dispatch_probe_async()
     return _pending_overhead_s()
 
 
@@ -376,9 +514,7 @@ def min_device_cells() -> int:
         return int(float(env))
     if os.environ.get("HISTORIAN_DEVICE_DP") == "1":
         return 0
-    import jax
-
-    if jax.default_backend() not in ("tpu", "gpu"):
+    if backend_kind() not in ("tpu", "gpu"):
         return 0  # CPU-device kernels: dispatch is in-process
     ov = dispatch_overhead_now()
     if ov < 2e-3:
@@ -397,7 +533,7 @@ def small_work_device():
 
     import jax
 
-    if jax.default_backend() in ("tpu", "gpu") and min_device_cells():
+    if backend_kind() in ("tpu", "gpu") and min_device_cells():
         try:
             cpu = jax.local_devices(backend="cpu")[0]
         except Exception:
@@ -425,9 +561,7 @@ def _bucket(n: int) -> int:
     above 4096 -- a progressive-merge run's per-level shape growth then
     shares one program per ~1k band instead of one per level, at <=14%
     padded compute on fills that cost ~0.3s."""
-    import jax
-
-    accel = jax.default_backend() in ("tpu", "gpu")
+    accel = backend_kind() in ("tpu", "gpu")
     b = 256 if accel else BUCKET
     if accel and n > 4096:
         b = 1024
@@ -1253,9 +1387,7 @@ def trace_enabled() -> bool:
         return False
     if env == "1":
         return True
-    import jax
-
-    return jax.default_backend() in ("tpu", "gpu")
+    return backend_kind() in ("tpu", "gpu")
 
 
 def _sorted_walk_edges(src: np.ndarray, lp: np.ndarray):

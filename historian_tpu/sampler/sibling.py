@@ -217,11 +217,10 @@ class SiblingMatrix:
         env = os.environ.get("HISTORIAN_DEVICE_SIBLING", "auto")
         if env in ("0", "1"):
             return env == "1"
-        import jax
-
-        if jax.default_backend() not in ("tpu", "gpu"):
-            return False
         from historian_tpu.ops import devicedp
+
+        if devicedp.backend_kind() not in ("tpu", "gpu"):
+            return False
 
         if devicedp.min_device_cells():  # remote-latency backend
             return False
