@@ -563,6 +563,83 @@ def bench_roofline(tiny: bool = False) -> dict:
     }
 
 
+def bench_tropical(tiny: bool = False) -> dict:
+    """Max-plus (Viterbi) pair kernel vs the logsumexp Forward kernel on
+    the identical batched workload (VERDICT r4 #10: the Forward kernel
+    saturates the VPU lse roofline, so the only way past it is fewer
+    lse/cell -- the tropical semiring drops all of them).  Sound for the
+    stages where the reference itself runs Viterbi (guide alignment,
+    refiner sweeps, feasibility probes); see ops/tropical.py for the
+    routing note."""
+    import jax
+    import jax.numpy as jnp
+
+    from historian_tpu.models.presets import named_model
+    from historian_tpu.ops.pairforward import chain_pair_forward_arrays, pair_forward
+    from historian_tpu.ops.tropical import tropical_pair_forward
+
+    model = named_model("lg")
+    rng = np.random.RandomState(21)
+    alpha = model.alphabet.symbols
+    xl = yl = 48 if tiny else X_LEN
+    batch = 8 if tiny else BATCH
+    seed_pairs = 4 if tiny else SEED_PAIRS
+
+    def random_seq(n):
+        return "".join(alpha[i] for i in rng.randint(0, 20, size=n))
+
+    pairs = [
+        chain_pair_forward_arrays(model, random_seq(xl), random_seq(yl), 0.5, 0.5,
+                                  dtype=np.float32)[0]
+        for _ in range(seed_pairs)
+    ]
+    tile = batch // seed_pairs
+    absorb = jnp.tile(jnp.stack([a[0] for a in pairs]), (tile, 1, 1))
+    rsx = jnp.tile(jnp.stack([a[1] for a in pairs]), (tile, 1))
+    rsy = jnp.tile(jnp.stack([a[2] for a in pairs]), (tile, 1))
+    ix = jnp.tile(jnp.stack([a[3] for a in pairs]), (tile, 1))
+    iy = jnp.tile(jnp.stack([a[4] for a in pairs]), (tile, 1))
+    mask = pairs[0][5]
+    trans = pairs[0][6]
+
+    def measure(kernel_one, reps):
+        @jax.jit
+        def step(eps):
+            def one(ab, r1, r2, j1, j2):
+                _, lp = kernel_one(ab, r1, r2, j1, j2, mask, trans)
+                return lp
+
+            return jnp.sum(jax.vmap(one)(absorb + eps, rsx, rsy, ix, iy))
+
+        assert np.isfinite(float(step(jnp.float32(0.0))))
+        t0 = time.perf_counter()
+        accs = [step(jnp.float32(1e-4 * (k + 1))) for k in range(reps)]
+        total = float(jnp.sum(jnp.stack(accs)))
+        t1 = time.perf_counter()
+        assert np.isfinite(total)
+        return batch * (xl + 1) * (yl + 1) * 5 * reps / (t1 - t0)
+
+    reps = 2 if tiny else 24
+    # interleaved A/B (both warmed above) so host weather hits both arms
+    trop = lse = 0.0
+    for _ in range(1 if tiny else 3):
+        trop = max(trop, measure(tropical_pair_forward, reps))
+        lse = max(lse, measure(pair_forward, reps))
+    return {
+        "unit": "state-cells/s",
+        "workload": f"LG batch={batch} {xl}x{yl} (scan kernels, same inputs)",
+        "tropical_cells_per_s": round(trop),
+        "forward_lse_cells_per_s": round(lse),
+        "tropical_speedup": round(trop / lse, 3) if lse else None,
+        "routing_note": (
+            "sound where the reference runs Viterbi: guide stage "
+            "(quickalign.cpp:61-94; ours already max-plus), refiner "
+            "(refiner.cpp:10-103), band-retry feasibility; NOT for "
+            "production merge fills/counts/posteriors (ops/tropical.py)"
+        ),
+    }
+
+
 def bench_mcmc_router(tiny: bool = False) -> dict:
     """MCMC proposal-fill routing (VERDICT r3 #7): steps/s on a
     ~300-node co-sampling chain with the topology-aware router (default:

@@ -671,9 +671,14 @@ def run_and_exit(argv: list[str] | None = None):
     handlers explicitly (tempfile cleanup, cache flushes), flush stdio,
     then os._exit so the native teardown can never rewrite the exit
     code of a completed run.  Programmatic callers should use main(),
-    which returns normally."""
+    which returns normally; HISTORIAN_HARD_EXIT=0 restores a plain
+    sys.exit (needed when an outer harness -- cProfile, coverage --
+    must run its own exit hooks)."""
     import atexit
     import os
+
+    if os.environ.get("HISTORIAN_HARD_EXIT", "1") == "0":
+        sys.exit(main(argv))
 
     try:
         rc = main(argv)

@@ -94,6 +94,27 @@ def _lse_rows(*rows):
     return out
 
 
+def _subbed_absorb(profile: Profile, sub_mats: np.ndarray):
+    """Array form of the reference's leftMultiply (profile.cpp:78-91):
+    returns (emit_idx [E] int64, raw [E, C, A], subbed [E, C, A]) with
+    subbed = log(subMat @ exp(raw)), same max-shift formulation (and so
+    bit-identical values) as Profile.left_multiply -- without copying
+    the profile's states, transitions, and metadata per merge."""
+    emit_idx = profile.emit_state_indices()
+    C = profile.components
+    A = profile.alph_size
+    if not len(emit_idx):
+        z = np.zeros((0, C, A))
+        return emit_idx, z, z
+    raw = np.stack([profile.states[i].lp_absorb for i in emit_idx])  # [E, C, A]
+    mx = raw.max(axis=2, keepdims=True)
+    safe_mx = np.where(np.isfinite(mx), mx, 0.0)
+    p = np.exp(raw - safe_mx)
+    with np.errstate(divide="ignore"):
+        subbed = np.log(np.einsum("cad,ecd->eca", sub_mats, p)) + safe_mx
+    return emit_idx, raw, subbed
+
+
 def _affine_chain(u_prev: float, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Solve u[k] = a[k] lse (u[k-1] + b[k]) with u[-1] = u_prev, vectorized:
     with B = cumsum(b), v[k] = u[k] - B[k] satisfies v[k] = (a[k]-B[k]) lse
@@ -125,7 +146,9 @@ class DPMatrix:
             # tensors (identical inputs -> identical values); only the
             # cell storage below is per-matrix
             for attr in (
-                "subx", "suby", "x_null", "y_null", "x_ready", "y_ready",
+                "subx_idx", "subx_lp", "_subx_row",
+                "suby_idx", "suby_lp", "_suby_row",
+                "x_null", "y_null", "x_ready", "y_ready",
                 "x_emit_or_start", "insx", "rootsubx", "insy", "rootsuby",
                 "_absorb", "_absorb_factors",
                 "x_closest_pos", "y_closest_pos", "x_near_start",
@@ -137,11 +160,19 @@ class DPMatrix:
             self._trace_cache = {}
             return
 
-        # precomputed emission tensors
+        # precomputed emission tensors.  The subbed absorbs (reference
+        # leftMultiply, profile.cpp:78-91) live as ARRAYS [E, C, A]
+        # indexed by emit-state row, not as copied Profile objects: the
+        # old per-merge shallow profile copies were ~0.4 s of pure
+        # object churn on 6k-state merges (round-5 long12 profile).
         sub_l = hmm.l.sub_mat  # [C, A, A]
         sub_r = hmm.r.sub_mat
-        self.subx = x.left_multiply(sub_l)
-        self.suby = y.left_multiply(sub_r)
+        self.subx_idx, raw_x, self.subx_lp = _subbed_absorb(x, sub_l)
+        self.suby_idx, raw_y, self.suby_lp = _subbed_absorb(y, sub_r)
+        self._subx_row = np.full(self.x_size, -1, dtype=np.int64)
+        self._subx_row[self.subx_idx] = np.arange(len(self.subx_idx))
+        self._suby_row = np.full(self.y_size, -1, dtype=np.int64)
+        self._suby_row[self.suby_idx] = np.arange(len(self.suby_idx))
 
         self.x_null = np.array([s.is_null for s in x.states])
         self.y_null = np.array([s.is_null for s in y.states])
@@ -152,22 +183,21 @@ class DPMatrix:
         # per-state emission scores, vectorized over all emit states at once
         logl, logr = hmm.logl, hmm.logr
 
-        def emit_scores(profile, sub_profile, log_wins, log_root, size):
+        def emit_scores(raw, subbed, emit_idx, log_wins, log_root, size):
             ins = np.full(size, NEG_INF)
             rootsub = np.full(size, NEG_INF)
-            emit_idx = [i for i in range(1, size - 1) if profile.states[i].is_emit]
-            if emit_idx:
-                raw = np.stack([profile.states[i].lp_absorb for i in emit_idx])  # [E, C, A]
-                subbed = np.stack([sub_profile.states[i].lp_absorb for i in emit_idx])
+            if len(emit_idx):
                 ins[emit_idx] = logsumexp(raw + log_wins[None, :, :], axis=(1, 2))
                 rootsub[emit_idx] = logsumexp(subbed + log_root[None, :, :], axis=(1, 2))
             return ins, rootsub
 
         self.insx, self.rootsubx = emit_scores(
-            x, self.subx, logl.log_cpt_weight[:, None] + logl.log_ins_prob, hmm.log_root, self.x_size
+            raw_x, self.subx_lp, self.subx_idx,
+            logl.log_cpt_weight[:, None] + logl.log_ins_prob, hmm.log_root, self.x_size
         )
         self.insy, self.rootsuby = emit_scores(
-            y, self.suby, logr.log_cpt_weight[:, None] + logr.log_ins_prob, hmm.log_root, self.y_size
+            raw_y, self.suby_lp, self.suby_idx,
+            logr.log_cpt_weight[:, None] + logr.log_ins_prob, hmm.log_root, self.y_size
         )
 
         # xy-absorb matrix: lse_{c,a}(logRoot + subx_i + suby_j) for all (i, j)
@@ -215,12 +245,10 @@ class DPMatrix:
         if self._absorb_factors is None:
             sx = np.full((self.x_size, self.hmm.components, self.alph_size), NEG_INF)
             sy = np.full((self.y_size, self.hmm.components, self.alph_size), NEG_INF)
-            for i in range(self.x_size):
-                if self.subx.states[i].is_emit:
-                    sx[i] = self.subx.states[i].lp_absorb
-            for j in range(self.y_size):
-                if self.suby.states[j].is_emit:
-                    sy[j] = self.suby.states[j].lp_absorb
+            if len(self.subx_idx):
+                sx[self.subx_idx] = self.subx_lp
+            if len(self.suby_idx):
+                sy[self.suby_idx] = self.suby_lp
             lx = sx + self.hmm.log_root[None, :, :]  # [Sx, C, A]
             mx = np.max(lx, axis=(1, 2), keepdims=True)
             my = np.max(sy, axis=(1, 2), keepdims=True)
@@ -1329,12 +1357,13 @@ class ForwardMatrix(DPMatrix):
                     i, j, s = c
                     if s == IMM:
                         st.lp_absorb = (
-                            self.subx.states[i].lp_absorb + self.suby.states[j].lp_absorb
+                            self.subx_lp[self._subx_row[i]]
+                            + self.suby_lp[self._suby_row[j]]
                         )
                     elif s == IMD:
-                        st.lp_absorb = self.subx.states[i].lp_absorb.copy()
+                        st.lp_absorb = self.subx_lp[self._subx_row[i]].copy()
                     elif s == IDM:
-                        st.lp_absorb = self.suby.states[j].lp_absorb.copy()
+                        st.lp_absorb = self.suby_lp[self._suby_row[j]].copy()
                 st.align_path = self.cell_align_path(c)
                 st.seq_coords = self.cell_seq_coords(c)
                 st.name = self.cell_name(c)
@@ -1448,9 +1477,15 @@ class ForwardMatrix(DPMatrix):
             # device-resident fill: all traces walked in one dispatch,
             # then the host accumulation below is applied in trace order
             # (same accept/threshold semantics; the max_cells early-stop
-            # discards surplus traces instead of never walking them)
+            # discards surplus traces instead of never walking them).
+            # max_cells == 1 with a best trace is the -fast preset: the
+            # best trace alone always satisfies the budget, so the host
+            # loop samples NOTHING -- skip the sampled walks entirely
+            # (each is a full sequential path walk on device) and draw
+            # no rng, exactly like the host path.
             include_best = bool(strategy & INCLUDE_BEST_TRACE)
-            paths = self._device_traces(profile_samples, include_best, rng)
+            n_eff = 0 if (max_cells == 1 and include_best) else profile_samples
+            paths = self._device_traces(n_eff, include_best, rng)
             k0 = 0
             if include_best:
                 for c in paths[0]:

@@ -578,11 +578,17 @@ class Reconstructor:
                         (fwd.x_size + 1) * (fwd.y_size + 1) * 5 * 8,
                     )
             if not self.use_posteriors_for_profile and node != tree.root():
-                fwd.prefetch_traces(
-                    self.profile_samples,
-                    bool(strategy & INCLUDE_BEST_TRACE),
-                    self.generator,
+                include_best = bool(strategy & INCLUDE_BEST_TRACE)
+                # -fast (profmaxstates 1 + best trace): the best trace
+                # alone always meets the cell budget, so sample_profile
+                # walks zero sampled traces -- prefetch only the best
+                # walk (the surplus walks are full sequential device
+                # passes) and, like the host path, consume no rng draw
+                n_pref = (
+                    0 if (self.max_profile_states() == 1 and include_best)
+                    else self.profile_samples
                 )
+                fwd.prefetch_traces(n_pref, include_best, self.generator)
             armed.add(node)
 
         def _finish_oldest() -> None:
