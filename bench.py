@@ -563,6 +563,87 @@ def bench_roofline(tiny: bool = False) -> dict:
     }
 
 
+def bench_mcmc_batch(tiny: bool = False) -> dict:
+    """Device-BATCHED sibling proposal fills vs the host native fill
+    (VERDICT r4 #4): K proposal grids bucket-padded into one dispatch
+    (ops/siblingdp.sibling_forward_batch) so the per-dispatch round trip
+    amortizes K-fold -- the axis the one-proposal-at-a-time device route
+    loses on by ~91x.  Reports amortized per-proposal walls both ways;
+    production routing stays host unless the batch wins (the MH chain is
+    sequential, so only cross-dataset/speculative proposals can batch --
+    see SiblingMatrix.fill_batch)."""
+    from historian_tpu.core.alignpath import GuideAlignmentEnvelope
+    from historian_tpu.core.tree import Tree
+    from historian_tpu.engine.treealign import get_conditional_pwms
+    from historian_tpu.models.presets import named_model
+    from historian_tpu.sampler.sibling import SiblingMatrix
+    from historian_tpu.sampler.simulator import simulate_tree
+    from historian_tpu.utils.rng import MT19937
+
+    model = named_model("lg")
+    rng = np.random.RandomState(17)
+    n_leaves = 6 if tiny else 24
+    sim_len = 40 if tiny else 300
+    pts = np.sort(rng.uniform(0.05, 1.0, n_leaves))
+    dist = np.abs(pts[:, None] - pts[None, :]) + 0.05
+    np.fill_diagonal(dist, 0.0)
+    tree = Tree.upgma([f"L{i}" for i in range(n_leaves)], dist)
+    tree.assign_internal_node_names()
+    stock = simulate_tree(MT19937(3), model, tree, sim_len)
+    rows = tree.reorder_seqs(stock.gapped)
+
+    def build(defer):
+        mats = []
+        for node in range(tree.n_nodes()):
+            if tree.is_leaf(node):
+                continue
+            l_c, r_c = tree.children(node)
+            exclude = {l_c: node, r_c: node}
+            pwms = get_conditional_pwms(model, tree, rows, exclude)
+            mats.append(SiblingMatrix(
+                model, pwms[l_c], pwms[r_c],
+                tree.branch_length(l_c), tree.branch_length(r_c),
+                GuideAlignmentEnvelope(),
+                np.arange(len(pwms[l_c]) + 1), np.arange(len(pwms[r_c]) + 1),
+                l_c, r_c, node, defer_fill=True,
+            ))
+            if defer and len(mats) >= (3 if tiny else 16):
+                break
+            if not defer and len(mats) >= (3 if tiny else 16):
+                break
+        return mats
+
+    K = 3 if tiny else 16
+    host_mats = build(defer=False)[:K]
+    t0 = time.perf_counter()
+    for m in host_mats:
+        m._fill()  # router default: native OpenMP wavefront
+    host_s = (time.perf_counter() - t0) / len(host_mats)
+
+    batch_mats = build(defer=True)[:K]
+    assert SiblingMatrix.fill_batch(batch_mats)  # warm/compile
+    rebatch = build(defer=True)[:K]
+    t0 = time.perf_counter()
+    assert SiblingMatrix.fill_batch(rebatch)
+    batch_s = (time.perf_counter() - t0) / len(rebatch)
+
+    # agreement spot-check (f64 round-off class)
+    worst = max(abs(a.lp_end - b.lp_end) for a, b in zip(host_mats, rebatch))
+    cells = sum(m.x_size * m.y_size * 11 for m in rebatch)
+    return {
+        "unit": "s/proposal (amortized)",
+        "workload": f"{tree.n_nodes()}-node chain, K={len(rebatch)} sibling grids, "
+                    f"{cells} state-cells/batch",
+        "host_native_s_per_proposal": round(host_s, 5),
+        "device_batched_s_per_proposal": round(batch_s, 5),
+        "batch_speedup_vs_host": round(host_s / batch_s, 3) if batch_s else None,
+        "lp_end_worst_abs_diff": float(worst),
+        "routed": "host (batch stays opt-in unless it wins; the MH chain "
+                  "is sequential, so production batches need independent "
+                  "chains -- SiblingMatrix.fill_batch docstring)",
+    }
+
+
 def bench_tropical(tiny: bool = False) -> dict:
     """Max-plus (Viterbi) pair kernel vs the logsumexp Forward kernel on
     the identical batched workload (VERDICT r4 #10: the Forward kernel
@@ -858,6 +939,12 @@ def _extras_digest(extras: dict) -> dict:
     c = extras.get("codon_pair_forward")
     if isinstance(c, dict):
         d["codon_vs_cpp"] = c.get("vs_baseline")
+    mb = extras.get("mcmc_batch")
+    if isinstance(mb, dict):
+        d["mcmc_batch_vs_host"] = mb.get("batch_speedup_vs_host")
+    tr = extras.get("tropical")
+    if isinstance(tr, dict):
+        d["tropical_speedup"] = tr.get("tropical_speedup")
     e2e = extras.get("end_to_end_recorded")
     if isinstance(e2e, dict):
         for k in ("recon_gp120", "count_gp120", "recon_long8",
@@ -888,6 +975,8 @@ def main() -> None:
         ("codon_pair_forward", bench_codon),
         ("fit_estep", bench_fit_estep),
         ("mcmc_router", bench_mcmc_router),
+        ("mcmc_batch", bench_mcmc_batch),
+        ("tropical", bench_tropical),
     ):
         try:
             extras[name] = fn()

@@ -209,3 +209,30 @@ def sibling_forward(l_emit, r_emit, match_emit, mask, trans):
         final["WWX"][Y1 - 1] + tWWX_EEE, final["WXW"][Y1 - 1] + tWXW_EEE,
     )
     return cells, lp_end
+
+
+@partial(jax.jit, static_argnames=())
+def sibling_forward_batch(l_emit, r_emit, match_emit, mask, trans, ends):
+    """K bucket-padded sibling proposal fills in ONE dispatch
+    (VERDICT r4 #4: amortize per-dispatch latency over many proposals).
+
+    l_emit: [K, X]; r_emit: [K, Y]; match_emit/mask: [K, X+1, Y+1];
+    trans: [K, 35] (per proposal -- parent/sibling branch lengths
+    differ across move sites); ends: [K, 2] int32 true (sx-1, sy-1)
+    corner per grid (the padded corner is masked, so the single
+    kernel's lp_end is wrong for padded items).
+    Returns (cells [K, X+1, Y+1, 11], lp_end [K]).
+
+    Grids padded with mask=False rows/cols contribute nothing to the
+    true region -- values inside each grid's real corner agree with
+    the single-grid kernel exactly."""
+    cells, _ = jax.vmap(sibling_forward)(l_emit, r_emit, match_emit, mask, trans)
+    k = jnp.arange(cells.shape[0])
+    corner = cells[k, ends[:, 0], ends[:, 1]]  # [K, 11]
+    # state order IMM IMD IDM IDD WWW WWX WXW IMI IIW IDI IIX; packed
+    # end transitions at _KEYS[31:35] = (IDD, WWW, WWX, WXW) -> EEE
+    lp_end = jnp.logaddexp(
+        jnp.logaddexp(corner[:, 3] + trans[:, 31], corner[:, 4] + trans[:, 32]),
+        jnp.logaddexp(corner[:, 5] + trans[:, 33], corner[:, 6] + trans[:, 34]),
+    )
+    return cells, lp_end

@@ -68,6 +68,7 @@ class SiblingMatrix:
         l_row: int,
         r_row: int,
         p_row: int,
+        defer_fill: bool = False,
     ):
         self.model = model
         self.l_prob = ProbModel(model, max(MIN_BRANCH_LEN, pl_dist))
@@ -117,7 +118,8 @@ class SiblingMatrix:
 
         self._t_raw: dict | None = None
         self._init_transitions()
-        self._fill()
+        if not defer_fill:
+            self._fill()
 
     # ------------------------------------------------------------ transitions
     def idd_self_loop_prob(self) -> float:
@@ -206,6 +208,65 @@ class SiblingMatrix:
         if self._fill_native():
             return
         self._fill_host()
+
+    @classmethod
+    def fill_batch(cls, mats: "list[SiblingMatrix]") -> bool:
+        """Fill K deferred proposal grids in ONE device dispatch
+        (ops/siblingdp.sibling_forward_batch; VERDICT r4 #4).
+
+        Amortizes the per-dispatch round trip over the whole batch:
+        grids are bucket-padded to a shared [X1, Y1] (128-multiples, so
+        repeated batches reuse compiles), transitions ride per-item.
+
+        ROUTED OFF in production (HISTORIAN_DEVICE_SIBLING_BATCH=1 opts
+        in): the MH chain is sequential -- proposal k+1's inputs depend
+        on whether proposal k was accepted -- so only independent
+        chains (across datasets) or speculative proposals could feed a
+        batch, and on the remote-tunnel chip the measured amortized
+        per-proposal wall still loses to the native OpenMP wavefront
+        fill at MCMC grid sizes (bench.py bench_mcmc_batch's recorded
+        result).  Values agree with the host fill to f64 round-off,
+        same caveat as _fill_device.  Returns False (callers fall back
+        to per-matrix _fill) if the kernel is unavailable."""
+        if not mats:
+            return True
+        try:
+            from historian_tpu.ops.siblingdp import (
+                pack_sibling_transitions,
+                sibling_forward_batch,
+            )
+
+            X1 = -(-max(m.x_size for m in mats) // 128) * 128
+            Y1 = -(-max(m.y_size for m in mats) // 128) * 128
+            K = len(mats)
+            l_emit = np.full((K, X1 - 1), NEG)
+            r_emit = np.full((K, Y1 - 1), NEG)
+            match = np.full((K, X1, Y1), -1e30)
+            mask = np.zeros((K, X1, Y1), dtype=bool)
+            trans = np.empty((K, 35))
+            ends = np.empty((K, 2), dtype=np.int32)
+            for k, m in enumerate(mats):
+                sx, sy = m.x_size, m.y_size
+                l_emit[k, : sx - 1] = m.l_emit
+                r_emit[k, : sy - 1] = m.r_emit
+                match[k, :sx, :sy] = np.where(
+                    np.isfinite(m.match_emit), m.match_emit, -1e30
+                )
+                mask[k, :sx, :sy] = m.mask
+                trans[k] = pack_sibling_transitions(m)
+                ends[k] = (sx - 1, sy - 1)
+            cells, lp_end = sibling_forward_batch(
+                l_emit, r_emit, match, mask, trans, ends
+            )
+            cells = np.asarray(cells, dtype=np.float64)
+            lp_end = np.asarray(lp_end, dtype=np.float64)
+        except Exception:
+            return False
+        for k, m in enumerate(mats):
+            ck = cells[k, : m.x_size, : m.y_size]
+            m.cells = np.where(ck < -1e29, NEG, ck)
+            m.lp_end = float(lp_end[k])
+        return True
 
     def _want_device(self) -> bool:
         """HISTORIAN_DEVICE_SIBLING=1/0 forces; default 'auto' uses the

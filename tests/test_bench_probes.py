@@ -51,6 +51,8 @@ def interpret_pallas(monkeypatch):
         "bench_router_crossover",
         "bench_fit_estep",
         "bench_mcmc_router",
+        "bench_mcmc_batch",
+        "bench_tropical",
     ],
 )
 def test_extras_probe_runs_clean(probe):
