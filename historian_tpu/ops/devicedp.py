@@ -231,6 +231,24 @@ def accel_backend() -> bool:
     return backend_kind() in ("tpu", "gpu")
 
 
+def fill_dtype():
+    """Merge-fill device dtype: f64 on the CPU backend (golden parity),
+    f32 on accelerators.  HISTORIAN_DEVICE_DTYPE=f32|f64 overrides --
+    f32-on-CPU reproduces the accelerator numeric path for drift
+    studies without a chip (tests/test_f32_drift.py); f64-on-TPU costs
+    ~8x VPU throughput but removes the long-input f32 best-trace
+    caveat for merges that need it."""
+    import jax
+    import numpy as np
+
+    env = os.environ.get("HISTORIAN_DEVICE_DTYPE", "")
+    if env == "f32":
+        return np.float32
+    if env == "f64":
+        return np.float64
+    return np.float64 if jax.default_backend() == "cpu" else np.float32
+
+
 def attach_pending() -> bool:
     """True while the managed async backend attach is still in flight
     (or armed but not yet started).  Host-pinned work that would
@@ -736,7 +754,7 @@ def dag_forward_cells(dp) -> np.ndarray | None:
     nx = dp.x_size - 1
     ny = dp.y_size - 1
     SX, SY = _bucket(nx), _bucket(ny)
-    dtype = np.float64 if jax.default_backend() == "cpu" else np.float32
+    dtype = fill_dtype()
 
     ax = _profile_dag_arrays(dp.x, nx)
     ay = _profile_dag_arrays(dp.y, ny)
@@ -1096,7 +1114,7 @@ def col_forward_cells(dp, keep: bool = False):
     nx = dp.x_size - 1
     ny = dp.y_size - 1
     SX, SY = _bucket(nx), _bucket(ny)
-    dtype = np.float64 if jax.default_backend() == "cpu" else np.float32
+    dtype = fill_dtype()
 
     tx = ex[:nx]  # transition lp into x state i (tx[0] = 0 for START)
     rsx = np.full(SX, NEG, dtype); rsx[:nx] = _clamp(dp.rootsubx[:nx] + tx, dtype)
@@ -1584,7 +1602,7 @@ def chain_forward_cells(dp) -> np.ndarray | None:
     nx = dp.x_size - 1  # kernel rows: states 0..n (START + emits; END excluded)
     ny = dp.y_size - 1
     X1, Y1 = _bucket(nx), _bucket(ny)
-    dtype = np.float64 if jax.default_backend() == "cpu" else np.float32
+    dtype = fill_dtype()
 
     tx = ex[:nx]  # transition lp into x state i (tx[0] = 0 for START)
     ty = ey[:ny]

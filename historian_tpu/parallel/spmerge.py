@@ -84,10 +84,11 @@ def sp_forward_cells(dp, mesh) -> np.ndarray | None:
         return None
     import jax
 
+    from historian_tpu.ops import devicedp
     from historian_tpu.ops.devicedp import NEG_CUTOFF, col_kernel_inputs
     from historian_tpu.ops.sp_colforward import sp_col_forward_cells
 
-    dtype = np.float64 if jax.default_backend() == "cpu" else np.float32
+    dtype = devicedp.fill_dtype()
     inp = col_kernel_inputs(dp, dtype=dtype)
     cells_t = np.asarray(
         sp_col_forward_cells(

@@ -65,6 +65,10 @@ from historian_tpu.utils.memsize import physical_memory_bytes
 
 DEFAULT_DP_MEMORY_BYTES = physical_memory_bytes()
 DP_CELL_SIZE = 40
+#: bucket shapes already warmed by _prefetch_device_programs (per process)
+_PREFETCHED_BUCKETS: set = set()
+#: smallest full-grid state-cell count worth warming executables for
+PREFETCH_MIN_CELLS = 2e7
 
 
 @dataclass
@@ -520,6 +524,14 @@ class Reconstructor:
         import time as _time
 
         pipelined = devicedp.enabled() and devicedp.trace_enabled()
+        if pipelined:
+            # overlap the first-merge executable loads (~3-4 s through
+            # the tunnel per process, measured on long12) with the
+            # guide/leaf stage: a daemon thread runs a dummy merge of
+            # the PREDICTED first bucket shape through the real device
+            # route, so the fill/end-lp/trace programs are resident
+            # before the first production dispatch
+            self._prefetch_device_programs(dataset, model)
         #: observability: deepest in-flight merge window this run (1 on
         #: the host path; >1 proves cross-level pp streaming engaged)
         self.sched_max_in_flight = 0
@@ -674,6 +686,65 @@ class Reconstructor:
             self.data_counts += dataset.eigen_counts.transform(model)
         elif self.accumulate_indel_counts:
             self.data_counts.indel += dataset.eigen_counts.indel
+
+    def _prefetch_device_programs(self, dataset, model) -> None:
+        """Warm the per-process device executables for the predicted
+        first-merge bucket shapes on a daemon thread (HISTORIAN_PREFETCH=0
+        disables).  A fresh process pays ~0.5 s per program load through
+        the remote tunnel even fully compile-cached -- ~3-4 s serialized
+        in front of the first production merge (round-5 long12 profile:
+        22 loads at 0.54 s).  The dummy merge runs the REAL device route
+        (fill + end-lp + best-trace walk) over synthetic chains sized to
+        the leaf-length buckets, so the loaded programs are exactly the
+        production ones; a merge that ends up host-routed or a different
+        bucket just ignores the warm load (async, off the critical
+        path)."""
+        import os
+        import threading
+
+        from historian_tpu.ops import devicedp
+
+        if os.environ.get("HISTORIAN_PREFETCH", "1") == "0":
+            return
+        lens = [len(s.seq) for s in dataset.seqs]
+        if not lens:
+            return
+        buckets = sorted({devicedp._bucket(ln + 1) for ln in lens})[-2:]
+        if buckets[-1] * buckets[-1] * 5 < PREFETCH_MIN_CELLS:
+            return  # even the biggest full grid cannot win the router
+        key = tuple(buckets)
+        if key in _PREFETCHED_BUCKETS:
+            return
+        _PREFETCHED_BUCKETS.add(key)
+
+        def body():
+            try:
+                from historian_tpu.core.seqs import FastSeq
+                from historian_tpu.engine.forward import ForwardMatrix
+                from historian_tpu.engine.pairhmm import PairHMM
+                from historian_tpu.engine.profile import Profile
+                from historian_tpu.models.ratemodel import ProbModel
+
+                rng = np.random.RandomState(0)
+                a = model.alphabet
+                hmm = PairHMM(
+                    ProbModel(model, 0.5), ProbModel(model, 0.5), model.ins_prob
+                )
+                for b in buckets:
+                    seq = lambda nm: FastSeq(name=nm, seq="".join(
+                        a.symbol(i) for i in rng.randint(0, a.size, size=b - 1)
+                    ))
+                    x = Profile.from_sequence(model.components, a, seq("px"), 0)
+                    y = Profile.from_sequence(model.components, a, seq("py"), 1)
+                    fwd = ForwardMatrix(x, y, hmm, 2)
+                    fwd.dispatch_lp_end()
+                    if fwd._trace_handle is not None:
+                        fwd._device_traces(0, True, None)
+                    del fwd
+            except Exception:
+                pass  # best-effort warm: never fail the reconstruction
+
+        threading.Thread(target=body, daemon=True).start()
 
     def _merge_forward(self, dataset, tree, model, sumprod, prof, node,
                        block: bool, first=None):

@@ -54,7 +54,7 @@ def run(args: list[str]) -> str:
 #:             then fit -stockrecon                          (ablates the EM loop)
 #:   histslow  %.histslow.json posterior profiles instead of -fast's
 #:             best-trace chains (ablates MAP indel labeling)
-MODES = ("ma", "ma.tree", "hist", "hist.tree", "histrec", "histslow")
+MODES = ("ma", "ma.tree", "hist", "hist.nj", "hist.tree", "histrec", "histslow")
 
 
 def main() -> None:
@@ -107,6 +107,13 @@ def main() -> None:
                            ma_path, "-tree", GP120_TREE]
                 elif mode == "hist":
                     cmd = ["fit", "-fast", "-fixsubrates", leaf_path]
+                elif mode == "hist.nj":
+                    # protocol-vintage ablation (round 5): the committed
+                    # doc/sim artifacts carry NON-ultrametric guide trees
+                    # (doc/sim/gp120.recon.fa #=GF NH), i.e. the published
+                    # table predates the reference's UPGMA default
+                    # (recon.cpp:43) -- re-run hist with the NJ tree stage
+                    cmd = ["fit", "-fast", "-nj", "-fixsubrates", leaf_path]
                 elif mode == "hist.tree":
                     cmd = ["fit", "-fast", "-fixsubrates", leaf_path,
                            "-tree", GP120_TREE]
