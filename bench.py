@@ -948,11 +948,13 @@ def _extras_digest(extras: dict) -> dict:
     e2e = extras.get("end_to_end_recorded")
     if isinstance(e2e, dict):
         for k in ("recon_gp120", "count_gp120", "recon_long8",
-                  "recon_long6x6k", "recon_long12_fast"):
+                  "recon_long6x6k", "recon_long12_fast",
+                  "recon_long8x11k_fast"):
             v = e2e.get(k)
             if isinstance(v, dict) and v.get("tpu_vs_cpu") is not None:
                 d[f"{k}_tpu_vs_cpu"] = v["tpu_vs_cpu"]
-        for k in ("recon_long6x6k", "recon_long12_fast"):
+        for k in ("recon_long6x6k", "recon_long12_fast",
+                  "recon_long8x11k_fast"):
             v = e2e.get(k)
             if isinstance(v, dict) and v.get("vs_cpp_equiv") is not None:
                 d[f"{k}_vs_1core_cpp"] = v["vs_cpp_equiv"]

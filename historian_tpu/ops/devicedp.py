@@ -1069,7 +1069,12 @@ def _to_planes_col():
 #: ~2.3 GB total, so the budget caps plane bytes well under HBM.  Above
 #: it the resident route declines and the caller falls back (remote
 #: backends: host fill).
-TRACE_PLANES_MB = float(os.environ.get("HISTORIAN_TRACE_PLANES_MB", "2048"))
+#: resident-plane HBM budget per merge.  3072 MB admits 12288-bucket
+#: merges (5 x 12288^2 f32 = 3.02 GB): a 16 GB v5e holds one resident
+#: merge plus the next fill's absorb/mask transients with headroom, and
+#: the recon window's aggregate cap (2x this) keeps at most two such
+#: merges in flight.  Raise/lower via HISTORIAN_TRACE_PLANES_MB.
+TRACE_PLANES_MB = float(os.environ.get("HISTORIAN_TRACE_PLANES_MB", "3072"))
 
 
 def col_forward_device(dp) -> "DeviceTraceFill | None":

@@ -65,6 +65,17 @@ WORKLOADS = {
         "recon", "-fast", "-noband", "-model", f"{REF}/data/testamino.json",
         "-tree", f"{REPO}/tests/data/long12.nh", f"{REPO}/tests/data/long12.fa",
     ],
+    # depth flagship: 8 taxa x ~11000 aa, -fast -noband -- per-merge DP
+    # work grows ~4x over the 6k workloads (quadratic in length) while
+    # the TPU route's wall grows sub-linearly (the column scan is
+    # length-linear and the fixed costs amortize), so this is the
+    # workload that shows the accelerator's asymptotic margin over the
+    # single-core C++ anchor (BASELINE.json north star)
+    "recon_long8x11k_fast": [
+        "recon", "-fast", "-noband", "-model", f"{REF}/data/testamino.json",
+        "-tree", f"{REPO}/tests/data/long8x12k.nh",
+        f"{REPO}/tests/data/long8x12k.fa",
+    ],
 }
 
 
@@ -183,7 +194,8 @@ def main() -> None:
         if lps.get("cpu") is not None:
             entry["lp_cpu"] = lps["cpu"]
             entry["lp_tpu"] = lps["tpu"]
-        if name in ("recon_gp120", "recon_long8", "recon_long6x6k", "recon_long12_fast"):
+        if name in ("recon_gp120", "recon_long8", "recon_long6x6k",
+                    "recon_long12_fast", "recon_long8x11k_fast"):
             try:
                 entry.update(cpp_equiv(args, min(min(walls["cpu"]), min(walls["tpu"]))))
             except Exception as e:  # anchor failures must not lose the walls
