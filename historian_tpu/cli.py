@@ -483,18 +483,14 @@ def main(argv: list[str] | None = None) -> int:
 
         from historian_tpu.ops import devicedp
 
-        # recon/mcmc run a jnp guide stage early, so overlapping the
-        # attach with host work from t=0 wins; count/fit/sum/generate do
-        # no jax work before their first routing query, so merely ARM
-        # the attach -- if routing never asks for the device the run
-        # skips the tunnel handshake (and its GIL-stealing imports)
-        # entirely
-        _cmd0 = next((a for a in argv if not a.startswith("-")), "")
-        if _cmd0 in ("c", "count", "f", "fit", "s", "sum", "g", "generate",
-                     "h", "help", "v", "version"):
-            devicedp.set_intended_platform("tpu")
-        else:
-            devicedp.start_backend_attach_async("tpu")
+        # Every command ARMS the attach without starting it: routing
+        # reports the intended accelerator immediately, and the attach
+        # thread only spawns from a signal that work could actually
+        # route to the device -- recon's program-prefetch for big
+        # inputs, or a merge/contraction that would clearly win.  A
+        # small-input run (flagship gp120, every golden test) then
+        # never pays the tunnel handshake or its GIL-stealing imports.
+        devicedp.set_intended_platform("tpu")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
     elif platform:
         import jax

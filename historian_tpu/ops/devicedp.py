@@ -53,8 +53,13 @@ def enabled() -> bool:
         # persisted (see ops/__init__.py for the threshold rationale)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
         # overlap the (possibly congested) dispatch probe with the host
-        # stages that precede the first routing decision
-        start_dispatch_probe_async()
+        # stages that precede the first routing decision -- but never
+        # UPGRADE an armed-passive attach: under arming, the probe (and
+        # the tunnel handshake it implies) starts only from a signal
+        # that work could actually route to the device (big-input
+        # prefetch, a clearly-winning merge)
+        if _ATTACH_STATE != "armed":
+            start_dispatch_probe_async()
     return accel
 
 
@@ -363,14 +368,17 @@ def merge_on_device(band_cells: int, path_len: int) -> bool:
     if _DISPATCH_OVERHEAD is None:
         # probe still pending (its first read can block behind a slow
         # backend attach).  Small merges go host immediately -- they
-        # lose on any remote topology -- but a merge a HEALTHY tunnel
-        # (~30ms RTT) would clearly win is worth blocking on the probe:
-        # the wait costs about one backend attach, paid once, and every
+        # lose on any remote topology, and rejecting BEFORE touching the
+        # probe keeps an armed-passive attach entirely un-started on
+        # small-input runs (the attach thread's imports cost ~0.2-0.4s
+        # of GIL even when no work ever routes to the device).  A merge
+        # a HEALTHY tunnel (~30ms RTT) would clearly win is worth
+        # blocking on the attach+probe: the wait is paid once, and every
         # later merge then routes on the measured number.
-        start_dispatch_probe_async()
         if host_s < 2.0 * device_merge_cost_s(band_cells, path_len,
                                               overhead_s=0.03):
             return False
+        start_dispatch_probe_async()
         _PROBE_THREAD.join()
     return host_s >= device_merge_cost_s(band_cells, path_len)
 

@@ -716,6 +716,10 @@ class Reconstructor:
         if key in _PREFETCHED_BUCKETS:
             return
         _PREFETCHED_BUCKETS.add(key)
+        # big input: this run WILL want the device -- start the managed
+        # attach now (no-op if already running) so it overlaps the guide
+        # stage; the warm thread below then queues right behind it
+        devicedp.start_backend_attach_async()
 
         def body():
             try:
