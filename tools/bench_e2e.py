@@ -79,6 +79,31 @@ WORKLOADS = {
 }
 
 
+def tunnel_probe_ms() -> float | None:
+    """Attach + steady-RTT probe in a fresh subprocess: the weather
+    stamp recorded next to every tpu wall.  A wall measured at
+    rtt ~30ms is steady-state; one next to rtt in the hundreds/thousands
+    of ms (or a failed probe) is tunnel congestion, not code."""
+    code = (
+        "import time, numpy as np\n"
+        "import jax\n"
+        "np.asarray(jax.device_put(np.zeros(64, np.float32)))\n"
+        "t0 = time.perf_counter()\n"
+        "for _ in range(3):\n"
+        "    np.asarray(jax.device_put(np.zeros(64, np.float32)))\n"
+        "print((time.perf_counter() - t0) / 3 * 1e3)\n"
+    )
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=120, env=env,
+        )
+        return round(float(proc.stdout.strip().splitlines()[-1]), 1)
+    except Exception:
+        return None
+
+
 def run_one(args: list[str], platform: str) -> tuple[float, str]:
     """One timed subprocess run; returns (wall_s, stdout).  Raises on a
     non-zero exit or non-payload output (a fast failure must never be
@@ -176,9 +201,12 @@ def main() -> None:
     for name in names:
         args = WORKLOADS[name]
         walls: dict[str, list[float]] = {"cpu": [], "tpu": []}
+        probes: list[float | None] = []
         lps: dict[str, float | None] = {}
         for rep in range(n):
             for platform in ("cpu", "tpu"):  # interleaved: same host weather
+                if platform == "tpu":
+                    probes.append(tunnel_probe_ms())
                 wall, out = run_one(args, platform)
                 walls[platform].append(round(wall, 2))
                 lps[platform] = lp_of(out)
@@ -189,6 +217,7 @@ def main() -> None:
             "tpu_best_s": min(walls["tpu"]),
             "cpu_walls_s": walls["cpu"],
             "tpu_walls_s": walls["tpu"],
+            "tpu_probe_rtt_ms": probes,
             "tpu_vs_cpu": round(min(walls["cpu"]) / min(walls["tpu"]), 3),
         }
         if lps.get("cpu") is not None:
