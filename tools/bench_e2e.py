@@ -203,10 +203,26 @@ def main() -> None:
         walls: dict[str, list[float]] = {"cpu": [], "tpu": []}
         probes: list[float | None] = []
         lps: dict[str, float | None] = {}
+        # weather-seeking: congestion phases on the remote tunnel last
+        # minutes to HOURS (kernel stacks show the process parked in a
+        # single tcp_recvmsg); a wall measured then records the queue,
+        # not the code.  Before each tpu rep, wait (bounded by
+        # E2E_WEATHER_WAIT_S, default 20 min per rep) for the probe to
+        # show a steady tunnel; if it never clears, run anyway -- the
+        # recorded rtt stamp marks the wall as weather-bound.
+        weather_budget = float(os.environ.get("E2E_WEATHER_WAIT_S", "1200"))
         for rep in range(n):
             for platform in ("cpu", "tpu"):  # interleaved: same host weather
                 if platform == "tpu":
-                    probes.append(tunnel_probe_ms())
+                    waited = 0.0
+                    rtt = tunnel_probe_ms()
+                    while (rtt is None or rtt > 150.0) and waited < weather_budget:
+                        print(f"{name} rep{rep}: tunnel congested "
+                              f"(rtt={rtt}); waiting...", file=sys.stderr)
+                        time.sleep(120)
+                        waited += 120
+                        rtt = tunnel_probe_ms()
+                    probes.append(rtt)
                 wall, out = run_one(args, platform)
                 walls[platform].append(round(wall, 2))
                 lps[platform] = lp_of(out)
