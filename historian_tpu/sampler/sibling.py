@@ -218,16 +218,20 @@ class SiblingMatrix:
         grids are bucket-padded to a shared [X1, Y1] (128-multiples, so
         repeated batches reuse compiles), transitions ride per-item.
 
-        ROUTED OFF in production (HISTORIAN_DEVICE_SIBLING_BATCH=1 opts
-        in): the MH chain is sequential -- proposal k+1's inputs depend
-        on whether proposal k was accepted -- so only independent
-        chains (across datasets) or speculative proposals could feed a
-        batch, and on the remote-tunnel chip the measured amortized
-        per-proposal wall still loses to the native OpenMP wavefront
-        fill at MCMC grid sizes (bench.py bench_mcmc_batch's recorded
-        result).  Values agree with the host fill to f64 round-off,
-        same caveat as _fill_device.  Returns False (callers fall back
-        to per-matrix _fill) if the kernel is unavailable."""
+        ROUTED OFF in production, but measured a WIN: on the remote
+        tunnel, K=16 ~300-length proposal grids in one dispatch measure
+        ~6x faster per proposal than the native OpenMP fill
+        (BENCH_EXTRAS.json mcmc_batch, round 5) -- batching is the axis
+        that beats the per-dispatch latency the one-at-a-time device
+        route loses on by ~90x.  It stays off by default because the MH
+        chain is sequential -- proposal k+1's inputs depend on whether
+        proposal k was accepted -- so only independent chains (MCMC
+        over multiple datasets) or speculative proposals can feed a
+        batch; wiring the dataset-parallel scheduler onto this entry
+        point is the natural next step.  Values agree with the host
+        fill to f64 round-off, same caveat as _fill_device.  Returns
+        False (callers fall back to per-matrix _fill) if the kernel is
+        unavailable."""
         if not mats:
             return True
         try:
