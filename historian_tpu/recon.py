@@ -544,8 +544,15 @@ class Reconstructor:
         want_bwd_of: dict[int, bool] = {}
         done: set[int] = set()
         #: aggregate in-flight residency cap: every windowed merge holds
-        #: device f32 planes or a host f64 cell tensor concurrently
-        budget = devicedp.TRACE_PLANES_MB * 2 * 1e6
+        #: device f32 planes or a host f64 cell tensor concurrently.
+        #: 1.5x (not 2x) the per-merge admission budget: a fill in
+        #: flight ALSO holds absorb+mask transients of its own plane
+        #: size, so 2x admitted 2 resident + 1 filling at 12288-bucket
+        #: sizes = ~15 GB peak and the 16 GB chip OOMed at the root's
+        #: trace readback (round-5 long8x11k rep).  1.5x keeps the
+        #: two-deep window through 9216 buckets and serializes only the
+        #: biggest merges, whose fills dominate their windows anyway.
+        budget = devicedp.TRACE_PLANES_MB * 1.5 * 1e6
         backward_hold: list = [None]
 
         def _est_bytes(node: int) -> int:
